@@ -34,8 +34,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Resolve the {dir} placeholder to the actual sf directory so the
+    // dumped SQL is directly runnable by DuckDB with no view setup.
+    val absDir = Paths.get(sfDir).toAbsolutePath.normalize.toString
+      .stripSuffix("/")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{dir}", absDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

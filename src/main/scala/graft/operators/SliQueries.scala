@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.{r2, r4}
+import graft.sources.Tables
+
+/** SLI/SLO analytics surface (SURVEY.md §2.1, queries #1–#10).
+  *
+  * These model the reference's core capabilities (the
+  * `zalando-zmon/service-level-reporting` updater/report pipeline —
+  * raw SLI reads, 1-minute downsampling, weighted averages, per-day
+  * reports, target breach counting, compliance %, latest-value
+  * lookups, relative-range rolling windows; see SURVEY §1.1/§3.1,
+  * public-knowledge citations) re-expressed as declarative Spark
+  * plans.
+  *
+  * Determinism discipline (SURVEY §2.7): no raw TIMESTAMP output
+  * (always `unix_millis` or DATE), every double aggregate rounded,
+  * every result totally ordered.
+  *
+  * Scale notes: each query is a single scan → (optional window) →
+  * hash-aggregate pipeline. Aggregations are two-phase
+  * (partial/final) automatically; the ts-range filter in #1 is pushed
+  * into the parquet scan. The window queries (#7–#9) shuffle once on
+  * their partition key (`user_id`/`event_type`) — at 100 TB the same
+  * plans hold, with AQE sizing the exchange; there is no driver-side
+  * iteration anywhere.
+  */
+object SliQueries {
+
+  /** #1 — raw SLI values in a time range (scan + filter + project).
+    * Filter is pushed to parquet (ts is derived, but event_type is;
+    * at scale the table would be date-partitioned → partition prune).
+    */
+  def sliFilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error" &&
+        col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit("2024-01-15").cast("timestamp"))
+      .select(
+        col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"),
+        r2(col("value")).as("value"))
+      .orderBy("event_id")
+
+  /** #2 — resample raw check datapoints to 1-minute SLI rows. */
+  def sliMinuteDownsample(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_millis(date_trunc("minute", col("ts"))).as("minute_ms"))
+      .agg(r4(avg("value")).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy("event_type", "minute_ms")
+
+  /** #3 — weighted average Σ(v·w)/Σ(w), weight from the JSON props
+    * column (`aggregation.type = weighted` in the reference).
+    */
+  def sliWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(r4(
+        sum(col("value") * w) / nullif(sum(w), lit(0L))
+      ).as("weighted_avg"))
+      .orderBy("event_type")
+  }
+
+  /** #4 — per-day report breakdown: count/avg/min/max/sum. */
+  def sloDayReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        r4(avg("value")).as("avg_value"),
+        r2(min("value")).as("min_value"),
+        r2(max("value")).as("max_value"),
+        r2(sum("value")).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** Shared 1-minute rollup used by #5/#6 (re-agg of agg). */
+  private def perMinute(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(avg("value").as("v"))
+
+  /** #5 — count of minutes outside the target band [50, 150]. */
+  def sloBreachCount(spark: SparkSession, dir: String): DataFrame =
+    perMinute(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("minutes"),
+        sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L)).as("breaches"))
+      .orderBy("event_type")
+
+  /** #6 — SLO compliance %: share of in-band minutes. */
+  def sloCompliancePct(spark: SparkSession, dir: String): DataFrame =
+    perMinute(spark, dir)
+      .groupBy("event_type")
+      .agg(r4(
+        lit(100.0) * sum(when(col("v") >= 50 && col("v") <= 150, 1L).otherwise(0L))
+          / count(lit(1))
+      ).as("compliance_pct"))
+      .orderBy("event_type")
+
+  /** #7 — latest value per entity (row_number dedup-keep-latest). */
+  def sliLatestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"),
+        r2(col("value")).as("value"))
+      .orderBy("user_id")
+  }
+
+  /** #8 — 7-day rolling average over the daily series
+    * (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW).
+    */
+  def sliRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(avg("value").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(col("event_type"), col("day"),
+        r4(avg("v").over(w)).as("rolling_7d_avg"))
+      .orderBy("event_type", "day")
+  }
+
+  /** #9 — sessionization with a 30-minute gap: lag → new-session flag
+    * → running sum = session id → per-user session stats. Stateful
+    * sessionization expressed as two window passes over the same
+    * `user_id` partitioning (one shuffle, both windows reuse it).
+    */
+  def sliSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > 1800000L, 1L)
+          .otherwise(0L))
+    val sess = marked.withColumn("session_id",
+      sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id")
+      .agg(
+        countDistinct("session_id").as("n_sessions"),
+        r4(count(lit(1)) * lit(1.0) / countDistinct("session_id"))
+          .as("avg_events_per_session"))
+      .orderBy("user_id")
+  }
+
+  /** #10 — tumbling 1-hour aggregation (batch twin of the streaming
+    * updater cadence; see graft.streaming for the readStream twin).
+    */
+  def sloHourlyTumble(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("window_start_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .orderBy("window_start_ms", "event_type")
+}

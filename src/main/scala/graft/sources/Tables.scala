@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loader for the driver-provided testdata layout
+  * (TESTDATA.md / FIXTURES.md): one parquet file per table under a
+  * scale-factor directory.
+  *
+  * Design notes for 100 TB scale: every accessor returns a *plain*
+  * declarative scan — no caching, no repartitioning, no collect — so
+  * Catalyst keeps full freedom to push predicates/projections into
+  * the parquet reader and AQE can size shuffles per query. At
+  * production scale the same loader would point at a date-partitioned
+  * table root (`.../events/date=YYYY-MM-DD/`) and all ts-range queries
+  * below would get partition pruning for free; nothing in the query
+  * layer would change.
+  *
+  * The one ingestion quirk (SURVEY.md §1.2, verified): `events.ts` is
+  * stored as parquet INT64 TIMESTAMP(NANOS), which Spark 4.x rejects
+  * by default. We read it as raw nanos via the legacy conf and convert
+  * to a microsecond TIMESTAMP (`timestamp_micros(ns / 1000)`); the
+  * fixture has no sub-microsecond component so this is lossless and
+  * bit-identical to what DuckDB (the oracle) sees.
+  */
+object Tables {
+
+  /** Runtime session setup needed for correct reads + deterministic
+    * comparison with the oracle. All three confs are runtime-settable
+    * (SQLConf-backed, consulted at query planning time), so calling
+    * this on an externally-created session is safe and sufficient.
+    */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  private def path(dir: String, name: String): String = {
+    val d = if (dir.endsWith("/")) dir.dropRight(1) else dir
+    s"$d/$name.parquet"
+  }
+
+  /** Raw parquet scan of any table; no post-processing. */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(path(dir, name))
+  }
+
+  /** `events` with `ts` normalized to TimestampType (µs). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    raw(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "embeddings")
+}
