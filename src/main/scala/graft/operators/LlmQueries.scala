@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.r4
+import graft.sources.Tables
+
+/** LLM-data-pipeline surface (SURVEY.md §2.4, queries #30–#34):
+  * tokenization, exact dedup, near-duplicate detection, vector
+  * similarity, corpus profiling — the north-star training-data ops.
+  *
+  * Everything is built-ins + higher-order array functions: full
+  * codegen, no UDFs, no driver-side loops.
+  *
+  * Scale notes (100 TB): #30 explode + count is the classic word-count
+  * shuffle — partial aggregation collapses per-partition duplicates
+  * before the exchange. #31 hashes each doc once (md5) and
+  * distinct-counts per lang. #32's exact pairwise Jaccard is
+  * deliberately bounded (doc_id < 300) — the scale path is MinHash
+  * LSH (graft.operators.DedupOps) which replaces the O(n²) self-join
+  * with band-bucket joins. #33 broadcast-joins the 1-row query vector
+  * and computes dot/norms per row — at scale the same plan holds with
+  * an IVF/LSH pre-filter (see DedupOps/AnnOps).
+  */
+object LlmQueries {
+
+  /** #30 — tokenize + explode + top-k word count. */
+  def topkWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
+  /** #31 — exact dedup by normalized-text hash, per language. */
+  def dedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(lower(trim(col("text"))))
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(h).as("n_unique"),
+        (count(lit(1)) - countDistinct(h)).as("n_dups"))
+      .orderBy("lang")
+  }
+
+  /** #32 — exact token-set Jaccard near-dup pairs (bounded self-join;
+    * same-lang, doc_id < 300). The unbounded scale path is MinHash
+    * LSH — this exact variant doubles as its recall ground truth.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+    val a = toks.select(col("doc_id").as("a_id"), col("lang"), col("ws").as("a_ws"))
+    val b = toks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("ws").as("b_ws"))
+    val inter = size(array_intersect(col("a_ws"), col("b_ws")))
+    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .filter(inter * lit(1.0) / (size(col("a_ws")) + size(col("b_ws")) - inter) >= 0.8)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs_jaccard_ge_08"))
+      .orderBy("lang")
+  }
+
+  /** Dot product of two double arrays — higher-order fns, codegen'd. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** #33 — cosine top-k vs the query vector (vec_id = 0). The 1-row
+    * query side is broadcast; top-k lowers to TakeOrderedAndProject.
+    * FLOAT→DOUBLE cast first (SURVEY App. B float32-artifact trap).
+    */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"), col("label"),
+        r4(dot(col("emb"), col("qv")) /
+          (sqrt(dot(col("emb"), col("emb"))) * sqrt(dot(col("qv"), col("qv")))))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** #34 — corpus profiling: chars, tokens, source cardinality per lang. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r4(avg("n_chars")).as("avg_chars"),
+        r4(avg(size(split(col("text"), " ")))).as("avg_tokens"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("lang")
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.{r2, r4}
+import graft.sources.Tables
+
+/** Relational / star-schema surface (SURVEY.md §2.2, queries #11–#22).
+  *
+  * Models the reference's catalog rollups (Product → ProductGroup
+  * nesting, objective/target filters, missing-SLI detection — SURVEY
+  * §1.1 `[pk]`) over the TPC-H-ish dims.
+  *
+  * Scale notes (100 TB): the fact (`lineitem`/`orders`) side always
+  * streams through a shuffle keyed on the join key; dim sides
+  * (`region`/`nation`, and `customer`/`part` at testdata scale) sit
+  * under Spark's auto-broadcast threshold so Catalyst picks
+  * broadcast-hash joins with zero fact shuffle for the dim hops —
+  * `region`/`nation` are hinted explicitly since they are *always*
+  * tiny. ROLLUP/CUBE lower to a single Expand + two-phase hash agg
+  * (no extra scans). Top-k lowers to TakeOrderedAndProject (per
+  * partition heap + driver merge of k rows — no global sort).
+  */
+object RelationalQueries {
+
+  /** Fact joined through the full dim chain; shared by #11/#18. */
+  private def revenueJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+
+  /** #11 — revenue rollup by region (4-way equi join + hash agg). */
+  def revByRegion(spark: SparkSession, dir: String): DataFrame =
+    revenueJoin(spark, dir)
+      .groupBy("r_name")
+      .agg(r2(sum("rev")).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+
+  /** #12 — top-10 customers by revenue (join + agg + top-k). */
+  def top10Customers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+
+  /** #13 — customers having ≥1 urgent order (EXISTS → left-semi join). */
+  def semiJoinUrgent(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(urgent, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** #14 — customers with no 'P'-status orders (NOT EXISTS → left-anti). */
+  def antiJoinNoPOrders(spark: SparkSession, dir: String): DataFrame = {
+    val pOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "P")
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(pOrders, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), r4(avg("c_acctbal")).as("avg_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** #15 — orders left-joined to lineitem, line-count histogram
+    * (re-agg of agg; zero-line orders land in bucket 0).
+    */
+  def outerJoinLinecount(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_lines"))
+      .groupBy("n_lines")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_lines")
+
+  /** #16 — equi + range-predicate join: lines shipped within 90 days
+    * of their order date. The equi component keeps this a hash/SMJ
+    * join; the interval predicate is evaluated post-probe.
+    */
+  def rangeJoinShipwindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("lines_shipped_90d"))
+      .orderBy("o_orderpriority")
+
+  /** #17 — as-of join: latest view at-or-before each purchase
+    * (portable as-of: equi-on-user + ts-range, max() per anchor).
+    * At 100 TB the same shape holds — the equi component shuffles
+    * both sides on user_id; a custom SparkStrategy is only warranted
+    * if per-user view counts explode (SURVEY §4).
+    */
+  def asofPriorView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    purchases
+      .join(views, col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(max("v_ts").as("last_view_ts"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("last_view_ts")).as("with_prior_view"),
+        r2(avg((unix_millis(col("ts")) - unix_millis(col("last_view_ts"))) / lit(1000.0)))
+          .as("avg_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** #18 — ROLLUP(region, nation) revenue (grouping-sets via Expand). */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame =
+    revenueJoin(spark, dir)
+      .rollup("r_name", "n_name")
+      .agg(r2(sum("rev")).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"))
+      .orderBy("region", "nation")
+
+  /** #19 — CUBE(returnflag, linestatus) over lineitem. */
+  def cubeFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** #20 — set arithmetic over entity lists: UNION-distinct /
+    * INTERSECT / EXCEPT, each reduced to a count (lazy — no
+    * driver-side actions).
+    */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val hi = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+    val auto = cust.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    def counted(op: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    counted("union", hi.union(auto).distinct())
+      .union(counted("intersect", hi.intersect(urgent)))
+      .union(counted("except", auto.except(urgent)))
+      .orderBy("op")
+  }
+
+  /** #21 — exact distinct aggregation (Expand + two-phase agg). */
+  def distinctExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** #22 — top-3 parts per brand (dense_rank + filter, per-group top-N). */
+  def rankParts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), r2(col("p_retailprice")).as("p_retailprice"))
+      .withColumn("rnk", dense_rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("p_brand", "rnk", "p_partkey")
+  }
+}

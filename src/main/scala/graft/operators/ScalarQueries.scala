@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.{r2, r4}
+import graft.sources.Tables
+
+/** Scalar-function surface (SURVEY.md §2.3, queries #23–#29).
+  *
+  * Exercises the built-in string / date / math / JSON expression
+  * library plus analytic windows — everything stays inside
+  * whole-stage codegen (no UDFs anywhere, SURVEY §2.6).
+  *
+  * Cross-engine parity notes baked in (SURVEY App. B):
+  *  - `regexp_extract(_, _, 0)` — Spark's 3-arg default is group 1,
+  *    DuckDB's is the full match (group 0).
+  *  - `dayofweek(x) - 1` — Spark is 1=Sun..7, DuckDB 0=Sun..6.
+  *  - integer outputs cast explicitly where natural widths differ.
+  */
+object ScalarQueries {
+
+  /** #23 — string functions over part (upper/LIKE/length/regexp/concat/substr). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(upper(col("p_brand")).as("brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p_name").like("small%"), 1L).otherwise(0L)).as("n_small"),
+        max(length(col("p_name"))).cast("long").as("max_name_len"),
+        min(regexp_extract(col("p_brand"), "[0-9]+", 0)).as("brand_num"),
+        max(concat(col("p_type"), lit(":"), substring(col("p_name"), 1, 3))).as("max_concat"))
+      .orderBy("brand")
+
+  /** #24 — date/time functions over orders (year/month/dayofweek/datediff). */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(dayofweek(col("o_orderdate")) - 1).cast("int").as("min_dow"),
+        max(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")))
+          .cast("int").as("max_days_since"))
+      .orderBy("y", "m")
+
+  /** #25 — math functions over lineitem (round/sqrt/ln/pow/abs).
+    * Inner `round(price·(1+tax), 2)` is per-row on identical input
+    * bits → deterministic without epsilon; only the re-aggregations
+    * get the Det nudge.
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        r2(sum(round(col("l_extendedprice") * (lit(1) + col("l_tax")), 2))).as("gross"),
+        r4(avg(sqrt(col("l_quantity")))).as("avg_sqrt_qty"),
+        r4(avg(log(col("l_extendedprice") + 1))).as("avg_ln_price"),
+        r4(max(pow(col("l_discount"), 2))).as("max_disc_sq"),
+        r2(sum(abs(col("l_quantity") - 25))).as("sum_abs_dev"))
+      .orderBy("l_returnflag")
+
+  /** #26 — JSON path extract + modulo bucketing over the props column. */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .orderBy("k_bucket")
+
+  /** #27 — exact interpolated percentiles p50/p90/p99 per type.
+    * Spark `percentile` and DuckDB `quantile_cont` are both
+    * linear-interpolation by spec (agreement verified by the t2 diff).
+    */
+  def percentileValue(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        r4(expr("percentile(value, 0.5)")).as("p50"),
+        r4(expr("percentile(value, 0.9)")).as("p90"),
+        r4(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy("event_type")
+
+  /** #28 — first-difference of the series via lag (burn-rate style). */
+  def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(col("delta")).as("n_deltas"),
+        r4(avg(abs(col("delta")))).as("avg_abs_delta"))
+      .orderBy("event_type")
+  }
+
+  /** #29 — 4-row moving average over the minute series, then min/max. */
+  def movingAvgRows(spark: SparkSession, dir: String): DataFrame = {
+    val minute = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(avg("value").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("minute").rowsBetween(-3, 0)
+    minute
+      .select(col("event_type"), avg("v").over(w).as("mv"))
+      .groupBy("event_type")
+      .agg(r4(max("mv")).as("max_moving_avg"), r4(min("mv")).as("min_moving_avg"))
+      .orderBy("event_type")
+  }
+}
