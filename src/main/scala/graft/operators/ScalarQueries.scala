@@ -47,15 +47,18 @@ object ScalarQueries {
       .orderBy("y", "m")
 
   /** #25 — math functions over lineitem (round/sqrt/ln/pow/abs).
-    * Inner `round(price·(1+tax), 2)` is per-row on identical input
-    * bits → deterministic without epsilon; only the re-aggregations
-    * get the Det nudge.
+    * The inner per-row round ALSO gets the Det nudge: price·(1+tax) is
+    * a 4-decimal-exact value, so ~1% of rows land exactly on a 2-dp
+    * round-half boundary where the two engines' rounding kernels
+    * (BigDecimal HALF_UP vs multiply-and-rint) can disagree on the
+    * same input bits; the +2e-5 nudge moves every boundary case to an
+    * unambiguous side identically in both plans.
     */
   def mathFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        r2(sum(round(col("l_extendedprice") * (lit(1) + col("l_tax")), 2))).as("gross"),
+        r2(sum(r2(col("l_extendedprice") * (lit(1) + col("l_tax"))))).as("gross"),
         r4(avg(sqrt(col("l_quantity")))).as("avg_sqrt_qty"),
         r4(avg(log(col("l_extendedprice") + 1))).as("avg_ln_price"),
         r4(max(pow(col("l_discount"), 2))).as("max_disc_sq"),

@@ -51,6 +51,27 @@ object Tables {
     raw(spark, dir, "events")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
 
+  /** `events` restricted to `[fromUtc, toUtc)` with the bound applied
+    * to the *raw nanos long* column BEFORE the timestamp conversion.
+    *
+    * Why this exists: `events` derives `ts` via `timestamp_micros`, and
+    * Catalyst cannot push a predicate on a derived column into the
+    * parquet scan — so a plain `.filter(ts >= …)` full-scans the fact
+    * table at 100 TB. Filtering the raw INT64 column instead shows up
+    * in `PushedFilters` and lets the reader skip whole row groups via
+    * min/max stats (and, on a date-partitioned production layout, whole
+    * partitions). Bounds are ISO dates interpreted in UTC; the data has
+    * no sub-µs component (SURVEY §1.2) so nanos bounds are exact.
+    */
+  def eventsInRange(spark: SparkSession, dir: String, fromUtc: String, toUtc: String): DataFrame = {
+    def nanos(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000000L
+    raw(spark, dir, "events")
+      .filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(toUtc))
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "customer")
