@@ -123,17 +123,25 @@ object RelationalQueries {
     * Views sort before purchases at equal `ts` (kind 0 < 1) so the
     * `v.ts <= p.ts` inclusive semantics of the oracle are preserved.
     */
-  def asofPriorView(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .filter(col("event_type").isin("view", "purchase"))
-      .select(col("event_id"), col("user_id"), col("ts"),
-        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+  /** As-of core: anchors (`kind` = 1) get `last_view_ts` = the max
+    * non-anchor (`kind` = 0) `ts` that is <= their own `ts`, per
+    * `user_id`. Linear single-window form; exposed for property tests.
+    */
+  def asofMatched(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("last_view_ts",
         last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
+  }
+
+  def asofPriorView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+    asofMatched(ev)
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_purchases"),

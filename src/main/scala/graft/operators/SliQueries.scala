@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,11 +63,16 @@ object SliQueries {
     val w = get_json_object(col("props"), "$.k").cast("long")
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(r4(
-        sum(col("value") * w) / nullif(sum(w), lit(0L))
-      ).as("weighted_avg"))
+      .agg(r4(weightedAvg(col("value"), w)).as("weighted_avg"))
       .orderBy("event_type")
   }
+
+  /** Weighted-average aggregate Σ(v·w)/Σ(w), null when Σ(w) = 0
+    * (the reference's `aggregation.type = weighted`). Exposed for
+    * property tests (bounds + constant-weight laws).
+    */
+  def weightedAvg(v: Column, w: Column): Column =
+    sum(v * w) / nullif(sum(w), lit(0L))
 
   /** #4 — per-day report breakdown: count/avg/min/max/sum. */
   def sloDayReport(spark: SparkSession, dir: String): DataFrame =
@@ -134,24 +139,33 @@ object SliQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Sessionization core: assigns a dense per-user `session_id`
+    * (1..n) using a 30-minute inactivity gap. Input needs `user_id`,
+    * `ts` (timestamp), `event_id` (tie-break). Two window passes over
+    * one `user_id` shuffle. Exposed for property tests (gap law) and
+    * for the streaming twin's batch-equivalence check.
+    */
+  def sessionized(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_s")
+  }
+
   /** #9 — sessionization with a 30-minute gap: lag → new-session flag
     * → running sum = session id → per-user session stats. Stateful
     * sessionization expressed as two window passes over the same
     * `user_id` partitioning (one shuffle, both windows reuse it).
     */
   def sliSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val marked = Tables.events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_ts").isNull ||
-          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > 1800000L, 1L)
-          .otherwise(0L))
-    val sess = marked.withColumn("session_id",
-      sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // session_id is a dense running count per user (1..n_sessions), so
     // max == countDistinct — same value, no distinct Expand in the plan.
-    sess.groupBy("user_id")
+    sessionized(Tables.events(spark, dir)).groupBy("user_id")
       .agg(
         max("session_id").as("n_sessions"),
         r4(count(lit(1)) * lit(1.0) / max("session_id"))

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Golden-invariant suite (SURVEY §5.2.2): cross-query consistency
+  * laws on sf0.001. These are engine-side truths that must hold no
+  * matter what the data is — they complement (not replace) the
+  * driver's DuckDB differential oracle.
+  */
+class InvariantSpec extends SparkTestBase {
+
+  private def rows(name: String): Seq[Row] =
+    SparkEntry.queries(name)(spark, sf).collect().toSeq
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query returns at least one row on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query key has matching column names with its oracle SQL select") {
+    // Column-name parity is the #1 hash-mismatch cause (driver compare
+    // sorts columns by name). Sanity: oracleSql references every
+    // output column name of the Spark result.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val cols = SparkEntry.queries(name)(spark, sf).columns
+      cols.foreach { c =>
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"$name: Spark output column '$c' not mentioned in oracle SQL")
+      }
+    }
+  }
+
+  test("breach + compliance cross-check: compliance == 100*(minutes-breaches)/minutes") {
+    val breach = rows("slo_breach_count")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val compl = rows("slo_compliance_pct")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(breach.keySet == compl.keySet)
+    breach.foreach { case (t, (minutes, breaches)) =>
+      val expect = 100.0 * (minutes - breaches) / minutes
+      assert(math.abs(compl(t) - expect) < 1e-3,
+        s"$t: compliance ${compl(t)} != derived $expect")
+    }
+  }
+
+  test("breach_count.minutes == distinct minutes in sli_minute_downsample per type") {
+    val minutes = rows("sli_minute_downsample")
+      .groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    rows("slo_breach_count").foreach { r =>
+      assert(r.getLong(1) == minutes(r.getString(0)).toLong)
+    }
+  }
+
+  test("rollup: ALL/ALL row equals sum of leaf rows; region ALL rows equal region sums") {
+    val rs = rows("rollup_region_nation")
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val leaves = rs.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val grand = rs.find(r => r._1 == "ALL" && r._2 == "ALL").get._3
+    assert(math.abs(leaves.map(_._3).sum - grand) < 1.0) // rounding slack: 31 groups * 0.005
+    val regionAll = rs.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    regionAll.foreach { case (region, _, rev) =>
+      val sumChildren = leaves.filter(_._1 == region).map(_._3).sum
+      assert(math.abs(sumChildren - rev) < 0.5, s"$region: $sumChildren != $rev")
+    }
+  }
+
+  test("cube: ALL/ALL count equals lineitem row count") {
+    val all = rows("cube_flag_status")
+      .find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(all.getLong(3) == Tables.lineitem(spark, sf).count())
+  }
+
+  test("set ops: intersect <= union; all counts non-negative") {
+    val m = rows("set_ops_customers").map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("intersect") <= m("union"))
+    assert(m.values.forall(_ >= 0))
+  }
+
+  test("dedup: n_unique <= n_docs and n_dups = n_docs - n_unique") {
+    rows("dedup_docs").foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
+  test("distinct_exact: n_users <= n_events per type") {
+    rows("distinct_exact").foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("outer_join_linecount: orders across histogram buckets sum to orders count") {
+    val total = rows("outer_join_linecount").map(_.getLong(1)).sum
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
+  test("asof: with_prior_view <= n_purchases; purchase totals match raw count") {
+    val rs = rows("asof_prior_view")
+    rs.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val totalPurchases = rs.map(_.getLong(1)).sum
+    val raw = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(totalPurchases == raw)
+  }
+
+  test("rank_parts: ranks within 1..3, ordered within brand") {
+    val rs = rows("rank_parts")
+    rs.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(3) <= 3))
+  }
+
+  test("top10_customers: exactly 10 rows, descending revenue") {
+    val revs = rows("top10_customers").map(_.getDouble(2))
+    assert(revs.size == 10)
+    assert(revs.sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("cosine_topk: similarities in [-1, 1], descending") {
+    val sims = rows("cosine_topk").map(_.getDouble(2))
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("sessionize: avg_events_per_session >= 1") {
+    rows("sli_sessionize").foreach(r => assert(r.getDouble(2) >= 1.0))
+  }
+
+  test("percentile: p50 <= p90 <= p99 per type") {
+    rows("percentile_value").foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+}

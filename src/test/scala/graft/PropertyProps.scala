@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{RelationalQueries, SliQueries}
+
+/** Property-based laws (SURVEY §5.2.3) over generated in-memory
+  * DataFrames, exercising the *production* transform cores.
+  *
+  * Each sample runs a real local Spark job, so minSuccessfulTests is
+  * kept small — the laws are about logic branches (gap boundaries,
+  * tie-breaks, empty groups), not statistical coverage.
+  */
+abstract class SparkProps(name: String) extends Properties(name) {
+  lazy val spark = TestSpark.spark
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+}
+
+object SessionizeProps extends SparkProps("sessionize") {
+  // Per user: first event at t0, then gaps in seconds (0..7200 s).
+  // Law: n_sessions = 1 + #(gap > 1800 s), strictly — a gap of
+  // exactly 30 min does NOT split (matches `> 1800000 ms`).
+  private val genUser: Gen[(Long, List[Long])] = for {
+    uid <- Gen.choose(1L, 5L)
+    gaps <- Gen.listOfN(12, Gen.oneOf(Gen.choose(0L, 7200L), Gen.const(1800L)))
+  } yield (uid, gaps)
+
+  property("n_sessions = 1 + count(gap > 30min), per user") =
+    forAll(Gen.nonEmptyListOf(genUser).map(_.distinctBy(_._1))) { users =>
+      val sess = spark.createDataFrame(
+        users.flatMap { case (uid, gaps) =>
+          gaps.scanLeft(0L)(_ + _).zipWithIndex.map { case (offS, i) =>
+            (uid * 1000 + i, uid, new Timestamp(1700000000000L + offS * 1000))
+          }
+        }
+      ).toDF("event_id", "user_id", "ts")
+      val got = SliQueries.sessionized(sess)
+        .groupBy("user_id").agg(max("session_id").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      users.forall { case (uid, gaps) =>
+        got(uid) == 1 + gaps.count(_ > 1800L)
+      }
+    }
+
+  property("session ids are dense 1..n and non-decreasing in time") =
+    forAll(genUser) { case (uid, gaps) =>
+      val sess = spark.createDataFrame(
+        gaps.scanLeft(0L)(_ + _).zipWithIndex.map { case (offS, i) =>
+          (i.toLong, uid, new Timestamp(1700000000000L + offS * 1000))
+        }
+      ).toDF("event_id", "user_id", "ts")
+      val ids = SliQueries.sessionized(sess)
+        .orderBy("ts", "event_id").select("session_id")
+        .collect().map(_.getLong(0)).toList
+      ids.head == 1L &&
+        ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 }
+    }
+}
+
+object AsofProps extends SparkProps("asof") {
+  // Events per user: mixed kinds at generated second offsets
+  // (duplicates allowed — exercises the equal-ts tie-break: a view at
+  // exactly the purchase's ts counts as a prior view).
+  private val genEvents: Gen[List[(Long, Long, Long, Int)]] = for {
+    n <- Gen.choose(2, 25)
+    rows <- Gen.listOfN(n, for {
+      uid <- Gen.choose(1L, 3L)
+      off <- Gen.choose(0L, 1000L)
+      kind <- Gen.oneOf(0, 1)
+    } yield (uid, off, kind))
+  } yield rows.zipWithIndex.map { case ((u, o, k), i) => (i.toLong, u, o, k) }
+
+  property("last_view_ts is the max view ts <= anchor ts (or null)") =
+    forAll(genEvents) { rows =>
+      val df = spark.createDataFrame(
+        rows.map { case (id, uid, off, kind) =>
+          (id, uid, new Timestamp(1700000000000L + off * 1000), kind)
+        }
+      ).toDF("event_id", "user_id", "ts", "kind")
+      val got = RelationalQueries.asofMatched(df)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts"),
+          col("user_id"), unix_millis(col("last_view_ts")).as("lv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      val viewsByUser = rows.filter(_._4 == 0)
+        .groupBy(_._2).view.mapValues(_.map(v => 1700000000000L + v._3 * 1000)).toMap
+      got.forall { case (_, ts, uid, lv) =>
+        val expect = viewsByUser.getOrElse(uid, Nil).filter(_ <= ts) match {
+          case Nil => None
+          case vs  => Some(vs.max)
+        }
+        lv == expect
+      } && got.length == rows.count(_._4 == 1)
+    }
+}
+
+object WeightedAvgProps extends SparkProps("weighted_avg") {
+  private val genVW: Gen[List[(Double, Long)]] =
+    Gen.nonEmptyListOf(for {
+      v <- Gen.choose(-1000.0, 1000.0)
+      w <- Gen.choose(1L, 50L)
+    } yield (math.rint(v * 100) / 100, w))
+
+  property("min <= weighted_avg <= max") = forAll(genVW) { vw =>
+    val df = spark.createDataFrame(vw).toDF("v", "w")
+    val got = df.agg(SliQueries.weightedAvg(col("v"), col("w")).as("wa"))
+      .collect().head.getDouble(0)
+    val (lo, hi) = (vw.map(_._1).min, vw.map(_._1).max)
+    got >= lo - 1e-9 && got <= hi + 1e-9
+  }
+
+  property("constant weights => weighted_avg == plain avg") = forAll(genVW) { vw =>
+    val const = vw.map { case (v, _) => (v, 7L) }
+    val df = spark.createDataFrame(const).toDF("v", "w")
+    val got = df.agg(SliQueries.weightedAvg(col("v"), col("w")).as("wa"))
+      .collect().head.getDouble(0)
+    val avg = vw.map(_._1).sum / vw.size
+    math.abs(got - avg) < 1e-9 * math.max(1.0, math.abs(avg))
+  }
+
+  property("all-zero weights => null (no division by zero)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { vs =>
+      val df = spark.createDataFrame(vs.map(v => (v, 0L))).toDF("v", "w")
+      df.agg(SliQueries.weightedAvg(col("v"), col("w")).as("wa"))
+        .collect().head.isNullAt(0)
+    }
+}

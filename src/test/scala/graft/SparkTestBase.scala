@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole `sbt test` JVM (Test/fork :=
+  * true gives us a dedicated forked JVM; starting a session per suite
+  * would dominate test wall-clock).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = TestSpark.spark
+  /** t1/unit scale factor — tiny, fast, still covers every code path. */
+  val sf: String = "/root/testdata/sf0.001"
+}
