@@ -66,6 +66,14 @@ object SparkEntry {
     "near_dup_pairs" -> (LlmQueries.nearDupPairs _),
     "cosine_topk" -> (LlmQueries.cosineTopk _),
     "text_stats" -> (LlmQueries.textStats _),
+    // §2.5 scale-path extras (oracle where SQL-expressible, else
+    // rows-only + dedicated spec asserting the probabilistic bound)
+    "ngram_jaccard" -> (LlmQueries.ngramJaccard _),
+    "emb_near_dup" -> (AnnOps.embNearDup _),
+    "distinct_hll" -> (DedupOps.distinctHll _),
+    "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
+    "simhash_dups" -> (DedupOps.simhashDups _),
+    "ann_cosine_topk" -> (AnnOps.annCosineTopk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -312,5 +320,31 @@ object SparkEntry {
         |       round((avg(len(string_split(text, ' ')))) + 1e-7, 4) AS avg_tokens,
         |       count(DISTINCT source) AS n_sources
         |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    // §2.5 extras. distinct_hll / near_dup_minhash / simhash_dups /
+    // ann_cosine_topk are deliberately absent here (HLL & xxhash64
+    // internals and IVF probing have no DuckDB mirror) → driver
+    // records the rows-only check; their quantitative bounds are
+    // asserted in HllSpec / MinhashRecallSpec / SimhashSpec /
+    // AnnRecallSpec instead.
+    "ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(range(1, len(text) - 1), i -> substr(text, i, 3))) AS ws
+        |  FROM read_parquet('{dir}/documents.parquet') WHERE doc_id < 200)
+        |SELECT a.lang, count(*) AS n_pairs_ngram_ge_06
+        |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+        |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_near_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM read_parquet('{dir}/embeddings.parquet') WHERE vec_id < 400),
+        | p AS (SELECT list_cosine_similarity(a.v, b.v) AS cos
+        |       FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |       WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        |SELECT CAST(1 AS BIGINT) AS grp, count(*) AS n_pairs,
+        |       round((avg(cos)) + 1e-7, 4) AS avg_cos,
+        |       round((max(cos)) + 1e-7, 4) AS max_cos
+        |FROM p""".stripMargin,
   )
 }

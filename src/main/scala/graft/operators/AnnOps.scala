@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.r4
+import graft.sources.Tables
+
+/** Approximate nearest-neighbor search over embedding columns — the
+  * scale path for `cosine_topk` (#33, exact brute force).
+  *
+  * Design: IVF (inverted-file) coarse quantization, fully
+  * declarative:
+  *   1. P pivot vectors (deterministic: lowest non-query vec_ids)
+  *      are broadcast; every vector is assigned to its max-cosine
+  *      pivot (one narrow shuffle-free pass: broadcast cross join +
+  *      per-vector argmax window on vec_id).
+  *   2. A query probes its `nprobe` nearest pivots and scans ONLY
+  *      vectors assigned to those buckets — at 1000 executors this
+  *      turns a full-corpus scan into nprobe/P of the data, and the
+  *      bucket assignment is a one-off build (in production it would
+  *      be written as a bucketed/partitioned table keyed by bucket
+  *      id, so probing = partition pruning).
+  *   3. Candidates get exact cosine; top-k via TakeOrderedAndProject.
+  *
+  * Recall depends on how clustered the corpus is. The testdata
+  * embeddings are isotropic random (SURVEY-verified: max pairwise
+  * cosine ≈ 0.49, labels uncorrelated with geometry), the worst case
+  * for any space-partitioning index — AnnRecallSpec pins the measured
+  * recall against exact top-k and asserts the structural guarantees
+  * (results ⊆ probed buckets, per-row cosine exact, no
+  * better-than-exact scores).
+  */
+object AnnOps {
+
+  /** Dot product over two array<double> columns (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Vectors with FLOAT→DOUBLE cast (SURVEY App. B float32 trap). */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+
+  /** Assign every vector to its nearest (max cosine, pivot-id
+    * tie-break) pivot. Pivots are broadcast — the fact side never
+    * shuffles for the assignment itself.
+    */
+  def ivfAssign(emb: DataFrame, pivots: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("p_id"))
+    emb.crossJoin(broadcast(pivots))
+      .withColumn("pcos", cosine(col("emb"), col("p_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("emb"), col("p_id").as("bucket"))
+  }
+
+  /** Declared query `ann_cosine_topk` (rows-only; recall asserted in
+    * AnnRecallSpec): IVF top-k for the query vector vec_id = 0 with
+    * P = 8 pivots (vec_ids 1..8) and nprobe = 3.
+    */
+  def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    annTopk(all.filter(col("vec_id") === 0),
+      all.filter(col("vec_id") =!= 0), npivots = 8, nprobe = 3, k = 10)
+  }
+
+  /** IVF search: `query` is a 1-row (vec_id, label, emb) frame;
+    * `corpus` the searchable vectors (pivots are its lowest vec_ids).
+    */
+  def annTopk(query: DataFrame, corpus: DataFrame,
+      npivots: Int, nprobe: Int, k: Int): DataFrame = {
+    val pivots = corpus
+      .orderBy("vec_id").limit(npivots)
+      .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
+    val assigned = ivfAssign(corpus, pivots)
+    val q = query.select(col("emb").as("q_emb"))
+    // Buckets the query probes: its nprobe max-cosine pivots.
+    val probed = pivots.crossJoin(broadcast(q))
+      .withColumn("pcos", cosine(col("p_emb"), col("q_emb")))
+      .orderBy(col("pcos").desc, col("p_id"))
+      .limit(nprobe)
+      .select(col("p_id").as("bucket"))
+    assigned
+      .join(broadcast(probed), "bucket")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        r4(cosine(col("emb"), col("q_emb"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Declared query `emb_near_dup` (WITH DuckDB oracle): exact
+    * embedding near-duplicate pairs at cosine >= 0.35 among
+    * vec_id < 400 — the bounded ground-truth twin of the LSH/IVF
+    * candidate paths, same role as #32 for MinHash. Output is a
+    * 1-row summary so the oracle hash is stable.
+    */
+  def embNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).filter(col("vec_id") < 400)
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= 0.35)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        r4(avg("cos")).as("avg_cos"),
+        r4(max("cos")).as("max_cos"))
+      .select(lit(1L).as("grp"), col("n_pairs"), col("avg_cos"), col("max_cos"))
+  }
+}

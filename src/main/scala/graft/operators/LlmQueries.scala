@@ -47,22 +47,54 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** Exact pairwise Jaccard over per-doc element sets (same-lang
+    * self-join). O(n²) by construction — only ever run on a bounded
+    * slice; doubles as the LSH recall ground truth (MinhashRecallSpec).
+    * Input needs (doc_id, lang, ws: array). Output (lang, a_id, b_id,
+    * jaccard).
+    */
+  def exactJaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val a = sets.select(col("doc_id").as("a_id"), col("lang"), col("ws").as("a_ws"))
+    val b = sets.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("ws").as("b_ws"))
+    val inter = size(array_intersect(col("a_ws"), col("b_ws")))
+    val jac = inter * lit(1.0) / (size(col("a_ws")) + size(col("b_ws")) - inter)
+    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select("lang", "a_id", "b_id", "jaccard")
+  }
+
   /** #32 — exact token-set Jaccard near-dup pairs (bounded self-join;
     * same-lang, doc_id < 300). The unbounded scale path is MinHash
-    * LSH — this exact variant doubles as its recall ground truth.
+    * LSH (graft.operators.DedupOps.nearDupMinhash) — this exact
+    * variant doubles as its recall ground truth.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .filter(col("doc_id") < 300)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("ws"))
-    val a = toks.select(col("doc_id").as("a_id"), col("lang"), col("ws").as("a_ws"))
-    val b = toks.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("ws").as("b_ws"))
-    val inter = size(array_intersect(col("a_ws"), col("b_ws")))
-    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
-      .filter(inter * lit(1.0) / (size(col("a_ws")) + size(col("b_ws")) - inter) >= 0.8)
+    exactJaccardPairs(toks, 0.8)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_pairs_jaccard_ge_08"))
+      .orderBy("lang")
+  }
+
+  /** #37 — n-gram (char-3-shingle) Jaccard near-dup pairs, bounded to
+    * doc_id < 200 (WITH oracle — DuckDB mirrors the same shingling
+    * via list_transform/range). Character shingles catch
+    * reorderings/rewrites that token-set Jaccard misses; threshold
+    * 0.6 per the corpus' measured shingle-similarity distribution.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val shingles = expr(
+      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")
+    val sets = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), shingles.as("ws"))
+    exactJaccardPairs(sets, 0.6)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs_ngram_ge_06"))
       .orderBy("lang")
   }
 

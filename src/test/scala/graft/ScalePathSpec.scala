@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnOps, DedupOps, LlmQueries, RelationalQueries}
+import graft.sources.Tables
+
+/** Quantitative bounds for the probabilistic scale-path operators that
+  * cannot be DuckDB-oracled (SURVEY §2.5): HLL error, MinHash LSH
+  * recall, SimHash consistency, IVF ANN structural guarantees.
+  */
+class HllSpec extends SparkTestBase {
+  test("distinct_hll: |exact - approx| / exact < 5% per event_type") {
+    val exact = RelationalQueries.distinctExact(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = DedupOps.distinctHll(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (t, ex) =>
+      val err = math.abs(ex - approx(t)).toDouble / ex
+      assert(err < 0.05, s"$t: exact=$ex approx=${approx(t)} err=$err")
+    }
+  }
+}
+
+class MinhashRecallSpec extends SparkTestBase {
+  test("near_dup_minhash: recall >= 0.9 vs exact ground truth (doc_id < 300), precision = 1") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val got = DedupOps.minhashPairs(docs)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = LlmQueries.exactJaccardPairs(
+        docs.withColumnRenamed("toks", "ws"), 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth is empty — fixture changed?")
+    // precision 1.0 by construction (candidates are exact-verified)
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (|truth|=${truth.size}, |got|=${got.size})")
+  }
+}
+
+class SimhashSpec extends SparkTestBase {
+  test("identical token sets get identical simhash (hamming 0) and are always found") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    // exact-duplicate token-set pairs (jaccard = 1.0) within a lang
+    val exactDups = LlmQueries.exactJaccardPairs(
+        docs.withColumnRenamed("toks", "ws").filter(col("doc_id") < 300), 1.0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = DedupOps.simhashPairs(docs, maxHamming = 3)
+      .filter(col("a_id") < 300 && col("b_id") < 300)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    exactDups.foreach { p =>
+      assert(simPairs.get(p).contains(0L),
+        s"exact-dup pair $p missing or nonzero hamming in simhash pairs")
+    }
+  }
+
+  test("simhash signature is deterministic and 64-bit stable") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), DedupOps.simhashCol(DedupOps.tokensCol).as("sim"))
+    val a = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
+
+class AnnRecallSpec extends SparkTestBase {
+  test("ann_cosine_topk: structural guarantees + recall floor vs exact top-k") {
+    val exact = LlmQueries.cosineTopk(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ann = AnnOps.annCosineTopk(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // 1. every ANN hit's cosine matches the exact computation where overlapping
+    (ann.keySet & exact.keySet).foreach { id =>
+      assert(math.abs(ann(id) - exact(id)) < 1e-9, s"vec $id: ${ann(id)} != ${exact(id)}")
+    }
+    // 2. no ANN score can beat the exact top-1
+    assert(ann.values.max <= exact.values.max + 1e-9)
+    // 3. recall floor: isotropic-random corpus (worst case for IVF)
+    //    with nprobe 3 of 8 buckets still must find >= 20% of top-10
+    val recall = (ann.keySet & exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall < 0.2")
+  }
+
+  test("ivfAssign: every vector gets exactly one bucket, buckets are pivot ids") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(col("vec_id") =!= 0)
+    val pivots = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
+    val assigned = AnnOps.ivfAssign(emb, pivots)
+    assert(assigned.count() == emb.count())
+    val buckets = assigned.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets.subsetOf((1L to 8L).toSet))
+  }
+}
