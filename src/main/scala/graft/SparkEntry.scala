@@ -70,6 +70,10 @@ object SparkEntry {
     // rows-only + dedicated spec asserting the probabilistic bound)
     "ngram_jaccard" -> (LlmQueries.ngramJaccard _),
     "emb_near_dup" -> (AnnOps.embNearDup _),
+    "lang_id" -> (TextOps.langId _),
+    "quality_score" -> (TextOps.qualityScore _),
+    "token_count" -> (TextOps.tokenCount _),
+    "doc_fingerprint" -> (TextOps.docFingerprint _),
     "distinct_hll" -> (DedupOps.distinctHll _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
@@ -346,5 +350,59 @@ object SparkEntry {
         |       round((avg(cos)) + 1e-7, 4) AS avg_cos,
         |       round((max(cos)) + 1e-7, 4) AS max_cos
         |FROM p""".stripMargin,
+    // Text-analysis surface (TextOps) — formula-parity oracles; the
+    // CASE chain tie-break order (descending lang name) mirrors
+    // TextOps.profiles exactly.
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('zhong','wen','hua'))) AS s_zh,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','les','des'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('el','los','de','y','que'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','nicht'))) AS s_de
+        |  FROM read_parquet('{dir}/documents.parquet'))
+        |SELECT lang,
+        |  CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |       WHEN s_fr >= s_zh AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_zh AND s_es >= s_fr AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_zh AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS predicted,
+        |  count(*) AS n_docs
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "quality_score" ->
+      """SELECT lang,
+        |  round((avg(q)) + 1e-7, 4) AS avg_quality,
+        |  round((min(q)) + 1e-7, 4) AS min_quality,
+        |  round((max(q)) + 1e-7, 4) AS max_quality
+        |FROM (
+        |  SELECT lang, 0.5 * least(n_chars, 400) / 400.0
+        |       + 0.5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+        |             / len(string_split(text, ' ')) AS q
+        |  FROM read_parquet('{dir}/documents.parquet')) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+        |  round((avg(n_ws)) + 1e-7, 4) AS avg_ws_tokens
+        |FROM (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws,
+        |    list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+        |             t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS n_bpe
+        |  FROM read_parquet('{dir}/documents.parquet')) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+        |FROM (
+        |  SELECT lang,
+        |    list_min(list_transform(range(1, len(text) - 6),
+        |      i -> list_reduce(
+        |             list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j -> ord(substr(text, i + j, 1)))),
+        |             (a, b) -> (a * 31 + b) % 1000000007))) AS fp
+        |  FROM read_parquet('{dir}/documents.parquet')) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
