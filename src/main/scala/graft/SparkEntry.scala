@@ -70,6 +70,7 @@ object SparkEntry {
     // rows-only + dedicated spec asserting the probabilistic bound)
     "ngram_jaccard" -> (LlmQueries.ngramJaccard _),
     "emb_near_dup" -> (AnnOps.embNearDup _),
+    "media_bytes_stats" -> (MediaOps.mediaBytesStats _),
     "lang_id" -> (TextOps.langId _),
     "quality_score" -> (TextOps.qualityScore _),
     "token_count" -> (TextOps.tokenCount _),
@@ -350,6 +351,11 @@ object SparkEntry {
         |       round((avg(cos)) + 1e-7, 4) AS avg_cos,
         |       round((max(cos)) + 1e-7, 4) AS max_cos
         |FROM p""".stripMargin,
+    "media_bytes_stats" ->
+      """SELECT lang, count(*) AS n_media,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        |  count(DISTINCT md5(text)) AS n_unique_blobs
+        |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
     // Text-analysis surface (TextOps) — formula-parity oracles; the
     // CASE chain tie-break order (descending lang name) mirrors
     // TextOps.profiles exactly.

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Det.r4
+import graft.sources.Tables
+
+/** Structured Streaming twins of the batch SLI cadence queries
+  * (SURVEY §2.6/§2.10): the same aggregations re-expressed over
+  * `readStream`, verified batch-equivalent in StreamingSpec (the
+  * batch queries are the DuckDB-oracled source of truth; streaming
+  * runs are tested against them, not hashed).
+  *
+  * Scale notes: both twins are single-stateful-operator pipelines.
+  * The tumbling window keys state by (window, event_type) — bounded
+  * by watermark expiry, so state size is O(types × active windows),
+  * not O(events). The session twin keys by (session_window, user_id)
+  * with merge-on-overlap; at 100 TB the shuffle partitions on
+  * user_id and state expires one watermark-delay after each session
+  * closes. File-source here; in production the same plans bind to a
+  * Kafka source unchanged.
+  */
+object StreamingQueries {
+
+  /** events schema for the file stream source (ts read as raw nanos
+    * LONG — the streaming reader honors the same legacy-nanos conf
+    * set by [[Tables.configure]]).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming `events` source: file stream over the sf directory's
+    * events parquet, with the same nanos→µs ts normalization as the
+    * batch loader.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    Tables.configure(spark)
+    // glob form: the file stream source requires a directory or glob
+    // basePath (a bare file path is rejected); the glob matches the
+    // single events parquet in testdata and N part-files in production
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"${dir.stripSuffix("/")}/events*.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Streaming twin of #10 `slo_hourly_tumble`: tumbling 1-hour
+    * window + per-type count/avg, 1-hour watermark for state expiry.
+    * Output schema matches the batch query exactly.
+    */
+  def hourlyTumble(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("avg_value"))
+
+  /** Streaming twin of #9 `sli_sessionize`: `session_window` with a
+    * gap of 1800001 ms — session_window splits at gap >= gapDuration,
+    * the batch logic at gap > 1800000 ms, so +1 ms makes the two
+    * semantics IDENTICAL (not just approximately aligned). One row
+    * per (user, session) with its event count.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "1800001 milliseconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.SliQueries
+import graft.streaming.StreamingQueries
+
+/** Batch-equivalence tests for the streaming twins (SURVEY §5.2.4):
+  * run each streaming query over the sf0.001 events file source to
+  * completion (complete output mode — watermarks don't drop data
+  * here, they only bound state in continuous operation) and assert
+  * the result equals the batch twin's.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def runToCompletion(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  test("hourly tumbling twin == batch slo_hourly_tumble") {
+    val got = runToCompletion(
+      StreamingQueries.hourlyTumble(StreamingQueries.eventsStream(spark, sf)),
+      "tumble_equiv")
+      .orderBy("window_start_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expect = SliQueries.sloHourlyTumble(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expect.length, s"${got.length} windows != ${expect.length}")
+    assert(got.sameElements(expect))
+  }
+
+  test("session_window twin == batch sli_sessionize (per-user session count + sizes)") {
+    val sessions = runToCompletion(
+      StreamingQueries.userSessions(StreamingQueries.eventsStream(spark, sf)),
+      "session_equiv")
+    val got = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum("n_events") * lit(1.0) / count(lit(1))).as("avg_ev"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), math.rint(r.getDouble(2) * 1e4))))
+      .toMap
+    val expect = SliQueries.sliSessionize(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), math.rint(r.getDouble(2) * 1e4))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    val diffs = expect.collect {
+      case (u, e) if got(u) != e => (u, e, got(u))
+    }
+    assert(diffs.isEmpty, s"mismatched users: ${diffs.take(5)}")
+  }
+
+  test("session twin: total events conserved across sessions") {
+    val sessions = spark.table("session_equiv")
+    val streamed = sessions.agg(sum("n_events")).collect().head.getLong(0)
+    val raw = graft.sources.Tables.events(spark, sf).count()
+    assert(streamed == raw)
+  }
+}
