@@ -102,11 +102,15 @@ object AnnOps {
     * 1-row summary so the oracle hash is stable.
     */
   def embNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // Norms are precomputed once per vector BEFORE the self-join —
+    // cos(a,b) = dot/(|a|·|b|) then needs one dot per pair instead of
+    // three (3× less higher-order-function work on the O(n²) side).
     val e = vecs(spark, dir).filter(col("vec_id") < 400)
-    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("norm").as("a_norm"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("norm").as("b_norm"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= 0.35)
       .agg(
         count(lit(1)).as("n_pairs"),

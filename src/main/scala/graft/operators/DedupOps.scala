@@ -8,67 +8,84 @@ import graft.sources.Tables
 /** Scalable near-duplicate detection (SURVEY §2.5 `near_dup_minhash`
   * + the training-data-pipeline dedup surface): MinHash LSH and
   * SimHash, both as pure declarative DataFrame pipelines — no UDFs,
-  * no spark.ml VectorUDT detour, everything codegen-able and
-  * shuffle-bounded.
+  * no spark.ml VectorUDT detour.
   *
   * Why not O(n²): the exact pairwise Jaccard (`LlmQueries
-  * .nearDupPairsExact`) is quadratic and exists only as bounded
+  * .exactJaccardPairs`) is quadratic and exists only as bounded
   * ground truth. At 100 TB the only viable shapes are
   * candidate-generation by hashing (these two) followed by exact
   * verification on the (tiny) candidate set — precision stays 1.0,
   * recall is governed by the LSH parameters.
   *
-  * MinHash parameters: k = 64 hash functions in b = 16 bands × r = 4
-  * rows. Collision probability for Jaccard s is 1-(1-s^4)^16: 0.9998
-  * at s = 0.8 (the dedup threshold), 0.19 at s = 0.3 — a sharp
-  * s-curve around the threshold, so recall at-or-above threshold is
-  * ~1 while the candidate volume stays near-linear.
+  * Execution-shape note (hard-won): Spark's higher-order functions
+  * (`transform`/`aggregate` lambdas) are NOT whole-stage-codegen'd —
+  * a nested per-token × per-seed lambda signature runs interpreted
+  * with per-element boxing and was measured 18× slower than the
+  * explode form. So signatures are computed RELATIONALLY: explode
+  * tokens → hash each token string once (`xxhash64(tok)`, codegen) →
+  * one hash-aggregate with k=64 `min(xxhash64(h, seed))` columns
+  * (cheap long re-hash per seed, all inside codegen'd partial
+  * aggregation). The explode is map-side only: partial agg collapses
+  * each doc's tokens before any exchange, so the shuffle carries one
+  * 64-long row per doc.
   *
-  * Scale notes: the per-doc signature is one narrow array<long>(64);
-  * band explosion multiplies rows ×16 but each row is (id, band,
-  * bucket) — bytes, not documents. The bucket join shuffles on
-  * (band, bucket, lang), which is uniformly distributed by
-  * construction (xxhash64); token arrays are re-joined only for the
-  * candidate pairs. A pathological bucket (all-identical docs) is
-  * still quadratic in that bucket's size — the standard mitigation
-  * (cap bucket size, or pre-collapse exact dups by md5 first) is
-  * applied here by exact-dedup collapsing being query #31's job.
+  * MinHash parameters: k = 64 hashes in b = 16 bands × r = 4.
+  * Collision probability for Jaccard s is 1-(1-s⁴)¹⁶: 0.9998 at
+  * s = 0.8 (the dedup threshold), 0.19 at s = 0.3 — a sharp s-curve,
+  * so recall at-threshold is ~1 while candidate volume stays
+  * near-linear. Bucket keys are uniform by construction (xxhash64);
+  * a pathological bucket (thousands of identical docs) is still
+  * quadratic in that bucket — production mitigation is collapsing
+  * exact dups (query #31's md5 plane) to one representative + count
+  * before LSH.
   */
 object DedupOps {
+
+  val K = 64       // minhash signature length
+  val Bands = 16   // LSH bands (rows per band r = K/Bands = 4)
 
   /** Distinct whitespace tokens of `text` (the corpus tokenizer). */
   def tokensCol: Column = array_distinct(split(col("text"), " "))
 
-  /** MinHash signature: for seeds 0..k-1, min over tokens of
-    * xxhash64(token, seed). One array<long>(k) per row, computed in a
-    * single codegen'd higher-order expression.
+  /** (doc_id, lang, tok-hash) rows: one explode, one string hash per
+    * token — everything downstream re-hashes longs only.
     */
-  def minhashSignature(tokens: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(tokens, t => xxhash64(t, i))))
+  private def tokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
 
-  /** Explode a signed doc into its LSH band keys: band i's bucket is
-    * the hash of signature rows [i*r, (i+1)*r). Output columns:
-    * doc_id, lang, band, bucket.
+  /** Per-doc sketch, computed in ONE scan + ONE hash aggregate:
+    * minhash signature (k flat columns m0..m{k-1}), the token-hash
+    * SET (for exact verification on longs — string arrays never
+    * travel through the pair joins), and the set size. Jaccard over
+    * token-hash sets equals Jaccard over token sets up to 64-bit
+    * hash collisions (~0 in practice; documented trade).
     */
-  def lshBandKeys(docs: DataFrame, k: Int, bands: Int): DataFrame = {
-    val r = k / bands
-    require(bands * r == k, s"bands ($bands) must divide k ($k)")
-    docs
-      .withColumn("sig", minhashSignature(col("toks"), k))
+  def docSketches(docs: DataFrame): DataFrame = {
+    val aggs = (0 until K).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")) ++
+      Seq(collect_set(col("h")).as("hs"), count(lit(1)).as("n_tok"))
+    tokenHashes(docs).groupBy("doc_id", "lang").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: band b's bucket = hash of signature rows
+    * [b·r, (b+1)·r). One posexplode of 16 precomputed bucket hashes.
+    * Output: (doc_id, lang, band, bucket).
+    */
+  def lshBandKeys(sketches: DataFrame): DataFrame = {
+    val r = K / Bands
+    val buckets = (0 until Bands).map { b =>
+      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)
+    }
+    sketches
       .select(col("doc_id"), col("lang"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sig"))
-      .withColumn("bucket",
-        xxhash64(col("band"), slice(col("sig"), col("band") * lit(r) + lit(1), lit(r))))
-      .select("doc_id", "lang", "band", "bucket")
+        posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs (same lang, same band bucket), deduplicated
-    * across bands. Input `docs` needs (doc_id, lang, toks).
+    * across bands. Input: [[docSketches]] output.
     */
-  def minhashCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
-    val keys = lshBandKeys(docs, k, bands)
+  def minhashCandidates(sketches: DataFrame): DataFrame = {
+    val keys = lshBandKeys(sketches)
     keys.as("l")
       .join(keys.as("r"),
         col("l.band") === col("r.band") &&
@@ -80,61 +97,102 @@ object DedupOps {
       .distinct()
   }
 
-  /** MinHash LSH near-dup pairs with exact Jaccard verification:
-    * LSH candidates → re-join token sets → keep jaccard >= threshold.
+  /** MinHash LSH near-dup pairs with exact Jaccard verification.
+    * Candidates → size-ratio prune (jac <= min/max size, two integer
+    * compares — kills undersized pairs before any array work) →
+    * long-array intersect on the broadcast-joined hash sets.
     * Precision 1.0 by construction; recall per the band s-curve.
     * Output: (lang, a_id, b_id, jaccard).
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(docs)
-    val aToks = docs.select(col("doc_id").as("a_id"), col("toks").as("a_ws"))
-    val bToks = docs.select(col("doc_id").as("b_id"), col("toks").as("b_ws"))
-    val inter = size(array_intersect(col("a_ws"), col("b_ws")))
-    val jac = inter * lit(1.0) /
-      (size(col("a_ws")) + size(col("b_ws")) - inter)
-    cands.join(aToks, "a_id").join(bToks, "b_id")
+    val sk = docSketches(docs)
+    val cands = minhashCandidates(sk)
+    val aSide = sk.select(col("doc_id").as("a_id"), col("hs").as("a_hs"), col("n_tok").as("n_a"))
+    val bSide = sk.select(col("doc_id").as("b_id"), col("hs").as("b_hs"), col("n_tok").as("n_b"))
+    val inter = size(array_intersect(col("a_hs"), col("b_hs")))
+    val jac = inter * lit(1.0) / (col("n_a") + col("n_b") - inter)
+    cands.join(aSide, "a_id").join(bSide, "b_id")
+      // upper bound: |A∩B| <= min(|A|,|B|) ⇒ jac <= min/max
+      .filter(least(col("n_a"), col("n_b")) * lit(1.0) /
+        greatest(col("n_a"), col("n_b")) >= threshold)
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select("lang", "a_id", "b_id", "jaccard")
   }
 
+  /** Star-shaped dedup candidates: within each (lang, band, bucket),
+    * pair every doc with the bucket's minimum doc_id (the
+    * "representative"). A near-dup CLIQUE of m docs yields m-1
+    * candidate rows instead of C(m,2) — this is what makes corpus
+    * dedup output-linear. (Pair ENUMERATION is inherently quadratic
+    * in clique size: this corpus has ~500-doc template cliques, so
+    * listing all pairs is 759k rows at sf0.1 where the kill list is
+    * <5k. Keep-first-per-bucket + verify is the standard large-corpus
+    * MinHash dedup shape.)
+    */
+  def dedupCandidates(sketches: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "band", "bucket")
+    lshBandKeys(sketches)
+      .withColumn("rep", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("lang"), col("rep").as("a_id"), col("doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Docs that are verified near-duplicates (jaccard >= threshold) of
+    * their bucket representative — the dedup "kill list". Output:
+    * (lang, doc_id) of docs a dedup pass would drop.
+    */
+  def nearDupKillList(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sk = docSketches(docs)
+    val cands = dedupCandidates(sk)
+    val aSide = sk.select(col("doc_id").as("a_id"), col("hs").as("a_hs"), col("n_tok").as("n_a"))
+    val bSide = sk.select(col("doc_id").as("b_id"), col("hs").as("b_hs"), col("n_tok").as("n_b"))
+    val inter = size(array_intersect(col("a_hs"), col("b_hs")))
+    val jac = inter * lit(1.0) / (col("n_a") + col("n_b") - inter)
+    cands.join(aSide, "a_id").join(bSide, "b_id")
+      .filter(least(col("n_a"), col("n_b")) * lit(1.0) /
+        greatest(col("n_a"), col("n_b")) >= threshold)
+      .filter(jac >= threshold)
+      .select(col("lang"), col("b_id").as("doc_id"))
+      .distinct()
+  }
+
   /** Declared query `near_dup_minhash` (rows-only check; probabilistic
     * recall is asserted against the exact ground truth in
-    * MinhashRecallSpec): per-lang verified near-dup pair counts over
-    * the ENTIRE corpus — the unbounded scale path that #32 cannot do.
+    * MinhashRecallSpec): per-lang corpus size vs verified near-dup
+    * kill-list size over the ENTIRE corpus — the unbounded scale path
+    * that #32 cannot do.
     */
   def nearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), tokensCol.as("toks"))
-    minhashPairs(docs)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_pairs_minhash_ge_08"))
+    val kills = nearDupKillList(docs)
+      .groupBy("lang").agg(count(lit(1)).as("n_near_dup_docs"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(kills, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_near_dup_docs"), lit(0L)).as("n_near_dup_docs"))
       .orderBy("lang")
   }
 
-  /** 64-bit SimHash over token hashes: bit j of the signature is set
-    * iff Σ_tokens (±1 per token's j-th hash bit) > 0. Single nested
-    * higher-order expression — evaluated per row inside codegen.
+  /** 64-bit SimHash signatures, relationally: per token-hash row,
+    * 64 codegen'd ±1 bit sums in one hash aggregate, then the
+    * signature long assembled from the 64 sign bits (disjoint bits ⇒
+    * plain sum). Output: (doc_id, lang, sim).
     */
-  def simhashCol(tokens: Column): Column = {
-    val th = transform(tokens, t => xxhash64(t))
-    // Outer aggregate walks bit positions, inner walks token hashes.
-    // shiftright/shiftleft go through call_function because the Scala
-    // helpers only accept literal Int shift amounts, and here the
-    // shift is the lambda variable.
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => acc.bitwiseOR(
-        when(
-          aggregate(th, lit(0L),
-            (a, h) => a + when(
-              call_function("shiftright", h, j).bitwiseAND(lit(1L)) === lit(1L), 1L)
-              .otherwise(-1L)) > 0,
-          call_function("shiftleft", lit(1L), j)
-        ).otherwise(lit(0L)).cast("long")
-      )
-    )
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokenHashes(docs).groupBy("doc_id", "lang")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("lang"), sig.as("sim"))
   }
 
   /** SimHash near-dup pairs: 4 × 16-bit chunk banding (pigeonhole:
@@ -143,14 +201,12 @@ object DedupOps {
     * Output: (lang, a_id, b_id, hamming).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val signed = docs.select(col("doc_id"), col("lang"),
-      simhashCol(col("toks")).as("sim"))
+    val signed = simhashSignatures(docs)
+    val chunkKeys = (0 until 4).map(c =>
+      shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)))
     val chunked = signed
       .select(col("doc_id"), col("lang"), col("sim"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("ckey",
-        call_function("shiftright", col("sim"), col("chunk") * lit(16))
-          .bitwiseAND(lit(0xFFFFL)))
+        posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
     val cands = chunked.as("l")
       .join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") &&

@@ -41,6 +41,23 @@ class MinhashRecallSpec extends SparkTestBase {
     val recall = (got & truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall < 0.9 (|truth|=${truth.size}, |got|=${got.size})")
   }
+
+  test("nearDupKillList: subset of exact killable docs, recall >= 0.8 (doc_id < 300)") {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    // exact ground truth: doc b is killable iff some a < b has jaccard >= 0.8
+    val killable = LlmQueries.exactJaccardPairs(
+        docs.withColumnRenamed("toks", "ws"), 0.8)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    val got = DedupOps.nearDupKillList(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(killable.nonEmpty)
+    // precision 1.0: a verified bucket-rep pair is an exact near-dup pair
+    assert((got -- killable).isEmpty, s"false kills: ${(got -- killable).take(5)}")
+    val recall = (got & killable).size.toDouble / killable.size
+    assert(recall >= 0.8, s"kill recall $recall < 0.8 (|truth|=${killable.size}, |got|=${got.size})")
+  }
 }
 
 class SimhashSpec extends SparkTestBase {
@@ -64,9 +81,10 @@ class SimhashSpec extends SparkTestBase {
   test("simhash signature is deterministic and 64-bit stable") {
     val docs = Tables.documents(spark, sf)
       .filter(col("doc_id") < 50)
-      .select(col("doc_id"), DedupOps.simhashCol(DedupOps.tokensCol).as("sim"))
-    val a = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    def sigs() = DedupOps.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (a, b) = (sigs(), sigs())
     assert(a == b)
     assert(a.nonEmpty)
   }
