@@ -51,6 +51,7 @@ object SparkEntry {
     "cube_flag_status" -> (RelationalQueries.cubeFlagStatus _),
     "set_ops_customers" -> (RelationalQueries.setOpsCustomers _),
     "distinct_exact" -> (RelationalQueries.distinctExact _),
+    "supplier_nation_rev" -> (RelationalQueries.supplierNationRev _),
     "rank_parts" -> (RelationalQueries.rankParts _),
     // §2.3 scalar-function surface
     "string_funcs" -> (ScalarQueries.stringFuncs _),
@@ -237,6 +238,13 @@ object SparkEntry {
     "distinct_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "supplier_nation_rev" ->
+      """SELECT n_name, round((sum(l_extendedprice * (1 - l_discount))) + 2e-5, 2) AS revenue,
+        |       count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey
+        |JOIN read_parquet('{dir}/nation.parquet') n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rank_parts" ->
       """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
         |  SELECT p_brand, p_partkey, round((p_retailprice) + 2e-5, 2) AS p_retailprice,

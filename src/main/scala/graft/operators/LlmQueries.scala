@@ -98,9 +98,10 @@ object LlmQueries {
       .orderBy("lang")
   }
 
-  /** Dot product of two double arrays — higher-order fns, codegen'd. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double arrays — native codegen expression
+    * (see graft.functions.DotProduct and AnnOps.dot).
+    */
+  private def dot(a: Column, b: Column): Column = AnnOps.dot(a, b)
 
   /** #33 — cosine top-k vs the query vector (vec_id = 0). The 1-row
     * query side is broadcast; top-k lowers to TakeOrderedAndProject.

@@ -208,6 +208,24 @@ object RelationalQueries {
       .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** #36 — per-nation supplier revenue (lineitem ⋈ supplier ⋈
+    * broadcast nation): covers the supplier dim + distinct-dim-count
+    * re-agg. Fact shuffles once on l_suppkey; nation is broadcast.
+    */
+  def supplierNationRev(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        r2(sum("rev")).as("revenue"),
+        countDistinct("s_suppkey").as("n_suppliers"))
+      .orderBy("n_name")
+
   /** #22 — top-3 parts per brand (dense_rank + filter, per-group top-N).
     * Ranks on the RAW price (matching the oracle, whose window cannot
     * see the projected alias) and rounds only the output column.
