@@ -39,6 +39,7 @@ object SparkEntry {
     "sli_rolling_7d" -> (SliQueries.sliRolling7d _),
     "sli_sessionize" -> (SliQueries.sliSessionize _),
     "slo_hourly_tumble" -> (SliQueries.sloHourlyTumble _),
+    "error_budget_burn" -> (SliQueries.errorBudgetBurn _),
     // §2.2 relational / star-schema surface
     "rev_by_region" -> (RelationalQueries.revByRegion _),
     "top10_customers" -> (RelationalQueries.top10Customers _),
@@ -152,6 +153,19 @@ object SparkEntry {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS n, round((avg(value)) + 1e-7, 4) AS avg_value
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "error_budget_burn" ->
+      """WITH per_min AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        | daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', m) AS DATE) AS day,
+        |         count(*) AS minutes,
+        |         sum(CASE WHEN v < 50 OR v > 150 THEN 1 ELSE 0 END) AS breaches
+        |  FROM per_min GROUP BY 1, 2)
+        |SELECT event_type,
+        |       round((max(breaches / (minutes * 0.01))) + 1e-7, 4) AS max_daily_burn,
+        |       round((avg(breaches / (minutes * 0.01))) + 1e-7, 4) AS avg_daily_burn
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
     // §2.2 relational / star-schema surface
     "rev_by_region" ->
       """SELECT r_name, round((sum(l_extendedprice * (1 - l_discount))) + 2e-5, 2) AS revenue,

@@ -173,6 +173,28 @@ object SliQueries {
       .orderBy("user_id")
   }
 
+  /** #46 — error-budget burn rate: with a 99% SLO, each day's budget
+    * is 1% of its minutes; burn = breach_minutes / (minutes × 0.01).
+    * Worst-day and mean burn per type — the alerting math SLO
+    * platforms page on (fast-burn/slow-burn policies).
+    */
+  def errorBudgetBurn(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(avg("value").as("v"))
+      .groupBy(col("event_type"), to_date(col("m")).as("day"))
+      .agg(
+        count(lit(1)).as("minutes"),
+        sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L)).as("breaches"))
+    daily
+      .withColumn("burn", col("breaches") / (col("minutes") * lit(0.01)))
+      .groupBy("event_type")
+      .agg(
+        r4(max("burn")).as("max_daily_burn"),
+        r4(avg("burn")).as("avg_daily_burn"))
+      .orderBy("event_type")
+  }
+
   /** #10 — tumbling 1-hour aggregation (batch twin of the streaming
     * updater cadence; see graft.streaming for the readStream twin).
     */
