@@ -80,6 +80,7 @@ object SparkEntry {
     "distinct_hll" -> (DedupOps.distinctHll _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
+    "source_overlap" -> (DedupOps.sourceOverlap _),
     "ann_cosine_topk" -> (AnnOps.annCosineTopk _),
   )
 

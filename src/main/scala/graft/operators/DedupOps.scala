@@ -238,6 +238,49 @@ object DedupOps {
       .orderBy("lang")
   }
 
+  /** Group-level MinHash signatures — the MERGEABILITY of MinHash as
+    * a sketch: min is associative/commutative, so the element-wise min
+    * of member signatures IS the signature of the union of their token
+    * sets. Grouping directly by (lang, source) computes each source's
+    * token-universe signature in one partial-aggregated pass; the same
+    * shape re-aggregates day→month→all at 100 TB without revisiting
+    * raw text (SURVEY §7.5a's "pre-aggregated sketch columns").
+    */
+  def sourceSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), explode(tokensCol).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val aggs = (0 until K).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    tok.groupBy("lang", "source").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Estimated Jaccard between two signatures = fraction of equal
+    * components (the unbiased MinHash estimator, sd ≈ √(j(1−j)/k)).
+    */
+  private def estJaccard(k: Int): Column =
+    (0 until k).map(i =>
+      when(col(s"l.m$i") === col(s"r.m$i"), 1).otherwise(0))
+      .reduce(_ + _) / lit(k.toDouble)
+
+  /** Declared query `source_overlap` (rows-only; xxhash-based):
+    * estimated token-universe Jaccard between every source pair
+    * within a lang, summarized per lang. SourceOverlapSpec bounds the
+    * estimator against exact union Jaccard.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sourceSignatures(spark, dir)
+    sig.as("l")
+      .join(sig.as("r"),
+        col("l.lang") === col("r.lang") && col("l.source") < col("r.source"))
+      .select(col("l.lang").as("lang"), estJaccard(K).as("overlap"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_source_pairs"),
+        round(avg("overlap") + lit(1e-7), 4).as("avg_overlap"),
+        round(max("overlap") + lit(1e-7), 4).as("max_overlap"))
+      .orderBy("lang")
+  }
+
   /** Declared query `distinct_hll` (rows-only; HLL internals differ
     * across engines — the |exact-approx|/exact < 5% bound is asserted
     * in HllSpec): approximate user cardinality per event type at 2%

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SkewOps}
+import graft.sources.Tables
+import graft.streaming.{StatefulSessions, StreamingQueries}
+
+/** Specs for the round-2 scale utilities: mergeable source
+  * signatures, stateful streaming sessionization, salted skew join.
+  */
+class SourceOverlapSpec extends SparkTestBase {
+  test("minhash overlap estimator within 4 sd of exact union jaccard per source pair") {
+    import spark.implicits._
+    // exact token-universe jaccard for source pairs within one lang
+    val uni = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), explode(DedupOps.tokensCol).as("tok"))
+      .groupBy("lang", "source").agg(collect_set("tok").as("toks"))
+      .as[(String, String, Seq[String])].collect()
+      .map { case (l, s, t) => (l, s) -> t.toSet }.toMap
+    val sig = DedupOps.sourceSignatures(spark, sf)
+    val est = sig.as("l").join(sig.as("r"),
+        col("l.lang") === col("r.lang") && col("l.source") < col("r.source"))
+      .select(col("l.lang"), col("l.source"), col("r.source"),
+        (0 until DedupOps.K).map(i =>
+          when(col(s"l.m$i") === col(s"r.m$i"), 1).otherwise(0)).reduce(_ + _)
+          .as("matches"))
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (lang, sa, sb) = (r.getString(0), r.getString(1), r.getString(2))
+      val (ta, tb) = (uni((lang, sa)), uni((lang, sb)))
+      val exact = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      val estJ = r.getInt(3).toDouble / DedupOps.K
+      val sd = math.sqrt(math.max(exact * (1 - exact), 0.01) / DedupOps.K)
+      assert(math.abs(estJ - exact) <= 4 * sd + 0.02,
+        s"($lang,$sa,$sb): est $estJ vs exact $exact (sd $sd)")
+    }
+  }
+}
+
+class StatefulSessionsSpec extends SparkTestBase {
+  test("flatMapGroupsWithState sessionizer == batch sessionize on full stream") {
+    val q = StatefulSessions.sessionCounts(StreamingQueries.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // update mode re-emits per batch; keep the final (max events) row per user
+    val got = spark.table("stateful_sessions")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = graft.operators.SliQueries.sliSessionize(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (u, nSess) =>
+      assert(got(u)._1 == nSess, s"user $u: sessions ${got(u)._1} != $nSess")
+      assert(got(u)._2 == events(u), s"user $u: events ${got(u)._2} != ${events(u)}")
+    }
+  }
+}
+
+class SkewSpec extends SparkTestBase {
+  test("salted join == plain join (row multiset, via aggregate equality)") {
+    val fact = Tables.lineitem(spark, sf).select("l_suppkey", "l_extendedprice")
+    val dim = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+    val plain = fact.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), math.rint(r.getDouble(2) * 100)))
+      .toSet
+    val salted = SkewOps.saltedEquiJoin(fact, dim, "l_suppkey", "s_suppkey", salt = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), math.rint(r.getDouble(2) * 100)))
+      .toSet
+    assert(salted == plain)
+  }
+}
