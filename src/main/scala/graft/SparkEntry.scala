@@ -60,6 +60,8 @@ object SparkEntry {
     "math_funcs" -> (ScalarQueries.mathFuncs _),
     "json_extract_agg" -> (ScalarQueries.jsonExtractAgg _),
     "percentile_value" -> (ScalarQueries.percentileValue _),
+    "props_map_agg" -> (ScalarQueries.propsMapAgg _),
+    "grouping_sets_mix" -> (ScalarQueries.groupingSetsMix _),
     "window_lag_delta" -> (ScalarQueries.windowLagDelta _),
     "moving_avg_rows" -> (ScalarQueries.movingAvgRows _),
     // §2.4 LLM-pipeline surface
@@ -299,6 +301,26 @@ object SparkEntry {
         |       round((quantile_cont(value, 0.9)) + 1e-7, 4) AS p90,
         |       round((quantile_cont(value, 0.99)) + 1e-7, 4) AS p99
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "props_map_agg" ->
+      """WITH ks AS (
+        |  SELECT event_type, unnest(json_keys(props)) AS key, props
+        |  FROM read_parquet('{dir}/events.parquet')),
+        | kv AS (
+        |  SELECT event_type, key,
+        |         CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS kv
+        |  FROM ks)
+        |SELECT event_type, key, count(*) AS n,
+        |       round((avg(kv)) + 1e-7, 4) AS avg_k, max(kv) AS max_k
+        |FROM kv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "grouping_sets_mix" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+        |       CAST(grouping(event_type, day) AS BIGINT) AS gid,
+        |       count(*) AS n, round((avg(value)) + 1e-7, 4) AS avg_value
+        |FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value
+        |      FROM read_parquet('{dir}/events.parquet')) t
+        |GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY gid, event_type, day""".stripMargin,
     "window_lag_delta" ->
       """WITH d AS (
         |  SELECT event_type, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta

@@ -72,6 +72,45 @@ object ScalarQueries {
       .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
       .orderBy("k_bucket")
 
+  /** #48 — JSON → MapType parse + map explode (generator over map
+    * entries): per (event_type, json key) stats. Covers `from_json`
+    * with MapType schema and the map-entry explode path — at scale
+    * this is the schema-on-read shape for ragged JSON payloads where
+    * a fixed struct schema can't be pinned.
+    */
+  def propsMapAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          .as(Seq("key", "kv")))
+      .groupBy("event_type", "key")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(avg("kv")).as("avg_k"),
+        max("kv").as("max_k"))
+      .orderBy("event_type", "key")
+
+  /** #49 — explicit GROUPING SETS with grouping_id: the mixed-set
+    * variant rollup/cube can't express (region-only and type-only
+    * slices plus grand total in one Expand pass). Via temp-view SQL
+    * for the same ambiguity reason as #18.
+    */
+  def groupingSetsMix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .createOrReplaceTempView("graft_gs_events")
+    spark.sql(
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(CAST(day AS STRING), 'ALL') AS day,
+        |       CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       round(avg(value) + 1e-7, 4) AS avg_value
+        |FROM graft_gs_events
+        |GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY gid, event_type, day""".stripMargin)
+  }
+
   /** #27 — exact interpolated percentiles p50/p90/p99 per type.
     * Spark `percentile` and DuckDB `quantile_cont` are both
     * linear-interpolation by spec (agreement verified by the t2 diff).
