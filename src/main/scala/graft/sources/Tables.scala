@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the driver-provided testdata layout
@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * fixture has no sub-microsecond component so this is lossless and
   * bit-identical to what DuckDB (the oracle) sees.
   */
+/** Typed row of the events fact table (Dataset[Event] surface — used
+  * where compile-time safety pays; the DataFrame surface stays the
+  * default, Catalyst optimizes both identically).
+  */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double, props: String)
+
 object Tables {
 
   /** Runtime session setup needed for correct reads + deterministic
@@ -70,6 +77,12 @@ object Tables {
     raw(spark, dir, "events")
       .filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(toUtc))
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** `events` as a typed Dataset[Event]. */
+  def eventsTyped(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    events(spark, dir).as[Event]
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "lineitem")

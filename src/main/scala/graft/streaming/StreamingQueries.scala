@@ -64,6 +64,20 @@ object StreamingQueries {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("avg_value"))
 
+  /** Sliding-window twin (2-hour windows every hour): each event
+    * contributes to two overlapping windows — the burn-rate-style
+    * smoothing cadence. Same expression works identically in batch
+    * (StreamingSpec asserts equivalence).
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("avg_value"))
+
   /** Streaming twin of #9 `sli_sessionize`: `session_window` with a
     * gap of 1800001 ms — session_window splits at gap >= gapDuration,
     * the batch logic at gap > 1800000 ms, so +1 ms makes the two

@@ -52,6 +52,19 @@ class SourceSinkSpec extends SparkTestBase {
     }
   }
 
+  test("typed Dataset[Event] surface agrees with the DataFrame surface") {
+    val typed = Tables.eventsTyped(spark, sf)
+    val n = typed.filter(_.event_type == "error").count()
+    val m = Tables.events(spark, sf).filter(col("event_type") === "error").count()
+    assert(n == m && n > 0)
+    // typed map: per-event ms timestamps survive the encoder round-trip
+    val maxTs = typed.map(_.ts.getTime)(org.apache.spark.sql.Encoders.scalaLong)
+      .reduce((a, b) => math.max(a, b))
+    val maxDf = Tables.events(spark, sf)
+      .agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
+    assert(maxTs == maxDf)
+  }
+
   test("CSV source: same query logic over a CSV copy of the dim tables") {
     val dir = Files.createTempDirectory("graft_csv").toString
     Tables.nation(spark, sf).write.option("header", "true").csv(s"$dir/nation")

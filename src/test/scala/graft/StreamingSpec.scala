@@ -37,6 +37,19 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sameElements(expect))
   }
 
+  test("sliding-window twin == identical expression over the batch frame") {
+    val got = runToCompletion(
+      StreamingQueries.slidingCounts(StreamingQueries.eventsStream(spark, sf)),
+      "sliding_equiv")
+      .orderBy("window_start_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expect = StreamingQueries.slidingCounts(
+        graft.sources.Tables.events(spark, sf))
+      .orderBy("window_start_ms", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expect.length && got.sameElements(expect))
+  }
+
   test("session_window twin == batch sli_sessionize (per-user session count + sizes)") {
     val sessions = runToCompletion(
       StreamingQueries.userSessions(StreamingQueries.eventsStream(spark, sf)),
