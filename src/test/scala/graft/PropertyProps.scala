@@ -100,6 +100,45 @@ object AsofProps extends SparkProps("asof") {
     }
 }
 
+object MinhashProps extends SparkProps("minhash_lsh") {
+  import graft.operators.DedupOps
+
+  // Controlled-overlap corpus: doc 2i is a random n-token set, doc
+  // 2i+1 replaces d of its tokens → true jaccard = (n-d)/(n+d).
+  // With k=64, b=16, r=4: P(miss | j≥0.85) = (1-j⁴)¹⁶ < 1e-5, and
+  // verification makes sub-threshold output impossible, so both
+  // directions of the law are effectively deterministic.
+  private val genCorpus: Gen[List[(Long, Int, List[String])]] = for {
+    nPairs <- Gen.choose(2, 5)
+    seeds <- Gen.listOfN(nPairs, Gen.choose(0L, Long.MaxValue))
+    dists <- Gen.listOfN(nPairs, Gen.oneOf(0, 2, 5, 30))
+  } yield seeds.zip(dists).zipWithIndex.flatMap { case ((seed, d), i) =>
+    val rnd = new scala.util.Random(seed)
+    val n = 60
+    val base = List.fill(n)(s"t${rnd.nextLong()}").distinct
+    val variant = base.drop(d) ++ List.fill(d)(s"v${rnd.nextLong()}")
+    List((2L * i, d, base), (2L * i + 1, d, variant))
+  }
+
+  property("pairs with jaccard >= 0.85 are always found; < 0.8 never reported") =
+    forAll(genCorpus) { corpus =>
+      val docs = spark.createDataFrame(
+        corpus.map { case (id, _, toks) => (id, "xx", toks) }
+      ).toDF("doc_id", "lang", "toks")
+      val found = DedupOps.minhashPairs(docs)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      corpus.grouped(2).forall { pair =>
+        val (aId, d, base) = pair.head
+        val (bId, _, variant) = pair(1)
+        val inter = base.toSet.intersect(variant.toSet).size
+        val j = inter.toDouble / (base.toSet ++ variant.toSet).size
+        val hit = found.contains((aId, bId))
+        if (j >= 0.85) hit else if (j < 0.8) !hit else true
+      }
+    }
+}
+
 object WeightedAvgProps extends SparkProps("weighted_avg") {
   private val genVW: Gen[List[(Double, Long)]] =
     Gen.nonEmptyListOf(for {
