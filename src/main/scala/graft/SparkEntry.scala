@@ -83,6 +83,7 @@ object SparkEntry {
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
+    "percentile_approx_value" -> (ScalarQueries.percentileApproxValue _),
     "ann_cosine_topk" -> (AnnOps.annCosineTopk _),
   )
 

@@ -124,6 +124,23 @@ object ScalarQueries {
         r4(expr("percentile(value, 0.99)")).as("p99"))
       .orderBy("event_type")
 
+  /** #50 — approximate percentiles (rows-only; spec-bounded): the
+    * sketch path for #27. Exact `percentile` buffers every value per
+    * group; `percentile_approx` (Greenwald-Khanna) is a bounded-size
+    * MERGEABLE sketch — at 100 TB the only viable shape, and the
+    * third sketch family here next to HLL (#distinct_hll) and MinHash
+    * (#source_overlap). Accuracy 10000 ⇒ rank error ≲ 0.01%;
+    * ApproxPercentileSpec bounds it against #27.
+    */
+  def percentileApproxValue(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        r4(expr("percentile_approx(value, 0.5, 10000)")).as("p50"),
+        r4(expr("percentile_approx(value, 0.9, 10000)")).as("p90"),
+        r4(expr("percentile_approx(value, 0.99, 10000)")).as("p99"))
+      .orderBy("event_type")
+
   /** #28 — first-difference of the series via lag (burn-rate style). */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -23,6 +23,30 @@ class HllSpec extends SparkTestBase {
   }
 }
 
+class ApproxPercentileSpec extends SparkTestBase {
+  test("percentile_approx rank error <= 2% per type (the GK sketch guarantee)") {
+    // GK sketches bound RANK error, not value error (a sparse tail can
+    // make the p99 VALUE differ visibly while the rank is spot-on), so
+    // assert: the approx value's empirical rank is within 2% of q.
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val approx = graft.operators.ScalarQueries.percentileApproxValue(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(values.keySet == approx.keySet)
+    approx.foreach { case (t, (a50, a90, a99)) =>
+      val vs = values(t)
+      Seq((a50, 0.5, "p50"), (a90, 0.9, "p90"), (a99, 0.99, "p99")).foreach {
+        case (a, q, n) =>
+          val rank = vs.count(_ <= a).toDouble / vs.length
+          assert(math.abs(rank - q) <= 0.02, s"$t $n: approx $a has rank $rank, want $q")
+      }
+    }
+  }
+}
+
 class MinhashRecallSpec extends SparkTestBase {
   test("near_dup_minhash: recall >= 0.9 vs exact ground truth (doc_id < 300), precision = 1") {
     val docs = Tables.documents(spark, sf)
