@@ -105,6 +105,53 @@ object AnnOps {
       .limit(k)
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes for SRP hashing. */
+  private def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Signed-random-projection (SRP) signature: bit j = sign of the
+    * dot with hyperplane j. P(bit match) = 1 − θ/π, so near-parallel
+    * vectors share almost all bits. Uses the native dot expression —
+    * nBits codegen'd dots per row, no shuffle.
+    */
+  def srpSignature(emb: Column, dim: Int = 64, nBits: Int = 16): Column =
+    hyperplanes(dim, nBits).zipWithIndex.map { case (h, j) =>
+      when(dot(emb, typedlit(h)) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs at corpus scale — the LSH twin of the
+    * O(n²) [[embNearDup]]: SRP signature → 4×4-bit chunk banding
+    * (a cos ≥ 0.95 pair flips each bit w.p. ≲ 0.1 ⇒ P(no shared
+    * chunk) ≈ 1e-4) → exact-cosine verification of candidates.
+    * Precision 1.0; recall for genuine near-dups ≈ 1 (SrpProps proves
+    * both on constructed pairs — the testdata corpus is isotropic
+    * random and has no true near-dups to find). Input: (vec_id, emb);
+    * output: (a_id, b_id, cos).
+    */
+  def srpNearDupPairs(vecs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val signed = vecs
+      .withColumn("sig", srpSignature(col("emb")))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val chunked = signed.select(col("vec_id"), col("emb"), col("norm"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), 4 * c).bitwiseAND(lit(15))): _*)).as(Seq("chunk", "ckey")))
+    val cands = chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") &&
+          col("l.ckey") === col("r.ckey") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+        col("l.emb").as("a_emb"), col("r.emb").as("b_emb"),
+        col("l.norm").as("a_norm"), col("r.norm").as("b_norm"))
+      .distinct()
+    cands
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** Declared query `emb_near_dup` (WITH DuckDB oracle): exact
     * embedding near-duplicate pairs at cosine >= 0.35 among
     * vec_id < 400 — the bounded ground-truth twin of the LSH/IVF

@@ -139,6 +139,39 @@ object MinhashProps extends SparkProps("minhash_lsh") {
     }
 }
 
+object SrpProps extends SparkProps("srp_lsh") {
+  import graft.operators.AnnOps
+
+  // Corpus: pairs (v, v + 0.05·noise) → cos ≈ 0.999 (must be found)
+  // plus independent random vectors (pairwise cos ≈ 0 — never
+  // reported: verification thresholds at 0.9).
+  private val genVecs: Gen[(List[(Long, Seq[Double])], Set[(Long, Long)])] = for {
+    nPairs <- Gen.choose(2, 4)
+    nNoise <- Gen.choose(3, 6)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val pairs = (0 until nPairs).map { i =>
+      val v = vec()
+      val w = v.map(_ + 0.05 * rnd.nextGaussian())
+      Seq((2L * i, v.toSeq), (2L * i + 1, w.toSeq))
+    }
+    val noise = (0 until nNoise).map(i => (1000L + i, vec().toSeq))
+    (pairs.flatten.toList ++ noise.toList,
+      (0 until nPairs).map(i => (2L * i, 2L * i + 1)).toSet)
+  }
+
+  property("perturbed pairs always found; independent vectors never reported") =
+    forAll(genVecs) { case (rows, truePairs) =>
+      val df = spark.createDataFrame(rows).toDF("vec_id", "emb")
+      val found = AnnOps.srpNearDupPairs(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truePairs.subsetOf(found) &&
+        (found -- truePairs).isEmpty // random 64-dim cos ~ N(0, 1/8) never hits 0.9
+    }
+}
+
 object WeightedAvgProps extends SparkProps("weighted_avg") {
   private val genVW: Gen[List[(Double, Long)]] =
     Gen.nonEmptyListOf(for {
