@@ -74,6 +74,7 @@ object SparkEntry {
     // rows-only + dedicated spec asserting the probabilistic bound)
     "ngram_jaccard" -> (LlmQueries.ngramJaccard _),
     "emb_near_dup" -> (AnnOps.embNearDup _),
+    "knn_join_exact" -> (AnnOps.knnJoinExact _),
     "media_bytes_stats" -> (MediaOps.mediaBytesStats _),
     "lang_id" -> (TextOps.langId _),
     "quality_score" -> (TextOps.qualityScore _),
@@ -397,6 +398,18 @@ object SparkEntry {
         |       round((avg(cos)) + 1e-7, 4) AS avg_cos,
         |       round((max(cos)) + 1e-7, 4) AS max_cos
         |FROM p""".stripMargin,
+    "knn_join_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM read_parquet('{dir}/embeddings.parquet') WHERE vec_id < 200),
+        | p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |              list_cosine_similarity(a.v, b.v) AS rawcos
+        |       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        | r AS (SELECT a_id, b_id, rawcos,
+        |              row_number() OVER (PARTITION BY a_id ORDER BY rawcos DESC, b_id) AS rnk
+        |       FROM p)
+        |SELECT a_id, CAST(rnk AS BIGINT) AS rnk, b_id,
+        |       round((rawcos) + 1e-7, 4) AS cos
+        |FROM r WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin,
     "media_bytes_stats" ->
       """SELECT lang, count(*) AS n_media,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,

@@ -152,6 +152,28 @@ object AnnOps {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Declared query `knn_join_exact` (WITH DuckDB oracle): each
+    * vector's top-3 cosine neighbors among vec_id < 200 — the exact
+    * k-NN JOIN ground truth (the all-vectors version of #33's single
+    * query). O(n²) by construction, bounded; the scale paths are the
+    * bucketed primitives ([[annTopk]] per query, [[srpNearDupPairs]]
+    * for the near-dup graph). Rank is computed on the RAW cosine
+    * (ties broken by b_id); only the output column is rounded.
+    */
+  def knnJoinExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).filter(col("vec_id") < 200)
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("norm").as("a_norm"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("norm").as("b_norm"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    a.join(b, col("a_id") =!= col("b_id"))
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("a_id"), col("rnk"), col("b_id"), r4(col("cos")).as("cos"))
+      .orderBy("a_id", "rnk")
+  }
+
   /** Declared query `emb_near_dup` (WITH DuckDB oracle): exact
     * embedding near-duplicate pairs at cosine >= 0.35 among
     * vec_id < 400 — the bounded ground-truth twin of the LSH/IVF
