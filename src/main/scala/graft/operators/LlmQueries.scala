@@ -10,8 +10,11 @@ import graft.sources.Tables
   * tokenization, exact dedup, near-duplicate detection, vector
   * similarity, corpus profiling — the north-star training-data ops.
   *
-  * Everything is built-ins + higher-order array functions: full
-  * codegen, no UDFs, no driver-side loops.
+  * Everything is built-ins + higher-order array functions — no UDFs,
+  * no driver-side loops. (Caveat learned in round 2: higher-order
+  * lambdas are interpreted, not codegen'd; they're fine on the
+  * bounded/ground-truth queries here, while the unbounded scale paths
+  * in DedupOps/AnnOps use explode+agg or native expressions instead.)
   *
   * Scale notes (100 TB): #30 explode + count is the classic word-count
   * shuffle — partial aggregation collapses per-partition duplicates

@@ -64,6 +64,31 @@ object StreamingQueries {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("avg_value"))
 
+  /** Streaming `documents` source (same file-stream pattern). */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    Tables.configure(spark)
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .parquet(s"${dir.stripSuffix("/")}/documents*.parquet")
+  }
+
+  /** Streaming exact dedup: the first document with each normalized
+    * content hash passes; later duplicates are dropped from the
+    * stream. Unbounded state here (finite test streams); production
+    * bounds it with `withWatermark` + `dropDuplicatesWithinWatermark`
+    * — dedup-exactly-within-horizon, the standard ingest-dedup
+    * contract at 100 TB/day rates.
+    */
+  def dedupedDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .dropDuplicates("h")
+
   /** Sliding-window twin (2-hour windows every hour): each event
     * contributes to two overlapping windows — the burn-rate-style
     * smoothing cadence. Same expression works identically in batch

@@ -71,6 +71,20 @@ class StreamingSpec extends SparkTestBase {
     assert(diffs.isEmpty, s"mismatched users: ${diffs.take(5)}")
   }
 
+  test("streaming dedup passes exactly one doc per content hash") {
+    val q = StreamingQueries.dedupedDocs(StreamingQueries.docsStream(spark, sf))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("dedup_stream")
+    val expectUnique = graft.sources.Tables.documents(spark, sf)
+      .select(countDistinct(md5(lower(trim(col("text"))))))
+      .collect().head.getLong(0)
+    assert(streamed.count() == expectUnique)
+    assert(streamed.select("h").distinct().count() == expectUnique)
+  }
+
   test("session twin: total events conserved across sessions") {
     val sessions = spark.table("session_equiv")
     val streamed = sessions.agg(sum("n_events")).collect().head.getLong(0)
