@@ -1,0 +1,88 @@
+package graft
+
+/** Golden row-count pins for every declared query at sf0.001.
+  *
+  * Counts were captured from a CORRECTNESS-green build (round 2, all
+  * oracle-backed queries hash-matching DuckDB), so each pin is a cheap
+  * behavioral fingerprint: any refactor that changes a query's
+  * grouping keys, filters, join type, or dedup threshold moves its
+  * row count and fails here immediately — long before the driver's
+  * sf0.01 differential run.
+  *
+  * The pins are EXACT row counts, not bounds: sf0.001 inputs are
+  * fixed files and every query is deterministic by the §2.7
+  * discipline (total-order sort, no sampling). If testdata is ever
+  * regenerated these must be re-captured — that is the one legitimate
+  * reason to edit this file.
+  */
+class GoldenCountsSpec extends SparkTestBase {
+
+  private val golden: Map[String, Long] = Map(
+    "sli_filter_project" -> 57L,
+    "sli_minute_downsample" -> 1000L,
+    "sli_weighted_avg" -> 5L,
+    "slo_day_report" -> 150L,
+    "slo_breach_count" -> 5L,
+    "slo_compliance_pct" -> 5L,
+    "sli_latest_per_user" -> 15L,
+    "sli_rolling_7d" -> 150L,
+    "sli_sessionize" -> 15L,
+    "slo_hourly_tumble" -> 868L,
+    "error_budget_burn" -> 5L,
+    "rev_by_region" -> 5L,
+    "top10_customers" -> 10L,
+    "semi_join_urgent" -> 5L,
+    "anti_join_no_p_orders" -> 4L,
+    "outer_join_linecount" -> 13L,
+    "range_join_shipwindow" -> 5L,
+    "asof_prior_view" -> 15L,
+    "rollup_region_nation" -> 31L,
+    "cube_flag_status" -> 12L,
+    "set_ops_customers" -> 3L,
+    "distinct_exact" -> 5L,
+    "supplier_nation_rev" -> 10L,
+    "rank_parts" -> 75L,
+    "string_funcs" -> 25L,
+    "date_funcs" -> 80L,
+    "math_funcs" -> 3L,
+    "json_extract_agg" -> 10L,
+    "percentile_value" -> 5L,
+    "props_map_agg" -> 5L,
+    "grouping_sets_mix" -> 36L,
+    "window_lag_delta" -> 5L,
+    "moving_avg_rows" -> 5L,
+    "topk_words" -> 20L,
+    "dedup_docs" -> 5L,
+    "near_dup_pairs" -> 5L,
+    "cosine_topk" -> 10L,
+    "text_stats" -> 5L,
+    "ngram_jaccard" -> 5L,
+    "emb_near_dup" -> 1L,
+    "knn_join_exact" -> 600L,
+    "media_bytes_stats" -> 5L,
+    "lang_id" -> 10L,
+    "quality_score" -> 5L,
+    "token_count" -> 5L,
+    "doc_fingerprint" -> 5L,
+    "distinct_hll" -> 5L,
+    "near_dup_minhash" -> 5L,
+    "simhash_dups" -> 5L,
+    "source_overlap" -> 5L,
+    "percentile_approx_value" -> 5L,
+    "ann_cosine_topk" -> 10L,
+  )
+
+  test("golden map covers exactly the declared query set") {
+    assert(golden.keySet == SparkEntry.queries.keySet,
+      s"drift: missing pins ${SparkEntry.queries.keySet -- golden.keySet}, " +
+        s"stale pins ${golden.keySet -- SparkEntry.queries.keySet}")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"golden row count: $name") {
+      val n = fn(spark, sf).count()
+      assert(golden.get(name).contains(n),
+        s"$name returned $n rows, golden pin is ${golden.get(name)}")
+    }
+  }
+}
