@@ -69,7 +69,13 @@ class NativeDotSpec extends SparkTestBase {
     }
     val cross = a.crossJoin(b)
     val tNative = timeIt(cross.select(sum(AnnOps.dot(col("a_emb"), col("b_emb")))).collect().length)
-    val tHof = timeIt(cross.select(sum(AnnOps.dotHof(col("a_emb"), col("b_emb")))).collect().length)
+    // NativeDotRewrite would rewrite the HOF form to the native
+    // expression (ExtensionsSpec proves it does) — turn it off so
+    // this measures the genuinely interpreted path.
+    spark.conf.set(graft.plans.NativeDotRewrite.ConfKey, "false")
+    val tHof =
+      try timeIt(cross.select(sum(AnnOps.dotHof(col("a_emb"), col("b_emb")))).collect().length)
+      finally spark.conf.unset(graft.plans.NativeDotRewrite.ConfKey)
     info(f"native $tNative%.2f s vs hof $tHof%.2f s (x${tHof / tNative}%.1f)")
     assert(tNative < tHof, s"native $tNative not faster than hof $tHof")
   }

@@ -76,4 +76,18 @@ class SourceSinkSpec extends SparkTestBase {
       .collect().map(r => (r.get(0).toString, r.getString(1)))
     assert(a.sameElements(b))
   }
+
+  test("JSON-lines source: same aggregate over a JSON copy of customer") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    val cust = Tables.customer(spark, sf)
+    cust.write.json(s"$dir/customer")
+    // schema pinned explicitly — schema inference at 100 TB means a
+    // full extra pass over the data; never rely on it
+    val fromJson = spark.read.schema(cust.schema).json(s"$dir/customer")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("c_mktsegment").collect().toSeq
+    assert(agg(fromJson) == agg(cust))
+  }
 }
