@@ -80,6 +80,8 @@ object SparkEntry {
     "quality_score" -> (TextOps.qualityScore _),
     "token_count" -> (TextOps.tokenCount _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
+    "hash_split" -> (TextOps.hashSplit _),
+    "regex_token_profile" -> (TextOps.regexTokenProfile _),
     "distinct_hll" -> (DedupOps.distinctHll _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
@@ -456,6 +458,24 @@ object SparkEntry {
         |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws,
         |    list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
         |             t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS n_bpe
+        |  FROM read_parquet('{dir}/documents.parquet')) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hash_split" ->
+      """SELECT CASE WHEN b < 10 THEN 'train' WHEN b < 13 THEN 'val' ELSE 'test' END AS split,
+        |       lang, count(*) AS n_docs, round((avg(n_chars)) + 1e-7, 4) AS avg_chars
+        |FROM (SELECT lang, n_chars,
+        |             strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS b
+        |      FROM read_parquet('{dir}/documents.parquet')) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "regex_token_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_er) AS BIGINT) AS sum_er_words,
+        |       CAST(sum(n_long) AS BIGINT) AS sum_long_words,
+        |       round((avg(n_er)) + 1e-7, 4) AS avg_er_words
+        |FROM (
+        |  SELECT lang,
+        |         len(regexp_extract_all(text, '\b[a-z]+er\b')) AS n_er,
+        |         len(regexp_extract_all(text, '\b[a-z]{8,}\b')) AS n_long
         |  FROM read_parquet('{dir}/documents.parquet')) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_fingerprint" ->

@@ -120,4 +120,49 @@ object TextOps {
         countDistinct("fp").as("n_fingerprints"))
       .orderBy("lang")
   }
+
+  /** `hash_split` — deterministic content-hash train/val/test split
+    * (10/3/3 of 16 md5 buckets). THE scale-safe sampler: no RNG, no
+    * reservoir state, no shuffle — every executor assigns the same
+    * doc to the same split on any cluster size or re-run, and the
+    * split survives re-partitioning, retries, and incremental
+    * appends (a new doc's split is a pure function of its content).
+    * Bucket = value of the first md5 hex digit (both engines emit
+    * lowercase hex, verified App. B-adjacent in HashSplitSpec).
+    * Output: per (split, lang) counts + avg chars.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (instr(lit("0123456789abcdef"),
+      substring(md5(col("text")), 1, 1)) - 1).cast("int")
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 10, lit("train"))
+          .when(bucket < 13, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), r4(avg("n_chars")).as("avg_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** `regex_token_profile` — regex-based token profiling (the
+    * filter-building block of corpus quality pipelines): per lang,
+    * occurrences of '-er'-suffixed words and of long (≥8 char)
+    * words, as counts and per-doc averages. Single scan, per-row
+    * regexp_extract_all (codegen'd), tiny final agg. Patterns kept
+    * in the RE2 ∩ Java-regex common dialect so the DuckDB oracle is
+    * formula-identical.
+    */
+  def regexTokenProfile(spark: SparkSession, dir: String): DataFrame = {
+    val erWords = size(regexp_extract_all(col("text"), lit("\\b[a-z]+er\\b"), lit(0)))
+    val longWords = size(regexp_extract_all(col("text"), lit("\\b[a-z]{8,}\\b"), lit(0)))
+    Tables.documents(spark, dir)
+      .select(col("lang"), erWords.as("n_er"), longWords.as("n_long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_er").cast("long").as("sum_er_words"),
+        sum("n_long").cast("long").as("sum_long_words"),
+        r4(avg("n_er")).as("avg_er_words"))
+      .orderBy("lang")
+  }
 }

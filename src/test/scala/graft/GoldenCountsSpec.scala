@@ -64,6 +64,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "quality_score" -> 5L,
     "token_count" -> 5L,
     "doc_fingerprint" -> 5L,
+    "hash_split" -> 15L,
+    "regex_token_profile" -> 5L,
     "distinct_hll" -> 5L,
     "near_dup_minhash" -> 5L,
     "simhash_dups" -> 5L,

@@ -136,4 +136,26 @@ class InvariantSpec extends SparkTestBase {
       assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
     }
   }
+
+  test("hash_split: docs conserved, all three splits present, stable under repartition") {
+    val split = rows("hash_split")
+    assert(split.map(_.getString(0)).toSet == Set("train", "val", "test"))
+    val total = split.map(_.getLong(2)).sum
+    val docs = Tables.documents(spark, sf).count()
+    assert(total == docs, s"split counts $total != $docs docs")
+    // content-hash assignment is partitioning-independent by
+    // construction — same result after an arbitrary repartition
+    val again = SparkEntry.queries("hash_split")(spark, sf).repartition(7).collect()
+    assert(again.sortBy(r => (r.getString(0), r.getString(1))).toSeq ==
+      split.sortBy(r => (r.getString(0), r.getString(1))))
+  }
+
+  test("regex_token_profile: long-word and er-word counts are non-negative, docs match") {
+    val prof = rows("regex_token_profile")
+    val docs = rows("text_stats").map(r => r.getString(0) -> r.getLong(1)).toMap
+    prof.foreach { r =>
+      assert(r.getLong(1) == docs(r.getString(0)), "per-lang doc counts disagree with text_stats")
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+    }
+  }
 }
