@@ -54,4 +54,75 @@ object StatefulSessions {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(updateUser)
   }
+
+  // ---- production shape: closed-session records + state EXPIRY ----
+
+  case class SessionRecord(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+  case class OpenSess(start: Long, last: Long, n: Long)
+  /** Carries the raw timestamp: the watermark attribute must survive
+    * into the stateful operator's input (projecting it away fails
+    * analysis with "Event-time timeout not supported without
+    * watermark").
+    */
+  case class EvT(user_id: Long, ts: java.sql.Timestamp) {
+    def ts_ms: Long = ts.getTime
+  }
+
+  /** Close a session when the gap law says so (strict > 30 min,
+    * identical to the batch engine); when the WATERMARK says so, also
+    * expire the state. Emits one record per completed session.
+    */
+  def updateOpenSession(user: Long, evs: Iterator[EvT],
+      state: GroupState[OpenSess]): Iterator[SessionRecord] = {
+    if (state.hasTimedOut) {
+      // watermark passed last_ts + gap: no in-order event can extend
+      // this session anymore — emit it and drop the state entirely.
+      val st = state.get
+      state.remove()
+      Iterator.single(SessionRecord(user, st.start, st.last, st.n))
+    } else {
+      val out = Seq.newBuilder[SessionRecord]
+      var cur = state.getOption
+      evs.toSeq.sortBy(_.ts_ms).foreach { e =>
+        cur match {
+          case Some(c) if e.ts_ms - c.last <= 1800000L =>
+            cur = Some(OpenSess(c.start, e.ts_ms, c.n + 1))
+          case Some(c) =>
+            out += SessionRecord(user, c.start, c.last, c.n)
+            cur = Some(OpenSess(e.ts_ms, e.ts_ms, 1))
+          case None =>
+            cur = Some(OpenSess(e.ts_ms, e.ts_ms, 1))
+        }
+      }
+      cur.foreach { c =>
+        state.update(c)
+        // fire once the watermark proves the session can't grow; the
+        // max() guards the engine's "timeout must be in the future
+        // of the watermark" contract when a batch closes late.
+        state.setTimeoutTimestamp(
+          math.max(c.last + 1800001L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming sessionization emitting CLOSED sessions (append mode):
+    * state per user is one open session (3 longs) and is REMOVED once
+    * the watermark passes the gap horizon — state size is O(users
+    * active in the last 30 min), independent of stream history. This
+    * is the indefinitely-running form of [[sessionCounts]].
+    */
+  def closedSessions(events: DataFrame,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionRecord] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateOpenSession)
+  }
 }

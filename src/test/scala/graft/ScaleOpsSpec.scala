@@ -62,6 +62,45 @@ class StatefulSessionsSpec extends SparkTestBase {
       assert(got(u)._2 == events(u), s"user $u: events ${got(u)._2} != ${events(u)}")
     }
   }
+
+  test("EventTimeTimeout closed sessions == batch session records (state expires)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StatefulSessions.closedSessions(input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // feed in global ts order (watermark delay 0) in three batches,
+      // so sessions span micro-batch boundaries via state
+      val evs = Tables.events(spark, sf).select(col("user_id"), col("ts"))
+        .orderBy("ts").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+      evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // watermark-advancing sentinel (dummy user far in the future)
+      // fires every pending EventTimeTimeout -> all real sessions close
+      input.addData(Seq((-1L,
+        new java.sql.Timestamp(evs.last._2.getTime + 86400000L))))
+      q.processAllAvailable()
+
+      val got = spark.table("closed_sessions").filter(col("user_id") >= 0)
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      val expect = graft.operators.SliQueries.sessionized(Tables.events(spark, sf))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_millis(col("ts"))).as("s"),
+          max(unix_millis(col("ts"))).as("e"), count(lit(1)).as("n"))
+        .select("user_id", "s", "e", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+      assert(got.size == expect.size,
+        s"session record count: streaming ${got.size} != batch ${expect.size}")
+      assert(got == expect)
+    } finally q.stop()
+  }
 }
 
 class SkewSpec extends SparkTestBase {
