@@ -53,10 +53,20 @@ object Tables {
     spark.read.parquet(path(dir, name))
   }
 
-  /** `events` with `ts` normalized to TimestampType (µs). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    raw(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  /** `events` with `ts` normalized to TimestampType (µs). Accepts
+    * both physical layouts: the testdata's INT64 TIMESTAMP(NANOS)
+    * (surfaced as a raw long by the legacy conf → converted here) and
+    * a standard µs TIMESTAMP column (left as-is), so any normally-
+    * written events table drops in without the nanos quirk.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val r = raw(spark, dir, "events")
+    r.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        r.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => r
+    }
+  }
 
   /** `events` restricted to `[fromUtc, toUtc)` with the bound applied
     * to the *raw nanos long* column BEFORE the timestamp conversion.
@@ -74,9 +84,16 @@ object Tables {
     def nanos(d: String): Long =
       java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
         .toInstant.toEpochMilli * 1000000L
-    raw(spark, dir, "events")
-      .filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(toUtc))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val r = raw(spark, dir, "events")
+    r.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        r.filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(toUtc))
+          .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ =>
+        // stored TIMESTAMP column: the predicate is directly pushable
+        r.filter(col("ts") >= to_timestamp(lit(fromUtc)) &&
+          col("ts") < to_timestamp(lit(toUtc)))
+    }
   }
 
   /** `events` as a typed Dataset[Event]. */
