@@ -77,6 +77,15 @@ class SourceSinkSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("ORC source: exact row parity with the parquet original") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Tables.part(spark, sf).write.orc(s"$dir/part")
+    val fromOrc = spark.read.orc(s"$dir/part")
+    val a = fromOrc.orderBy("p_partkey").collect().toSeq
+    val b = Tables.part(spark, sf).orderBy("p_partkey").collect().toSeq
+    assert(a == b)
+  }
+
   test("JSON-lines source: same aggregate over a JSON copy of customer") {
     val dir = Files.createTempDirectory("graft_json").toString
     val cust = Tables.customer(spark, sf)
