@@ -82,6 +82,7 @@ object SparkEntry {
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "hash_split" -> (TextOps.hashSplit _),
     "regex_token_profile" -> (TextOps.regexTokenProfile _),
+    "curate_corpus" -> (TextOps.curateCorpus _),
     "distinct_hll" -> (DedupOps.distinctHll _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
@@ -478,6 +479,27 @@ object SparkEntry {
         |         len(regexp_extract_all(text, '\b[a-z]{8,}\b')) AS n_long
         |  FROM read_parquet('{dir}/documents.parquet')) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "curate_corpus" ->
+      """WITH hashed AS (
+        |  SELECT *, md5(lower(trim(text))) AS h
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        | kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY h) AS keep_id FROM hashed) t
+        |  WHERE doc_id = keep_id),
+        | scored AS (
+        |  SELECT *, 0.5 * least(n_chars, 400) / 400.0
+        |       + 0.5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+        |             / len(string_split(text, ' ')) AS q
+        |  FROM kept),
+        | assigned AS (
+        |  SELECT *, CASE WHEN b < 10 THEN 'train' WHEN b < 13 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *, strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS b
+        |        FROM scored WHERE q >= 0.3) t)
+        |SELECT split, lang, count(*) AS n_docs,
+        |       CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS sum_tokens,
+        |       round((avg(q)) + 1e-7, 4) AS avg_quality
+        |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_fingerprint" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints

@@ -144,6 +144,45 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** `curate_corpus` — the end-to-end curation pipeline as ONE
+    * declarative flow (the flagship "switch your pipeline to this
+    * engine" query): exact content dedup (keep the min-doc_id
+    * representative per md5 plane — one shuffle, hash-partitioned)
+    * → quality filter (same formula as `quality_score`, threshold
+    * 0.3) → deterministic `hash_split` assignment → per (split,
+    * lang) training stats. Every stage is deterministic arithmetic,
+    * so the whole pipeline is DuckDB-oracle-backed end to end.
+    *
+    * At 100 TB: stage 1 is the only shuffle (on the content hash);
+    * stages 2-4 are per-row expressions folded into the same scan,
+    * and the final agg is tiny. Replacing stage 1 with the MinHash
+    * kill list (`DedupOps.nearDupMinhash`) upgrades exact dedup to
+    * near-dedup without touching the rest of the flow.
+    */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = lit(0.5) * least(col("n_chars"), lit(400)) / lit(400.0) +
+      lit(0.5) * stopCount(Seq("the", "a", "and", "of", "to")) / size(toks)
+    val bucket = (instr(lit("0123456789abcdef"),
+      substring(md5(col("text")), 1, 1)) - 1).cast("int")
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keep_id"))
+      .withColumn("q", q)
+      .filter(col("q") >= 0.3)
+      .withColumn("split",
+        when(bucket < 10, lit("train"))
+          .when(bucket < 13, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(toks, t => t =!= "")).cast("long")).as("sum_tokens"),
+        r4(avg("q")).as("avg_quality"))
+      .orderBy("split", "lang")
+  }
+
   /** `regex_token_profile` — regex-based token profiling (the
     * filter-building block of corpus quality pipelines): per lang,
     * occurrences of '-er'-suffixed words and of long (≥8 char)

@@ -66,6 +66,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "doc_fingerprint" -> 5L,
     "hash_split" -> 15L,
     "regex_token_profile" -> 5L,
+    "curate_corpus" -> 15L,
     "distinct_hll" -> 5L,
     "near_dup_minhash" -> 5L,
     "simhash_dups" -> 5L,

@@ -150,6 +150,19 @@ class InvariantSpec extends SparkTestBase {
       split.sortBy(r => (r.getString(0), r.getString(1))))
   }
 
+  test("curate_corpus: curated docs <= unique docs per lang; quality in filter range") {
+    val curated = rows("curate_corpus")
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val unique = rows("dedup_docs")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    curated.foreach { case (lang, n) =>
+      assert(n <= unique(lang), s"$lang: curated $n > unique ${unique(lang)}")
+    }
+    rows("curate_corpus").foreach { r =>
+      assert(r.getDouble(4) >= 0.3 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
   test("regex_token_profile: long-word and er-word counts are non-negative, docs match") {
     val prof = rows("regex_token_profile")
     val docs = rows("text_stats").map(r => r.getString(0) -> r.getLong(1)).toMap
