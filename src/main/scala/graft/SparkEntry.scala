@@ -22,9 +22,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. curate_corpus exercises the most engine surface in one
+    * plan: scan → md5 dedup window → quality expressions → hash
+    * split → hash agg → sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    SliQueries.sliMinuteDownsample(spark, "/root/testdata/sf0.001")
+    TextOps.curateCorpus(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
