@@ -177,21 +177,36 @@ object DedupOps {
       .orderBy("lang")
   }
 
-  /** 64-bit SimHash signatures, relationally: per token-hash row,
-    * 64 codegen'd ±1 bit sums in one hash aggregate, then the
-    * signature long assembled from the 64 sign bits (disjoint bits ⇒
-    * plain sum). Output: (doc_id, lang, sim).
+  /** 64-bit SimHash signatures, relationally, with lane-packed bit
+    * counts: per token-hash row, the 64 per-bit ONES counts are packed
+    * 3 per long (21-bit lanes — ones counts are non-negative, so lanes
+    * never borrow; safe to 2^21 ≈ 2M distinct tokens per doc, far past
+    * any real document) giving 22 codegen'd `sum` columns instead of
+    * 64 — the agg buffer and update loop are the hot path at corpus
+    * scale. The signature bit j is then sign(2·ones_j − n_tok) > 0,
+    * identical to the textbook ±1 bit-sum convention (ties → 0).
+    * Output: (doc_id, lang, sim).
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
+    val laneBits = 21
+    val lanes = 3
+    val nCols = (64 + lanes - 1) / lanes // 22
+    val packed = (0 until nCols).map { k =>
+      val terms = (0 until lanes).flatMap { l =>
+        val j = k * lanes + l
+        if (j >= 64) None
+        else Some(shiftleft(shiftright(col("h"), j).bitwiseAND(lit(1L)), l * laneBits))
+      }
+      sum(terms.reduce(_ + _)).as(s"p$k")
     }
-    val sig = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    val aggs = packed :+ count(lit(1)).as("n_tok")
+    val sig = (0 until 64).map { j =>
+      val ones = shiftright(col(s"p${j / lanes}"), (j % lanes) * laneBits)
+        .bitwiseAND(lit((1L << laneBits) - 1))
+      when(ones * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     tokenHashes(docs).groupBy("doc_id", "lang")
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), col("lang"), sig.as("sim"))
   }
 
@@ -223,18 +238,87 @@ object DedupOps {
       .select("lang", "a_id", "b_id", "hamming")
   }
 
+  /** Distinct SimHash signature groups: one row per (lang, signature)
+    * with doc multiplicity `m` and a min-doc_id representative.
+    * Exact-dup docs AND template variants sharing a token SET
+    * (different bytes, same distinct tokens ⇒ same signature) all
+    * collapse to one group, so downstream banding is over genuinely
+    * distinct signatures — an m-doc clique costs 1 band row instead
+    * of m, and its C(m,2) internal pairs are reconstructed
+    * analytically (this corpus: 5000 docs → 4244 groups at sf0.1,
+    * with 94-doc cliques). Output: (doc_id, lang, m, sim).
+    */
+  def simhashSigGroups(docs: DataFrame): DataFrame =
+    simhashSignatures(docs)
+      .groupBy("lang", "sim")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("m"))
+      .select(col("doc_id"), col("lang"), col("m"), col("sim"))
+
+  /** Verified SimHash pairs via 4 × 16-bit chunk banding over DISTINCT
+    * signatures (input: [[simhashSigGroups]] output). Self-pairs
+    * (a_id == b_id, hamming 0) stand for the C(m,2) doc pairs inside
+    * one signature group, so the whole computation is a single
+    * self-join lineage (the sig-group exchange is planned once and
+    * reused on both sides). Two structural guarantees keep it
+    * output-linear: (1) no exact-dup or same-token-set clique ever
+    * meets itself across rows — such docs share one signature group;
+    * (2) the hamming verify (`bit_count(xor)`) runs INSIDE the join
+    * condition, so over-generated bucket pairs (near-dups sharing a
+    * chunk at hamming > max — 144k of 148k bucket pairs at sf0.1) are
+    * dropped during the streamed join and never materialize into the
+    * `distinct()` exchange. Materialized rows = true pairs only
+    * (SimhashSpec bounds them at O(docs)). Output:
+    * (lang, a_id, b_id, hamming, m_a, m_b), one row per verified
+    * signature pair incl. the self row of every group.
+    */
+  def simhashGroupPairs(sigGroups: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunkKeys = (0 until 4).map(c =>
+      shiftright(col("sim"), c * 16).bitwiseAND(lit(0xFFFFL)))
+    val chunked = sigGroups
+      .select(col("doc_id"), col("lang"), col("m"), col("sim"),
+        posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
+    val hamming = bit_count(col("l.sim").bitwiseXOR(col("r.sim")))
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk") === col("r.chunk") &&
+          col("l.ckey") === col("r.ckey") &&
+          col("l.lang") === col("r.lang") &&
+          col("l.doc_id") <= col("r.doc_id") &&
+          hamming <= maxHamming)
+      .select(col("l.lang").as("lang"),
+        col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        hamming.cast("long").as("hamming"),
+        col("l.m").as("m_a"), col("r.m").as("m_b"))
+      .distinct()
+  }
+
   /** Declared query `simhash_dups` (rows-only; Spark's xxhash64 has no
     * DuckDB counterpart so no SQL oracle — invariants are tested in
     * SimhashSpec): per-lang count of pairs at hamming <= 3 over the
     * whole corpus, plus the mean hamming of those pairs.
+    *
+    * Output-linear shape: docs with identical signatures collapse into
+    * signature groups ([[simhashSigGroups]]), so banding never
+    * enumerates within-clique pairs. The pair COUNT semantics are
+    * unchanged from naive enumeration ([[simhashPairs]], kept as
+    * ground truth): a group of m same-signature docs contributes
+    * C(m,2) pairs at hamming 0 (its self row in the banding join), and
+    * a signature pair at hamming h contributes m_a·m_b pairs at h
+    * (SimhashSpec asserts exact equality of both aggregates at
+    * sf0.001).
     */
   def simhashDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), tokensCol.as("toks"))
-    simhashPairs(docs)
+    simhashGroupPairs(simhashSigGroups(docs), maxHamming = 3)
+      .select(col("lang"), col("hamming"),
+        when(col("a_id") === col("b_id"), (col("m_a") * (col("m_a") - 1)) / 2)
+          .otherwise(col("m_a") * col("m_b")).cast("long").as("n_pairs"))
+      .filter(col("n_pairs") > 0) // drop m=1 self rows: langs with no pairs emit no row
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_pairs_hamming_le_3"),
-        round(avg("hamming") + lit(1e-7), 4).as("avg_hamming"))
+      .agg(sum("n_pairs").as("n_pairs_hamming_le_3"),
+        round(sum(col("hamming") * col("n_pairs")) / sum(col("n_pairs")) + lit(1e-7), 4)
+          .as("avg_hamming"))
       .orderBy("lang")
   }
 

@@ -102,6 +102,35 @@ class SimhashSpec extends SparkTestBase {
     }
   }
 
+  test("simhash_dups plane collapse equals naive pair enumeration exactly") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val naive = DedupOps.simhashPairs(docs)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs_hamming_le_3"),
+        round(avg("hamming") + lit(1e-7), 4).as("avg_hamming"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = DedupOps.simhashDups(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collapsed == naive, s"collapsed=$collapsed naive=$naive")
+  }
+
+  test("clique blow-up guard: materialized candidate rows are O(docs) on the template-clique corpus") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val nDocs = docs.count()
+    val groups = DedupOps.simhashSigGroups(docs)
+    assert(groups.count() <= nDocs)
+    // verified pairs (incl. one self row per group) are what reach the
+    // distinct() exchange — the hamming check runs inside the banding
+    // join — and must stay linear in corpus size even though the
+    // corpus is built of template cliques (~550 rows for 500 docs at
+    // sf0.001; ~7.6k for 5000 at sf0.1)
+    val nCands = DedupOps.simhashGroupPairs(groups).count()
+    assert(nCands <= 2 * nDocs,
+      s"materialized candidates $nCands exceed 2x corpus size $nDocs — clique collapse broken")
+  }
+
   test("simhash signature is deterministic and 64-bit stable") {
     val docs = Tables.documents(spark, sf)
       .filter(col("doc_id") < 50)
