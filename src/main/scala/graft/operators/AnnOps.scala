@@ -10,19 +10,11 @@ import graft.sources.Tables
 /** Approximate nearest-neighbor search over embedding columns — the
   * scale path for `cosine_topk` (#33, exact brute force).
   *
-  * Design: IVF (inverted-file) coarse quantization, fully
-  * declarative:
-  *   1. P pivot vectors (deterministic: lowest non-query vec_ids)
-  *      are broadcast; every vector is assigned to its max-cosine
-  *      pivot (one narrow shuffle-free pass: broadcast cross join +
-  *      per-vector argmax window on vec_id).
-  *   2. A query probes its `nprobe` nearest pivots and scans ONLY
-  *      vectors assigned to those buckets — at 1000 executors this
-  *      turns a full-corpus scan into nprobe/P of the data, and the
-  *      bucket assignment is a one-off build (in production it would
-  *      be written as a bucketed/partitioned table keyed by bucket
-  *      id, so probing = partition pruning).
-  *   3. Candidates get exact cosine; top-k via TakeOrderedAndProject.
+  * Design: IVF (inverted-file) coarse quantization with a PERSISTED
+  * index ([[IvfIndex]]): the bucket assignment is built once per
+  * corpus — shuffle-free — and written partitioned by bucket, so
+  * every query is probe-only (partition pruning + exact re-rank +
+  * TakeOrderedAndProject top-k).
   *
   * Recall depends on how clustered the corpus is. The testdata
   * embeddings are isotropic random (SURVEY-verified: max pairwise
@@ -57,52 +49,20 @@ object AnnOps {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
 
-  /** Assign every vector to its nearest (max cosine, pivot-id
-    * tie-break) pivot. Pivots are broadcast — the fact side never
-    * shuffles for the assignment itself.
-    */
-  def ivfAssign(emb: DataFrame, pivots: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("p_id"))
-    emb.crossJoin(broadcast(pivots))
-      .withColumn("pcos", cosine(col("emb"), col("p_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("emb"), col("p_id").as("bucket"))
-  }
-
   /** Declared query `ann_cosine_topk` (rows-only; recall asserted in
-    * AnnRecallSpec): IVF top-k for the query vector vec_id = 0 with
-    * P = 8 pivots (vec_ids 1..8) and nprobe = 3.
+    * AnnRecallSpec): probe-only IVF top-k for the query vector
+    * vec_id = 0 with P = 8 pivots (vec_ids 1..8) and nprobe = 3,
+    * against the persisted [[IvfIndex]] (built on first use per
+    * corpus, reused by every later query — the production shape).
     */
   def annCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    annTopk(all.filter(col("vec_id") === 0),
-      all.filter(col("vec_id") =!= 0), npivots = 8, nprobe = 3, k = 10)
-  }
-
-  /** IVF search: `query` is a 1-row (vec_id, label, emb) frame;
-    * `corpus` the searchable vectors (pivots are its lowest vec_ids).
-    */
-  def annTopk(query: DataFrame, corpus: DataFrame,
-      npivots: Int, nprobe: Int, k: Int): DataFrame = {
-    val pivots = corpus
-      .orderBy("vec_id").limit(npivots)
-      .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
-    val assigned = ivfAssign(corpus, pivots)
-    val q = query.select(col("emb").as("q_emb"))
-    // Buckets the query probes: its nprobe max-cosine pivots.
-    val probed = pivots.crossJoin(broadcast(q))
-      .withColumn("pcos", cosine(col("p_emb"), col("q_emb")))
-      .orderBy(col("pcos").desc, col("p_id"))
-      .limit(nprobe)
-      .select(col("p_id").as("bucket"))
-    assigned
-      .join(broadcast(probed), "bucket")
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        r4(cosine(col("emb"), col("q_emb"))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+    IvfIndex.ensure(spark, dir, npivots = 8) match {
+      case Some(path) =>
+        IvfIndex.probeTopk(spark, path, all.filter(col("vec_id") === 0), nprobe = 3, k = 10)
+      case None => // empty corpus: nothing indexed, empty result
+        all.select(col("vec_id"), col("label"), r4(lit(0.0)).as("cos_sim")).limit(0)
+    }
   }
 
   /** Deterministic Rademacher (±1) hyperplanes for SRP hashing. */

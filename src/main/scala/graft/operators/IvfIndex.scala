@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Det.r4
+import graft.sources.Tables
+
+/** Persisted IVF (inverted-file) index for ANN search — the scale
+  * path that makes `ann_cosine_topk` probe-only.
+  *
+  * Lifecycle (the standard database-index shape):
+  *   1. BUILD (once per corpus, like a `CREATE INDEX` DDL): choose
+  *      `npivots` pivot vectors, assign every corpus vector to its
+  *      nearest pivot SHUFFLE-FREE (see [[assign]]), and persist the
+  *      assignment as a parquet table `PARTITIONED BY (bucket)` plus
+  *      a tiny pivot table. The only driver-side action is collecting
+  *      the npivots pivot rows — an index-build step, not a per-query
+  *      one (queries never collect).
+  *   2. PROBE (every query): rank pivots by query cosine (a broadcast
+  *      of one row against npivots rows), take the `nprobe` best
+  *      buckets, and scan ONLY those partitions of the persisted
+  *      assignment — the bucket join hits the partition column, so
+  *      dynamic partition pruning skips the other directories
+  *      entirely (asserted in AnnRecallSpec). Exact cosine re-rank +
+  *      TakeOrderedAndProject top-k on the survivors.
+  *
+  * At 100 TB the build is one linear scan-and-write, and each query
+  * reads nprobe/npivots of the data with no full-corpus work at all;
+  * rebuilding only happens when the corpus changes, exactly like any
+  * secondary index.
+  */
+object IvfIndex {
+
+  /** Index location for (corpus dir, npivots) under the JVM temp dir
+    * (a production deployment would use a managed table location).
+    * Deterministic so every query against the same corpus shares one
+    * index.
+    */
+  def indexPath(dir: String, npivots: Int): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf/${key}_p$npivots"
+  }
+
+  private def cosine(a: Column, b: Column): Column = AnnOps.cosine(a, b)
+
+  /** Shuffle-free nearest-pivot assignment. Pivots are BUILD-TIME
+    * literals, so the argmax unrolls into npivots native-dot cosines
+    * plus one `array_max` over `struct(cos, -p_id)` rows (struct
+    * ordering = max cosine, then min pivot id — identical tie-break
+    * semantics to a `row_number` window, without its full shuffle of
+    * corpus×npivots rows). The whole assignment is a pure projection:
+    * scan → compute → write, zero Exchange (AnnRecallSpec asserts
+    * this on the physical plan).
+    */
+  def assign(emb: DataFrame, pivots: Seq[(Long, Seq[Double])]): DataFrame = {
+    val scored = pivots.map { case (pid, pemb) =>
+      struct(cosine(col("emb"), typedlit(pemb)).as("c"), lit(-pid).as("np"))
+    }
+    emb.withColumn("best", array_max(array(scored: _*)))
+      .select(col("vec_id"), col("label"), col("emb"),
+        (-col("best").getField("np")).cast("long").as("bucket"))
+  }
+
+  /** Ensure the index for (dir, npivots) exists, building it if
+    * missing (idempotent; JVM-synchronized so concurrent suites can't
+    * race the write). The corpus is every embedding except the
+    * reserved query vector 0. Returns None for an empty corpus —
+    * there is nothing to index, and callers return an empty result.
+    */
+  def ensure(spark: SparkSession, dir: String, npivots: Int): Option[String] = synchronized {
+    val path = indexPath(dir, npivots)
+    val hPath = new org.apache.hadoop.fs.Path(s"$path/assign/_SUCCESS")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) return Some(path)
+    val corpus = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    // the one driver-side step of the build: materialize the npivots
+    // pivot rows (deterministic: lowest vec_ids) as literals
+    val pivotRows: Seq[(Long, Seq[Double])] = corpus
+      .orderBy("vec_id").limit(npivots)
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    if (pivotRows.isEmpty) return None
+    import spark.implicits._
+    pivotRows.toDF("p_id", "p_emb")
+      .write.mode("overwrite").parquet(s"$path/pivots")
+    assign(corpus, pivotRows)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/assign")
+    Some(path)
+  }
+
+  /** Probe-only ANN top-k against a built index: pick the query's
+    * nprobe max-cosine pivots, scan only those bucket partitions of
+    * the assignment table (dynamic partition pruning via the
+    * broadcast join on the partition column), exact re-rank, top-k.
+    * `query` is a 1-row (vec_id, label, emb) frame.
+    */
+  def probeTopk(spark: SparkSession, path: String, query: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val q = query.select(col("emb").as("q_emb"))
+    val pivots = spark.read.parquet(s"$path/pivots")
+    val probed = pivots.crossJoin(broadcast(q))
+      .withColumn("pcos", cosine(col("p_emb"), col("q_emb")))
+      .orderBy(col("pcos").desc, col("p_id"))
+      .limit(nprobe)
+      .select(col("p_id").as("bucket"))
+    spark.read.parquet(s"$path/assign")
+      .join(broadcast(probed), "bucket")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        r4(cosine(col("emb"), col("q_emb"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

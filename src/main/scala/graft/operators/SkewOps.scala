@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * probe row picks one replica pseudo-randomly but DETERMINISTICALLY
   * (hash of its own key + row id), so the hot key's probe rows spread
   * over `salt` reducers instead of one. Result is row-identical to
-  * the plain join (SkewSpec proves it).
+  * the plain join (ScaleOpsSpec proves it).
   */
 object SkewOps {
 

@@ -161,17 +161,37 @@ class AnnRecallSpec extends SparkTestBase {
     assert(recall >= 0.2, s"recall $recall < 0.2")
   }
 
-  test("ivfAssign: every vector gets exactly one bucket, buckets are pivot ids") {
+  test("IvfIndex.assign: one bucket per vector, buckets are pivot ids, zero Exchange") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
       .filter(col("vec_id") =!= 0)
-    val pivots = emb.orderBy("vec_id").limit(8)
-      .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
-    val assigned = AnnOps.ivfAssign(emb, pivots)
+    val pivotRows = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val assigned = graft.operators.IvfIndex.assign(emb, pivotRows)
+    // the assignment is a pure projection: scan -> unrolled argmax,
+    // no shuffle anywhere in the physical plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan has an Exchange:\n$plan")
     assert(assigned.count() == emb.count())
     val buckets = assigned.select("bucket").distinct()
       .collect().map(_.getLong(0)).toSet
     assert(buckets.subsetOf((1L to 8L).toSet))
+  }
+
+  test("IvfIndex probe prunes partitions: only nprobe of npivots buckets are scanned") {
+    val path = graft.operators.IvfIndex.ensure(spark, sf, npivots = 8).get
+    val query = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .filter(col("vec_id") === 0)
+    val res = graft.operators.IvfIndex.probeTopk(spark, path, query, nprobe = 3, k = 10)
+    res.collect() // materialize so AQE finalizes the plan + DPP executes
+    val scan = res.queryExecution.executedPlan.toString
+      .linesIterator.find(s => s.contains("FileScan") && s.contains("assign"))
+      .getOrElse(fail("no FileScan of the assign table in the plan"))
+    assert(scan.contains("dynamicpruning"),
+      s"assign-table scan is not dynamically partition-pruned: $scan")
   }
 }
