@@ -93,6 +93,7 @@ object SparkEntry {
     "source_overlap" -> (DedupOps.sourceOverlap _),
     "percentile_approx_value" -> (ScalarQueries.percentileApproxValue _),
     "ann_cosine_topk" -> (AnnOps.annCosineTopk _),
+    "sketch_rollup" -> (SketchRollup.sketchRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,11 +381,11 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources
         |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
     // §2.5 extras. distinct_hll / near_dup_minhash / simhash_dups /
-    // ann_cosine_topk are deliberately absent here (HLL & xxhash64
-    // internals and IVF probing have no DuckDB mirror) → driver
-    // records the rows-only check; their quantitative bounds are
-    // asserted in HllSpec / MinhashRecallSpec / SimhashSpec /
-    // AnnRecallSpec instead.
+    // ann_cosine_topk / sketch_rollup are deliberately absent here
+    // (HLL & xxhash64 internals and IVF probing have no DuckDB
+    // mirror) → driver records the rows-only check; their
+    // quantitative bounds are asserted in HllSpec / MinhashRecallSpec
+    // / SimhashSpec / AnnRecallSpec / SketchAggSpec instead.
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang,

@@ -73,6 +73,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "source_overlap" -> 5L,
     "percentile_approx_value" -> 5L,
     "ann_cosine_topk" -> 10L,
+    "sketch_rollup" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

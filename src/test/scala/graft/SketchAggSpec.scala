@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchFunctions
+import graft.operators.{DedupOps, SketchRollup}
+import graft.sources.Tables
+
+/** The TypedImperativeAggregate sketch plane (SketchAgg.scala +
+  * SketchRollup.scala): bit-compatibility with the relational minhash
+  * plane, exact mergeability, estimator accuracy, and the
+  * ObjectHashAggregate partial-agg plan shape.
+  */
+class SketchAggSpec extends SparkTestBase {
+
+  test("MinHashAgg is bit-identical to the relational min(xxhash64(h, i)) plane") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    // relational k=64 signature (the DedupOps.docSketches hash chain)
+    val rel = DedupOps.docSketches(docs)
+      .select(col("doc_id"),
+        array((0 until DedupOps.K).map(i => col(s"m$i")): _*).as("sig"))
+    // imperative: same exploded token-hash rows through MinHashAgg
+    val imp = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy("doc_id")
+      .agg(SketchFunctions.minhashAgg(col("h"), DedupOps.K).as("sig"))
+    val diff = rel.as("r").join(imp.as("i"), "doc_id")
+      .filter(col("r.sig") =!= col("i.sig"))
+    assert(diff.count() == 0, "imperative sketch differs from relational plane")
+    assert(rel.count() == imp.count())
+  }
+
+  test("minhash_merge of per-day sketches is BIT-IDENTICAL to sketching raw rows directly") {
+    val daily = SketchRollup.dailySketches(spark, sf)
+    val merged = daily.groupBy("event_type")
+      .agg(SketchFunctions.minhashMerge(col("sig"), SketchRollup.K).as("sig"))
+    val direct = Tables.events(spark, sf)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type")
+      .agg(SketchFunctions.minhashAgg(col("h"), SketchRollup.K).as("sig"))
+    val diff = merged.as("m").join(direct.as("d"), "event_type")
+      .filter(col("m.sig") =!= col("d.sig"))
+    assert(diff.count() == 0, "merged-of-daily != direct sketch")
+    assert(merged.count() == direct.count())
+  }
+
+  test("sketch_rollup estimate within 12% of exact distinct users per event_type") {
+    val est = SketchRollup.sketchRollup(spark, sf)
+      .select("event_type", "est_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (et, n) =>
+      val e = est(et)
+      val err = math.abs(e - n).toDouble / n
+      assert(err < 0.12, s"$et: est $e vs exact $n (err ${err * 100}%)")
+    }
+  }
+
+  test("sketch agg plans as ObjectHashAggregate with partial aggregation across partitions") {
+    val df = Tables.events(spark, sf)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .repartition(7) // force a multi-partition partial->final merge
+      .groupBy("event_type")
+      .agg(SketchFunctions.minhashAgg(col("h"), 64).as("sig"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    // partial state crossed a shuffle and merged; result must equal 1-partition run
+    val one = Tables.events(spark, sf)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .coalesce(1)
+      .groupBy("event_type")
+      .agg(SketchFunctions.minhashAgg(col("h"), 64).as("sig"))
+    assert(df.as("a").join(one.as("b"), "event_type")
+      .filter(col("a.sig") =!= col("b.sig")).count() == 0)
+  }
+
+  test("empty group evals to null sketch, empty input to zero rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("g", "h")
+      .groupBy("g").agg(SketchFunctions.minhashAgg(col("h"), 8).as("sig"))
+    assert(empty.count() == 0)
+    val allNull = Seq(("a", Option.empty[Long])).toDF("g", "h")
+      .groupBy("g").agg(SketchFunctions.minhashAgg(col("h"), 8).as("sig"))
+    val row = allNull.collect()(0)
+    assert(row.isNullAt(1), "all-null input group should eval to null sketch")
+  }
+}
