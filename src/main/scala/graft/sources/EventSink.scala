@@ -21,17 +21,30 @@ import org.apache.spark.sql.functions._
 object EventSink {
 
   /** Write `events` (with its µs `ts`) date-partitioned under `path`.
-    * `filesPerDate` controls output-file fan-in (task files per
-    * date).
+    * `filesPerDate` caps output files per date directory: rows are
+    * repartitioned on (event_date, bucket) where bucket spreads a
+    * date's rows over at most `filesPerDate` tasks — 1 (default) for
+    * small dates, larger for dates too big for a single writer task.
     */
-  def writeDatePartitioned(events: DataFrame, path: String, filesPerDate: Int = 1): Unit =
-    events
-      .withColumn("event_date", to_date(col("ts")))
-      .repartition(col("event_date"))
-      .write
+  def writeDatePartitioned(events: DataFrame, path: String, filesPerDate: Int = 1): Unit = {
+    val dated = events.withColumn("event_date", to_date(col("ts")))
+    val spread =
+      if (filesPerDate <= 1)
+        // one shuffle partition per date (AQE may coalesce further —
+        // harmless: partitionBy still splits one file per date)
+        dated.repartition(col("event_date"))
+      else
+        // explicit partition count: AQE must not coalesce the spread
+        // away; (date, bucket) combos land in distinct tasks w.h.p.,
+        // and the cap holds by construction (bucket < filesPerDate)
+        dated.withColumn("__bucket", pmod(xxhash64(col("event_id")), lit(filesPerDate)))
+          .repartition(filesPerDate * 32, col("event_date"), col("__bucket"))
+          .drop("__bucket")
+    spread.write
       .partitionBy("event_date")
       .mode("overwrite")
       .parquet(path)
+  }
 
   /** Read the partitioned layout back. The `event_date` partition
     * column materializes from directory names; `ts` keeps its full
