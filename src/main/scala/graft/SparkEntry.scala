@@ -94,6 +94,8 @@ object SparkEntry {
     "percentile_approx_value" -> (ScalarQueries.percentileApproxValue _),
     "ann_cosine_topk" -> (AnnOps.annCosineTopk _),
     "sketch_rollup" -> (SketchRollup.sketchRollup _),
+    "srp_near_dup" -> (AnnOps.srpNearDup _),
+    "salted_join" -> (SkewOps.saltedJoinQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,6 +267,17 @@ object SparkEntry {
     "distinct_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    // salted_join: the salt is semantics-preserving, so the PLAIN
+    // join+agg is a valid oracle — a hash match proves row-identity
+    // through the salted path. srp_near_dup stays rows-only (SRP
+    // signatures hash-seeded Spark-side; SrpProps/SrpPlanSpec carry
+    // the quantitative evidence).
+    "salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |       round((sum(l_extendedprice)) + 2e-5, 2) AS revenue
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "supplier_nation_rev" ->
       """SELECT n_name, round((sum(l_extendedprice * (1 - l_discount))) + 2e-5, 2) AS revenue,
         |       count(DISTINCT s_suppkey) AS n_suppliers

@@ -91,25 +91,66 @@ object AnnOps {
     * output: (a_id, b_id, cos).
     */
   def srpNearDupPairs(vecs: DataFrame, threshold: Double = 0.9): DataFrame = {
-    val signed = vecs
-      .withColumn("sig", srpSignature(col("emb")))
-      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-    val chunked = signed.select(col("vec_id"), col("emb"), col("norm"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), 4 * c).bitwiseAND(lit(15))): _*)).as(Seq("chunk", "ckey")))
-    val cands = chunked.as("l")
-      .join(chunked.as("r"),
-        col("l.chunk") === col("r.chunk") &&
-          col("l.ckey") === col("r.ckey") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
-        col("l.emb").as("a_emb"), col("r.emb").as("b_emb"),
-        col("l.norm").as("a_norm"), col("r.norm").as("b_norm"))
-      .distinct()
-    cands
+    val cands = srpCandidates(vecs)
+    // embeddings re-join AFTER the narrow candidate plane: the array
+    // column meets only |candidates| + |corpus| rows, not the banding
+    // self-join's bucket blow-up
+    val withNorm = vecs.withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val aSide = withNorm.select(col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("norm").as("a_norm"))
+    val bSide = withNorm.select(col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("norm").as("b_norm"))
+    cands.join(aSide, "a_id").join(bSide, "b_id")
       .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
+  }
+
+  /** SRP candidate pairs, deduplicated across bands. Deliberately
+    * NARROW: after the signature projection, only (vec_id, chunk,
+    * ckey) ints enter the banding self-join and the distinct — no
+    * exchange in this lineage carries an array column (asserted in
+    * ScaleOpsSpec), so the candidate shuffle stays bytes-per-row even
+    * when embeddings are wide.
+    */
+  def srpCandidates(vecs: DataFrame): DataFrame = {
+    val keyed = vecs
+      .withColumn("sig", srpSignature(col("emb")))
+      .select(col("vec_id"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), 4 * c).bitwiseAND(lit(15))): _*)).as(Seq("chunk", "ckey")))
+    keyed.as("l")
+      .join(keyed.as("r"),
+        col("l.chunk") === col("r.chunk") &&
+          col("l.ckey") === col("r.ckey") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Declared query `srp_near_dup` (rows-only; found/never-found
+    * behavior proven in SrpProps, exchange narrowness in SrpPlanSpec):
+    * SRP-LSH near-dup summary over the WHOLE embeddings corpus — LSH
+    * candidate volume, then verified pairs at cos >= 0.9. On this
+    * isotropic fixture the verified count is 0 by construction (max
+    * pairwise cos ≈ 0.49); the candidate count pins the banding
+    * behavior. At 100× corpus you'd widen the signature (more chunks
+    * bits) to keep buckets sparse — the shape is unchanged.
+    */
+  def srpNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val cands = srpCandidates(v)
+    val withNorm = v.withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val verified = cands
+      .join(withNorm.select(col("vec_id").as("a_id"),
+        col("emb").as("a_emb"), col("norm").as("a_norm")), "a_id")
+      .join(withNorm.select(col("vec_id").as("b_id"),
+        col("emb").as("b_emb"), col("norm").as("b_norm")), "b_id")
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= 0.9)
+    v.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidate_pairs")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_near_dup_pairs")))
   }
 
   /** Declared query `knn_join_exact` (WITH DuckDB oracle): each

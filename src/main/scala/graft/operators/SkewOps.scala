@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffled equi-joins. AQE's skew-join split
@@ -31,5 +31,22 @@ object SkewOps {
     p.join(b,
         p(probeKey) === b(buildKey) && col("__salt_p") === col("__salt_b"))
       .drop("__salt_p", "__salt_b")
+  }
+
+  /** Declared query `salted_join` (WITH DuckDB oracle — salting is
+    * semantics-preserving, so the oracle is the PLAIN join+agg and a
+    * hash match proves row-identity through the salt): supplier-nation
+    * revenue through the salted join at salt = 8.
+    */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det.r2
+    val fact = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_extendedprice")
+    val dim = graft.sources.Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey")
+    saltedEquiJoin(fact, dim, "l_suppkey", "s_suppkey", salt = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), r2(sum("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey")
   }
 }

@@ -74,6 +74,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "percentile_approx_value" -> 5L,
     "ann_cosine_topk" -> 10L,
     "sketch_rollup" -> 5L,
+    "srp_near_dup" -> 1L,
+    "salted_join" -> 10L,
   )
 
   test("golden map covers exactly the declared query set") {

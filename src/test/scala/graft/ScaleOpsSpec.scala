@@ -120,3 +120,33 @@ class SkewSpec extends SparkTestBase {
     assert(salted == plain)
   }
 }
+
+/** SRP candidate plane: the banding self-join + distinct must shuffle
+  * only scalar columns — embedding arrays re-join AFTER candidates.
+  */
+class SrpPlanSpec extends SparkTestBase {
+  test("srpCandidates exchanges carry no array columns") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val cands = graft.operators.AnnOps.srpCandidates(vecs)
+      val exchanges = cands.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected at least one exchange (banding join + distinct)")
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"exchange carries array columns ${arrays.map(_.name).mkString(",")}:\n$e")
+      }
+      // and the full pipeline still verifies: results identical to the
+      // pre-split shape (cos from re-joined embeddings)
+      assert(graft.operators.AnnOps.srpNearDupPairs(vecs).columns.toSeq ==
+        Seq("a_id", "b_id", "cos"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
