@@ -90,8 +90,10 @@ object LlmQueries {
     * 0.6 per the corpus' measured shingle-similarity distribution.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val shingles = expr(
-      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")
+    // length guard: sequence() descends when end < start (SURVEY App. B)
+    // — sub-3-char docs must yield NULL like the oracle's empty range()
+    val shingles = when(length(col("text")) >= 3, expr(
+      "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"))
     val sets = Tables.documents(spark, dir)
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), col("lang"), shingles.as("ws"))

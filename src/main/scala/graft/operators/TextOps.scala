@@ -108,10 +108,13 @@ object TextOps {
     * fingerprints vs docs (collisions ⇒ near-dup clusters).
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val fp = expr(
+    // length guard: Spark's sequence(1, end) DESCENDS when end < 1
+    // (docs shorter than one shingle would hash garbage positions);
+    // NULL here matches the oracle, whose range() is empty for them
+    val fp = when(length(col("text")) >= 8, expr(
       """array_min(transform(sequence(1, length(text) - 7),
         |  i -> aggregate(sequence(0, 7), 0L,
-        |         (acc, j) -> (acc * 31 + ascii(substring(text, i + j, 1))) % 1000000007)))""".stripMargin)
+        |         (acc, j) -> (acc * 31 + ascii(substring(text, i + j, 1))) % 1000000007)))""".stripMargin))
     Tables.documents(spark, dir)
       .select(col("lang"), fp.as("fp"))
       .groupBy("lang")

@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayAggregate, Expression, ExpressionInfo, LambdaFunction, Literal,
-  Multiply, NamedLambdaVariable, ZipWith}
+  Add, ArrayAggregate, EqualTo, Expression, ExpressionInfo, If, LambdaFunction,
+  Literal, Multiply, NamedLambdaVariable, Size, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -50,19 +50,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * variables; the merge is a plain sum starting at literal 0.0; the
   * finish lambda is the identity.
   *
-  * Two preconditions CANNOT be checked statically — the rewrite
-  * assumes DENSE, EQUAL-LENGTH vectors (which embedding columns are
-  * by construction): on ragged or null-element input the HOF form
-  * yields NULL (zip_with pads the shorter array with nulls, which
-  * poisons the sum) while DotProduct sums min(len) elements reading
-  * null slots as 0.0. Parquet-sourced arrays are always element-
-  * nullable in the schema even when dense in fact, so requiring
-  * `containsNull=false` would stop the rule from ever firing on real
-  * data; instead the rule is gated on
-  * `spark.graft.nativeDotRewrite.enabled` (default true) for users
-  * who need exact ragged/null-input semantics. On well-formed input
-  * the two forms are bit-identical (same left-to-right FP summation
-  * order — NativeDotSpec).
+  * RAGGED input is handled exactly: the rewrite emits
+  * `IF(size(a) = size(b), dot_product(a, b), NULL)`, matching the HOF
+  * form's NULL on unequal lengths (zip_with pads the shorter array
+  * with nulls, poisoning the sum) at the cost of two numElements
+  * reads. The ONE remaining divergence is a null ELEMENT inside
+  * equal-length arrays: HOF yields NULL, DotProduct reads the slot as
+  * 0.0. Parquet-sourced arrays are always element-nullable in the
+  * schema even when dense in fact, so requiring `containsNull=false`
+  * would stop the rule from ever firing on real data; users with
+  * genuinely null-holed vectors opt out via
+  * `spark.graft.nativeDotRewrite.enabled`. On well-formed input the
+  * two forms are bit-identical (same left-to-right FP summation order
+  * — NativeDotSpec).
   */
 object NativeDotRewrite extends Rule[LogicalPlan] {
 
@@ -102,6 +102,6 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
           sameVars(add.left, add.right, acc, el) &&
           fin.exprId == fv.exprId &&
           isDoubleArray(a) && isDoubleArray(b) =>
-        DotProduct(a, b)
+        If(EqualTo(Size(a), Size(b)), DotProduct(a, b), Literal(null, DoubleType))
     }
 }

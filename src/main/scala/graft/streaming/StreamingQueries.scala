@@ -24,31 +24,28 @@ import graft.sources.Tables
   */
 object StreamingQueries {
 
-  /** events schema for the file stream source (ts read as raw nanos
-    * LONG — the streaming reader honors the same legacy-nanos conf
-    * set by [[Tables.configure]]).
-    */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming `events` source: file stream over the sf directory's
     * events parquet, with the same nanos→µs ts normalization as the
-    * batch loader.
+    * batch loader — and the same DUAL-LAYOUT handling: a streaming
+    * source needs its schema up front, so peek at the existing files'
+    * footer once (driver-side metadata read, same cost class as the
+    * stream's own listing) and convert raw-nanos LONG ts only when
+    * that is what is physically stored. A standard µs-TIMESTAMP
+    * events table streams unchanged.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.configure(spark)
     // glob form: the file stream source requires a directory or glob
     // basePath (a bare file path is rejected); the glob matches the
     // single events parquet in testdata and N part-files in production
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(s"${dir.stripSuffix("/")}/events*.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val glob = s"${dir.stripSuffix("/")}/events*.parquet"
+    val schema = spark.read.parquet(glob).schema
+    val raw = spark.readStream.schema(schema).parquet(glob)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
   }
 
   /** Streaming twin of #10 `slo_hourly_tumble`: tumbling 1-hour

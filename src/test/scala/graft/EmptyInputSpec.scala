@@ -7,7 +7,7 @@ import graft.sources.Tables
 /** Every declared query must run on EMPTY tables without throwing —
   * the head-on-empty / max-on-empty-null class of bug that only shows
   * up in production when a partition, tenant, or date range is empty.
-  * All 54 queries are declarative (no collect-and-index anywhere), so
+  * All declared queries are declarative (no collect-and-index anywhere), so
   * this must hold by construction; the spec pins it.
   *
   * The empty fixture is written by Spark itself (limit 0 per table),

@@ -69,6 +69,17 @@ class ExtensionsSpec extends SparkTestBase {
     } finally spark.conf.unset(NativeDotRewrite.ConfKey)
   }
 
+  test("rewrite matches HOF semantics on ragged arrays (NULL, not a partial sum)") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)), // ragged -> HOF gives NULL
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),      // well-formed -> 11.0
+    ).toDF("a", "b")
+    val rows = df.selectExpr(s"$hofDot AS d").collect()
+    assert(rows(0).isNullAt(0), "ragged input must stay NULL under the rewrite")
+    assert(rows(1).getDouble(0) == 11.0)
+  }
+
   test("rewrite does NOT fire on a non-dot aggregate (plain sum of one array)") {
     val optimized = embPairs
       .select(expr("aggregate(a, 0.0D, (s, v) -> s + v)").as("s"))
