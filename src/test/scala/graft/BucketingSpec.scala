@@ -73,6 +73,47 @@ class BucketingSpec extends SparkTestBase {
 
       val plain = joined(orders, lineitem).collect()
       assert(rows.toSeq == plain.toSeq, "bucketed join changed results")
+
+      // STAR variant (JoinBench's steady-state shape): add the
+      // customer hop + an agg on a non-bucket key. The fact⋈fact hop
+      // must STAY exchange-free inside the bigger plan — bucketing
+      // that only survives a 2-table toy plan would be useless.
+      val customer = Tables.customer(spark, sf).select("c_custkey", "c_name")
+      val ordersC = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      spark.sql("DROP TABLE IF EXISTS b_orders_c")
+      val dirC = new java.io.File("/tmp/graft-test-warehouse/b_orders_c")
+      if (dirC.exists()) {
+        java.nio.file.Files.walk(dirC.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      ordersC.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders_c")
+      def starQ(l: org.apache.spark.sql.DataFrame, o: org.apache.spark.sql.DataFrame) =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"))
+          .orderBy(col("rev").desc, col("c_custkey")).limit(10)
+      val star = starQ(spark.table("b_lineitem"), spark.table("b_orders_c"))
+      val starRows = star.collect()
+      val fullStar = star.queryExecution.executedPlan.toString
+      val pStar = fullStar.indexOf("== Initial Plan ==") match {
+        case -1 => fullStar
+        case i  => fullStar.substring(0, i)
+      }
+      val starJoin = pStar.substring(pStar.indexOf("SortMergeJoin"))
+      // below the fact SMJ: only bucketed scans + the dim's broadcast
+      // (a broadcast is not a shuffle)
+      assert(!starJoin.replaceAll("BroadcastExchange[^\n]*", "")
+        .replaceAll("ReusedExchange[^\n]*", "")
+        .contains("Exchange"),
+        s"fact hop shuffled inside the star plan:\n$pStar")
+      assert("Bucketed: true".r.findAllIn(starJoin).size == 2,
+        s"expected both fact scans bucketed in star plan:\n$pStar")
+      assert(starRows.toSeq == starQ(lineitem, ordersC).collect().toSeq,
+        "bucketed star query changed results")
+      spark.sql("DROP TABLE IF EXISTS b_orders_c")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_orders")
