@@ -179,6 +179,93 @@ case class MinHashMergeAgg(
     copy(child = newChildren.head)
 }
 
+/** SimHash signature as a TypedImperativeAggregate: input is one
+  * 64-bit token hash per row; buffer is the 64 per-bit ONES counts
+  * plus the token count; eval folds them to the signature long
+  * (bit j set iff ones_j·2 > n — ties to 0, the textbook ±1
+  * convention, bit-identical to the relational lane-packed form in
+  * `DedupOps.simhashSignaturesRelational`, asserted in SketchAggSpec).
+  *
+  * Why: the relational form needs 22 lane-packed `sum` columns whose
+  * update expressions unroll 64 shift/mask terms — measured ~8× the
+  * per-row cost of this loop at sf0.1 (the generated update code is
+  * huge; this is the same "hundreds of agg slots" wall the MinHash
+  * sketch hits, solved the same way). Mergeable: ones counts add.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def prettyName: String = "simhash_agg"
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_agg requires a bigint hash input, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        buffer(j) += (h >>> j) & 1L
+        j += 1
+      }
+      buffer(64) += 1L
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 65) {
+      buffer(j) += input(j)
+      j += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer(64) == 0L) null
+    else {
+      val n = buffer(64)
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (buffer(j) * 2 > n) sig |= 1L << j
+        j += 1
+      }
+      sig
+    }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(65 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](65)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(child = newChildren.head)
+}
+
 /** Column-level entry points for the sketch aggregates. */
 object SketchFunctions {
 
@@ -189,6 +276,10 @@ object SketchFunctions {
   /** Merge persisted k-component sketches (array<bigint> column). */
   def minhashMerge(sig: Column, k: Int): Column =
     GraftBridge.column(MinHashMergeAgg(GraftBridge.expression(sig), k).toAggregateExpression())
+
+  /** SimHash signature of a bigint item-hash column. */
+  def simhashAgg(h: Column): Column =
+    GraftBridge.column(SimHashAgg(GraftBridge.expression(h)).toAggregateExpression())
 
   /** Distinct-count readout of a sketch: n̂ = (k−1)/Σu − 1 with
     * u_i = m_i·2⁻⁶⁴ + ½ ∈ [0,1). Interpreted HOF is fine here — it

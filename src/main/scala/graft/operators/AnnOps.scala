@@ -139,18 +139,20 @@ object AnnOps {
     */
   def srpNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
-    val cands = srpCandidates(v)
     val withNorm = v.withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
-    val verified = cands
+    // single pass: every LSH candidate is verified anyway, so the
+    // candidate count and the verified count aggregate off ONE
+    // banding join + ONE embedding re-join (not one lineage each)
+    val scored = srpCandidates(v)
       .join(withNorm.select(col("vec_id").as("a_id"),
         col("emb").as("a_emb"), col("norm").as("a_norm")), "a_id")
       .join(withNorm.select(col("vec_id").as("b_id"),
         col("emb").as("b_emb"), col("norm").as("b_norm")), "b_id")
       .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
-      .filter(col("cos") >= 0.9)
     v.agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(cands.agg(count(lit(1)).as("n_candidate_pairs")))
-      .crossJoin(verified.agg(count(lit(1)).as("n_near_dup_pairs")))
+      .crossJoin(scored.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        count(when(col("cos") >= 0.9, 1)).as("n_near_dup_pairs")))
   }
 
   /** Declared query `knn_join_exact` (WITH DuckDB oracle): each

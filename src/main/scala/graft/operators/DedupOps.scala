@@ -177,17 +177,30 @@ object DedupOps {
       .orderBy("lang")
   }
 
-  /** 64-bit SimHash signatures, relationally, with lane-packed bit
-    * counts: per token-hash row, the 64 per-bit ONES counts are packed
-    * 3 per long (21-bit lanes — ones counts are non-negative, so lanes
-    * never borrow; safe to 2^21 ≈ 2M distinct tokens per doc, far past
-    * any real document) giving 22 codegen'd `sum` columns instead of
-    * 64 — the agg buffer and update loop are the hot path at corpus
-    * scale. The signature bit j is then sign(2·ones_j − n_tok) > 0,
-    * identical to the textbook ±1 bit-sum convention (ties → 0).
-    * Output: (doc_id, lang, sim).
+  /** 64-bit SimHash signatures via [[graft.functions.SimHashAgg]]
+    * (one tight bit-count loop per token in an ObjectHashAggregate
+    * buffer). Output: (doc_id, lang, sim).
+    *
+    * The relational lane-packed formulation is kept below as
+    * [[simhashSignaturesRelational]]: SketchAggSpec asserts the two
+    * are bit-identical, and the typed agg was measured ~8× cheaper
+    * per row at sf0.1 (22 lane-packed sum columns unroll 64
+    * shift/mask terms in the generated update — the same
+    * wide-agg-buffer wall the MinHash sketch hits).
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    tokenHashes(docs).groupBy("doc_id", "lang")
+      .agg(graft.functions.SketchFunctions.simhashAgg(col("h")).as("sim"))
+
+  /** Lane-packed relational SimHash (the no-custom-code formulation):
+    * per token-hash row the 64 per-bit ONES counts are packed 3 per
+    * long (21-bit lanes — ones counts are non-negative, so lanes
+    * never borrow; safe to 2^21 ≈ 2M distinct tokens per doc) giving
+    * 22 `sum` columns; bit j of the signature is then
+    * sign(2·ones_j − n_tok) > 0 (ties → 0). Kept as the portable
+    * cross-check for the typed aggregate.
+    */
+  def simhashSignaturesRelational(docs: DataFrame): DataFrame = {
     val laneBits = 21
     val lanes = 3
     val nCols = (64 + lanes - 1) / lanes // 22

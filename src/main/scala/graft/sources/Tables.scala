@@ -40,6 +40,15 @@ object Tables {
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // The sketch aggregates (SimHashAgg/MinHashAgg) run as
+    // ObjectHashAggregate; Spark's default in-memory-groups threshold
+    // (128) was tuned for unbounded buffers like collect_list and
+    // forces a sort-based fallback on any per-doc aggregation —
+    // measured 1.7× on simhash_dups. Graft's buffers are small and
+    // CONSTANT-SIZE (0.5-4 KB), so 64k groups caps partial-agg memory
+    // at tens of MB per task; beyond that the sort fallback still
+    // engages gracefully.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
   }
 
   private def path(dir: String, name: String): String = {

@@ -80,6 +80,17 @@ class SketchAggSpec extends SparkTestBase {
       .filter(col("a.sig") =!= col("b.sig")).count() == 0)
   }
 
+  test("SimHashAgg is bit-identical to the relational lane-packed formulation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val typed = DedupOps.simhashSignatures(docs)
+    val rel = DedupOps.simhashSignaturesRelational(docs)
+    val diff = typed.as("t").join(rel.as("r"), "doc_id")
+      .filter(col("t.sim") =!= col("r.sim"))
+    assert(diff.count() == 0, "typed simhash differs from relational plane")
+    assert(typed.count() == rel.count() && typed.count() > 0)
+  }
+
   test("empty group evals to null sketch, empty input to zero rows") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long)].toDF("g", "h")
