@@ -64,6 +64,43 @@ object SketchRollup {
     path
   }
 
+  /** Incremental maintenance — the daily-ETL append: sketch ONLY the
+    * given day's raw events and replace that day's rows in the
+    * persisted table (replace-by-day, staged like
+    * [[graft.sources.Upsert]]; the sketch table itself is KB-scale —
+    * constant bytes per group — so rewriting it is a metadata-class
+    * operation at any corpus size). Raw data outside `day` is never
+    * re-read, and re-running a day (backfill, retry) is idempotent,
+    * so no rollup can double-count. SketchAggSpec proves day-wise
+    * appends produce a table whose rollup is bit-identical to the
+    * one-shot build.
+    */
+  def appendDay(spark: SparkSession, dir: String, day: String, tablePath: String): Unit = {
+    val dayRows = Tables.events(spark, dir)
+      .filter(to_date(col("ts")) === lit(day).cast("date"))
+      .select(col("event_type"), to_date(col("ts")).as("event_date"),
+        xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type", "event_date")
+      .agg(
+        graft.functions.SketchFunctions.minhashAgg(col("h"), K).as("sig"),
+        count(lit(1)).as("n_events"))
+    if (!new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS"))) {
+      dayRows.write.mode("overwrite").parquet(tablePath)
+    } else {
+      val existing = spark.read.parquet(tablePath)
+        .filter(col("event_date") =!= lit(day).cast("date"))
+      existing.unionByName(dayRows)
+        .write.mode("overwrite").parquet(s"${tablePath}__staged")
+      spark.read.parquet(s"${tablePath}__staged")
+        .write.mode("overwrite").parquet(tablePath)
+      new org.apache.hadoop.fs.Path(s"${tablePath}__staged")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"${tablePath}__staged"), true)
+    }
+  }
+
   /** Declared query `sketch_rollup` (rows-only: xxhash64-derived
     * sketch internals have no DuckDB mirror; the estimator bound and
     * bit-exact mergeability are asserted in SketchAggSpec): all-time

@@ -9,12 +9,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.DotProduct
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProduct, MinHashAgg, MinHashMergeAgg, SimHashAgg}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
   * Verify/Bench/Profile/tests — and on a production cluster, by
-  * spark-defaults). Two injections:
+  * spark-defaults). Injections:
   *
   *  1. `dot_product(array<double>, array<double>)` as a SQL-callable
   *     function, so the pure-SQL surface gets the same codegen'd
@@ -27,6 +29,9 @@ import graft.functions.DotProduct
   *     the HOF form is ~18x slower (no doGenCode — per-element lambda
   *     binding + boxing), so users who write the idiomatic portable
   *     SQL silently get the fast path.
+  *  3. The sketch aggregates (`minhash_sketch`, `minhash_merge`,
+  *     `simhash_agg` — SketchAgg.scala) for pure-SQL sketch build +
+  *     rollup pipelines.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -37,6 +42,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           s"dot_product takes exactly 2 arguments, got ${children.size}")
+      }))
+    // the sketch aggregates, SQL-callable (k must be a literal —
+    // it sizes the aggregation buffer at plan time):
+    //   minhash_sketch(hash, k), minhash_merge(sketch, k), simhash_agg(hash)
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, Literal(k: Int, IntegerType)) => MinHashAgg(h, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sketch(hash_col, k) requires a literal int k")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_merge"),
+      new ExpressionInfo(classOf[MinHashMergeAgg].getName, "minhash_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sig, Literal(k: Int, IntegerType)) => MinHashMergeAgg(sig, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash_merge(sketch_col, k) requires a literal int k")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h) => SimHashAgg(h)
+        case _ => throw new IllegalArgumentException(
+          "simhash_agg takes exactly 1 argument")
       }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
   }

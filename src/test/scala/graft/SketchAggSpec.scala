@@ -91,6 +91,48 @@ class SketchAggSpec extends SparkTestBase {
     assert(typed.count() == rel.count() && typed.count() > 0)
   }
 
+  test("sketch aggregates are SQL-callable (build + merge + simhash)") {
+    Tables.events(spark, sf).createOrReplaceTempView("ev_sql")
+    val sql = spark.sql(
+      """WITH daily AS (
+        |  SELECT event_type, to_date(ts) AS d, minhash_sketch(xxhash64(user_id), 64) AS sig
+        |  FROM ev_sql GROUP BY 1, 2)
+        |SELECT event_type, minhash_merge(sig, 64) AS sig FROM daily GROUP BY 1""".stripMargin)
+    val df = Tables.events(spark, sf)
+      .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type")
+      .agg(SketchFunctions.minhashAgg(col("h"), 64).as("sig"))
+    assert(sql.as("a").join(df.as("b"), "event_type")
+      .filter(col("a.sig") =!= col("b.sig")).count() == 0)
+    val sim = spark.sql(
+      "SELECT simhash_agg(xxhash64(user_id)) AS s FROM ev_sql").head().getLong(0)
+    assert(sim != 0L)
+  }
+
+  test("incremental day-wise appends == one-shot build (bit-identical rollup)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sketch_inc").toString
+    val inc = s"$base/inc"
+    val days = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toString).sorted
+    assert(days.size > 2)
+    days.foreach(d => SketchRollup.appendDay(spark, sf, d, inc))
+    // replay one mid-stream day: must be a no-op
+    SketchRollup.appendDay(spark, sf, days(days.size / 2), inc)
+    val fromInc = spark.read.parquet(inc)
+      .groupBy("event_type")
+      .agg(SketchFunctions.minhashMerge(col("sig"), SketchRollup.K).as("sig"),
+        sum("n_events").as("n"))
+    val oneShot = SketchRollup.dailySketches(spark, sf)
+      .groupBy("event_type")
+      .agg(SketchFunctions.minhashMerge(col("sig"), SketchRollup.K).as("sig"),
+        sum("n_events").as("n"))
+    assert(fromInc.as("a").join(oneShot.as("b"), "event_type")
+      .filter(col("a.sig") =!= col("b.sig") || col("a.n") =!= col("b.n"))
+      .count() == 0)
+    assert(fromInc.count() == oneShot.count())
+  }
+
   test("empty group evals to null sketch, empty input to zero rows") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long)].toDF("g", "h")
