@@ -71,6 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "simhash_agg takes exactly 1 argument")
       }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
+    // derived-timestamp range pushdown for raw-nanos event tables
+    // (naive `ts >= lit` filters regain PushedFilters — NanosPushdown.scala)
+    ext.injectOptimizerRule(_ => NanosRangePushdown)
   }
 }
 

@@ -78,4 +78,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "sketches must be hash aggregates")
     assert(p.contains("Generate explode"), "token explode missing")
   }
+
+  test("sketch_rollup never scans raw events — only the persisted sketch table") {
+    val p = plan("sketch_rollup")
+    assert(!p.contains("events.parquet"),
+      s"rollup re-read the raw fact table:\n$p")
+    assert(p.contains("graft_sketch"), "expected the persisted sketch table scan")
+  }
 }
