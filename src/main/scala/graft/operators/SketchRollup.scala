@@ -75,8 +75,16 @@ object SketchRollup {
     * appends produce a table whose rollup is bit-identical to the
     * one-shot build.
     */
-  def appendDay(spark: SparkSession, dir: String, day: String, tablePath: String): Unit = {
-    val dayRows = Tables.events(spark, dir)
+  def appendDay(spark: SparkSession, dir: String, day: String, tablePath: String): Unit =
+    appendDayFrom(spark, Tables.events(spark, dir), day, tablePath)
+
+  /** [[appendDay]] over an arbitrary events frame (needs event_type,
+    * ts, user_id) — lets the streaming ingest sketch from the SINK's
+    * post-merge contents instead of the raw fixture layout.
+    */
+  def appendDayFrom(spark: SparkSession, events: DataFrame, day: String,
+      tablePath: String): Unit = {
+    val dayRows = events
       .filter(to_date(col("ts")) === lit(day).cast("date"))
       .select(col("event_type"), to_date(col("ts")).as("event_date"),
         xxhash64(col("user_id")).as("h"))
@@ -100,6 +108,33 @@ object SketchRollup {
         .delete(new org.apache.hadoop.fs.Path(s"${tablePath}__staged"), true)
     }
   }
+
+  /** Sketch-on-ingest: the streaming composition of the idempotent
+    * upsert sink and incremental sketch maintenance. Every micro-batch
+    *   1. merges into the date-partitioned sink by content key
+    *      ([[graft.sources.Upsert.upsertDatePartitioned]] — replays
+    *      are no-ops), then
+    *   2. re-sketches each AFFECTED day from the SINK's post-merge
+    *      contents (not from the batch!) via [[appendDayFrom]].
+    * Sketching from the sink makes the sketch row a pure function of
+    * the merged day — batch replay, out-of-order delivery, and
+    * backfills all converge to the same sketch table the one-shot
+    * batch build would produce (proven in SketchAggSpec).
+    */
+  def streamingIngest(stream: DataFrame, sinkPath: String, sketchPath: String,
+      keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val spark = df.sparkSession
+        graft.sources.Upsert.upsertDatePartitioned(spark, sinkPath, df, keys)
+        val days = df.select(to_date(col("ts")).as("d")).distinct()
+          .collect().map(_.getDate(0).toString)
+        val sink = spark.read.parquet(sinkPath)
+        days.foreach(d => appendDayFrom(spark, sink, d, sketchPath))
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** Declared query `sketch_rollup` (rows-only: xxhash64-derived
     * sketch internals have no DuckDB mirror; the estimator bound and

@@ -133,6 +133,45 @@ class SketchAggSpec extends SparkTestBase {
     assert(fromInc.count() == oneShot.count())
   }
 
+  test("sketch-on-ingest: streaming upsert keeps sink AND sketch table converged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val stream = input.toDF().toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) +
+        (col("event_id") % 3) * 86400000000L + col("event_id") * 1000000L))
+      .withColumn("props", lit("{}"))
+    val q = SketchRollup.streamingIngest(stream, s"$base/sink", s"$base/sketch",
+      Seq("event_id"), s"$base/ckpt")
+    try {
+      input.addData((1 to 40).map(i => (i.toLong, i.toLong % 7, "a", 1.0)): _*)
+      q.processAllAvailable()
+      // overlapping replay-ish batch: 20 corrected rows + 20 new, other type
+      input.addData((21 to 60).map(i => (i.toLong, i.toLong % 5, "b", 2.0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // sink is keyed-unique
+    val sink = spark.read.parquet(s"$base/sink")
+    assert(sink.count() == 60)
+    assert(sink.select(countDistinct("event_id")).head().getLong(0) == 60)
+    // the streaming-maintained sketch table == one-shot build over the
+    // final sink contents, bit for bit
+    val streamed = spark.read.parquet(s"$base/sketch")
+    val oneShot = sink
+      .select(col("event_type"), to_date(col("ts")).as("event_date"),
+        xxhash64(col("user_id")).as("h"))
+      .groupBy("event_type", "event_date")
+      .agg(SketchFunctions.minhashAgg(col("h"), SketchRollup.K).as("sig"),
+        count(lit(1)).as("n_events"))
+    assert(streamed.count() == oneShot.count() && streamed.count() > 0)
+    assert(streamed.as("a")
+      .join(oneShot.as("b"), Seq("event_type", "event_date"))
+      .filter(col("a.sig") =!= col("b.sig") || col("a.n_events") =!= col("b.n_events"))
+      .count() == 0, "streaming-maintained sketch diverged from one-shot build")
+  }
+
   test("empty group evals to null sketch, empty input to zero rows") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long)].toDF("g", "h")
