@@ -62,6 +62,56 @@ object IvfIndex {
         (-col("best").getField("np")).cast("long").as("bucket"))
   }
 
+  /** Per-bucket centroid of the assigned vectors — the Lloyd update
+    * step, fully relational: posexplode to (bucket, pos, v) →
+    * per-(bucket, dim) mean → re-assemble the array ordered by dim.
+    * Output: (bucket, c_emb).
+    */
+  def centroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("bucket", "pos").agg(avg("v").as("m"))
+      .groupBy("bucket")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c_emb"))
+
+  /** Spherical k-means pivot refinement (Lloyd iterations): assign
+    * every vector to its max-cosine pivot, replace each pivot by its
+    * bucket's mean vector (cosine is scale-invariant, so the
+    * unnormalized mean IS the mean direction), repeat. Empty buckets
+    * keep their previous pivot. Each iteration is one shuffle-free
+    * assignment pass + one centroid aggregation; only npivots×dim
+    * doubles ever reach the driver (index-build DDL, like [[ensure]]).
+    * On clustered data this moves pivots onto the cluster cores so
+    * probing fewer buckets catches more true neighbors
+    * (IvfKmeansSpec: the assignment objective is monotone and recall
+    * at nprobe=1 beats unrefined pivots on a clustered corpus).
+    */
+  def kmeansPivots(emb: DataFrame, init: Seq[(Long, Seq[Double])],
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    var pivots = init
+    (0 until iters).foreach { _ =>
+      val cs = centroids(assign(emb, pivots))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Double](1).toSeq)).toMap
+      pivots = pivots.map { case (pid, old) => (pid, cs.getOrElse(pid, old)) }
+    }
+    pivots
+  }
+
+  /** Append-only index refresh: assign NEW vectors against the
+    * EXISTING pivots (shuffle-free, same literal-unrolled argmax) and
+    * append their rows to the bucket-partitioned assign table — no
+    * rebuild, no touch of existing files. Correct because the
+    * assignment of a vector depends only on the (frozen) pivots;
+    * IvfKmeansSpec proves append == full rebuild bit-for-bit.
+    */
+  def appendVectors(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    val pivotRows = spark.read.parquet(s"$path/pivots")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assign(newVecs, pivotRows)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/assign")
+  }
+
   /** Ensure the index for (dir, npivots) exists, building it if
     * missing (idempotent; JVM-synchronized so concurrent suites can't
     * race the write). The corpus is every embedding except the
