@@ -79,6 +79,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), "token explode missing")
   }
 
+  test("outer_join_linecount reuses the join's partitioning for the first re-agg (SMJ mode)") {
+    // with broadcast off, the left join shuffles both sides on
+    // orderkey; the first groupBy(o_orderkey) must NOT add a third
+    // hash exchange — it aggregates directly on the join's
+    // partitioning. Expected hash exchanges: join-left, join-right,
+    // and the n_lines re-agg = exactly 3.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("outer_join_linecount")(spark, sf)
+      df.collect()
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full; case i => full.substring(0, i)
+      }
+      assert(p.contains("SortMergeJoin"), s"expected SMJ with broadcast off:\n$p")
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges == 3,
+        s"expected exactly 3 hash exchanges (2 join inputs + 1 re-agg), got $hashExchanges:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sketch_rollup never scans raw events — only the persisted sketch table") {
     val p = plan("sketch_rollup")
     assert(!p.contains("events.parquet"),
