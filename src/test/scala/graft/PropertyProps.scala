@@ -203,3 +203,59 @@ object WeightedAvgProps extends SparkProps("weighted_avg") {
         .collect().head.isNullAt(0)
     }
 }
+
+object UpsertProps extends SparkProps("upsert") {
+  import graft.sources.Upsert
+
+  // batches of (event_id, version-minute, value); several batches
+  // overlap keys — the sink invariant is LAST-version-wins per key,
+  // independent of batch order, count, or replays.
+  private case class Batches(bs: List[List[(Long, Int, Double)]])
+
+  private val genBatches: Gen[Batches] = for {
+    nBatches <- Gen.choose(1, 4)
+    bs <- Gen.listOfN(nBatches, Gen.nonEmptyListOf(for {
+      key <- Gen.choose(1L, 12L)
+      ver <- Gen.choose(0, 500)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (key, ver, math.rint(v * 100) / 100)))
+  } yield Batches(bs)
+
+  property("sink == latest-version-wins over all ingested rows; replay-stable") =
+    forAll(genBatches) { case Batches(bs) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_upsert_prop").toString
+      val path = s"$dir/sink"
+      def toDf(b: List[(Long, Int, Double)]) =
+        b.toDF("event_id", "ver", "value")
+          .withColumn("ts", timestamp_micros(lit(1704067200000000L) + col("ver") * 60000000L))
+          .drop("ver")
+      bs.foreach(b => Upsert.upsertDatePartitioned(spark, path, toDf(b), Seq("event_id")))
+      // replay the last batch — must change nothing
+      Upsert.upsertDatePartitioned(spark, path, toDf(bs.last), Seq("event_id"))
+      val got = spark.read.parquet(path)
+        .select("event_id", "ts", "value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sorted.toSeq
+      // expected: per key, the row with max ts; later batches win ties
+      // (their row replaces an equal-ts predecessor). Track per-key
+      // (ts, batchIdx, value): max by (ts) with later-batch override.
+      val expect = bs.zipWithIndex
+        .flatMap { case (b, i) =>
+          // within one batch the upsert dedups by max ts
+          b.groupBy(_._1).map { case (k, rows) =>
+            val best = rows.maxBy(_._2)
+            (k, best._2, i)
+          }
+        }
+        .groupBy(_._1)
+        .map { case (k, entries) =>
+          // across batches: a later batch's row wins iff it has the
+          // max ts among... no: later batch REPLACES the key whenever
+          // it carries it at all
+          val last = entries.maxBy(_._3)
+          (k, 1704067200000000L / 1000 + last._2 * 60000L)
+        }
+        .toSeq.sorted
+      got == expect
+    }
+}
