@@ -259,3 +259,31 @@ object UpsertProps extends SparkProps("upsert") {
       got == expect
     }
 }
+
+object NanosPushdownProps extends SparkProps("nanos_pushdown") {
+  import graft.plans.NanosRangePushdown
+  import graft.sources.Tables
+
+  // random µs-precision bounds (not just midnights) around the
+  // fixture's 2024-01 range; every comparison op; rule-on results
+  // must equal rule-off results exactly (the added conjuncts are
+  // supposed to be supersets — floor-edge bugs would drop rows here)
+  private val genBound: Gen[(String, Long)] = for {
+    op <- Gen.oneOf(">=", ">", "<", "<=")
+    // 2024-01-01 .. 2024-01-20, arbitrary microsecond offset
+    micros <- Gen.choose(1704067200000000L, 1705708800000000L)
+  } yield (op, micros)
+
+  property("rule-on == rule-off for arbitrary µs bounds and all comparison ops") =
+    forAll(genBound) { case (op, micros) =>
+      val dir = "/root/testdata/sf0.001"
+      def run(): Seq[Long] =
+        Tables.events(spark, dir)
+          .filter(expr(s"ts $op timestamp_micros(${micros}L)"))
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val withRule = run()
+      spark.conf.set(NanosRangePushdown.ConfKey, "false")
+      val withoutRule = try run() finally spark.conf.unset(NanosRangePushdown.ConfKey)
+      withRule == withoutRule
+    }
+}
