@@ -269,7 +269,7 @@ object NanosPushdownProps extends SparkProps("nanos_pushdown") {
   // must equal rule-off results exactly (the added conjuncts are
   // supposed to be supersets — floor-edge bugs would drop rows here)
   private val genBound: Gen[(String, Long)] = for {
-    op <- Gen.oneOf(">=", ">", "<", "<=")
+    op <- Gen.oneOf(">=", ">", "<", "<=", "=")
     // 2024-01-01 .. 2024-01-20, arbitrary microsecond offset
     micros <- Gen.choose(1704067200000000L, 1705708800000000L)
   } yield (op, micros)
