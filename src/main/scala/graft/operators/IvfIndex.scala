@@ -32,14 +32,20 @@ import graft.sources.Tables
   */
 object IvfIndex {
 
+  /** Bump when the assignment/probe FORMAT changes (hash chain,
+    * tie-break, schema) — a persisted index from older code must
+    * never be silently reused.
+    */
+  val FormatVersion = 2
+
   /** Index location for (corpus dir, npivots) under the JVM temp dir
     * (a production deployment would use a managed table location).
     * Deterministic so every query against the same corpus shares one
-    * index.
+    * index; versioned so stale-format artifacts are never picked up.
     */
   def indexPath(dir: String, npivots: Int): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf/${key}_p$npivots"
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf/v${FormatVersion}_${key}_p$npivots"
   }
 
   private def cosine(a: Column, b: Column): Column = AnnOps.cosine(a, b)

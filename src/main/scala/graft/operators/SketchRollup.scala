@@ -34,12 +34,15 @@ object SketchRollup {
     */
   val K = 512
 
+  /** Bump when the sketch format changes (hash chain, k, schema). */
+  val FormatVersion = 1
+
   /** Deterministic per-corpus location (same convention as
     * [[IvfIndex.indexPath]]; production would use a managed table).
     */
   def tablePath(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_sketch/${key}_k$K"
+    s"${System.getProperty("java.io.tmpdir")}/graft_sketch/v${FormatVersion}_${key}_k$K"
   }
 
   /** Per-(event_type, event_date) sketch rows from raw events: the
