@@ -46,7 +46,11 @@ object Upsert {
   def upsertDatePartitioned(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String], versionCol: String = "ts"): Unit = {
     val withDate = batch.withColumn("event_date", to_date(col("ts")))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    // deterministic even on version ties: fall back to a content hash
+    // so the surviving row never depends on partitioning or task order
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        xxhash64(struct(batch.columns.map(col).toIndexedSeq: _*)))
     val deduped = withDate
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
