@@ -78,7 +78,7 @@ object AnnOps {
     */
   def srpSignature(emb: Column, dim: Int = 64, nBits: Int = 16): Column =
     hyperplanes(dim, nBits).zipWithIndex.map { case (h, j) =>
-      when(dot(emb, typedlit(h)) > 0, lit(1 << j)).otherwise(lit(0))
+      when(dot(emb, typedlit(h)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Embedding near-dup pairs at corpus scale — the LSH twin of the
@@ -112,13 +112,24 @@ object AnnOps {
     * exchange in this lineage carries an array column (asserted in
     * ScaleOpsSpec), so the candidate shuffle stays bytes-per-row even
     * when embeddings are wide.
+    *
+    * (nBits, bands) is THE LSH knob: r = nBits/bands bucket bits per
+    * chunk. Candidate volume on structureless data scales ~
+    * bands · n²/2^r; recall for a pair with per-bit flip prob
+    * p = θ/π is 1−(1−(1−p)^r)^bands. Default 16/4 (r=4) favors
+    * recall at the 0.9-cosine boundary; wider chunks (r=8) cut
+    * candidates 16× and still catch genuine near-dups (cos ≥ 0.95 →
+    * p ≤ 0.10 → recall ≥ 0.89; cos 0.99 → 0.99).
     */
-  def srpCandidates(vecs: DataFrame): DataFrame = {
+  def srpCandidates(vecs: DataFrame, nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val r = nBits / bands
+    require(bands * r == nBits && nBits <= 32, s"bad LSH shape ($nBits, $bands)")
+    val mask = (1L << r) - 1
     val keyed = vecs
-      .withColumn("sig", srpSignature(col("emb")))
+      .withColumn("sig", srpSignature(col("emb"), nBits = nBits))
       .select(col("vec_id"),
-        posexplode(array((0 until 4).map(c =>
-          shiftright(col("sig"), 4 * c).bitwiseAND(lit(15))): _*)).as(Seq("chunk", "ckey")))
+        posexplode(array((0 until bands).map(c =>
+          shiftright(col("sig"), r * c).bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
     keyed.as("l")
       .join(keyed.as("r"),
         col("l.chunk") === col("r.chunk") &&
@@ -142,8 +153,12 @@ object AnnOps {
     val withNorm = v.withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
     // single pass: every LSH candidate is verified anyway, so the
     // candidate count and the verified count aggregate off ONE
-    // banding join + ONE embedding re-join (not one lineage each)
-    val scored = srpCandidates(v)
+    // banding join + ONE embedding re-join (not one lineage each).
+    // Wider chunks (32/4 → r=8) than the primitive's default: the
+    // corpus-scale query trades boundary-recall for a 16× candidate
+    // cut (see srpCandidates scaladoc) — the right knob when the
+    // corpus is large and the targets are genuine near-dups.
+    val scored = srpCandidates(v, nBits = 32, bands = 4)
       .join(withNorm.select(col("vec_id").as("a_id"),
         col("emb").as("a_emb"), col("norm").as("a_norm")), "a_id")
       .join(withNorm.select(col("vec_id").as("b_id"),
