@@ -3,16 +3,17 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed custom aggregates (the UDAF extension point, SURVEY §2.6).
+/** Typed custom aggregates (the `Aggregator` UDAF extension point,
+  * SURVEY §2.6).
   *
-  * The declared query surface deliberately needs ZERO custom
-  * aggregates — every aggregation lands on Catalyst built-ins, which
-  * partial-aggregate and codegen for free. This module exists to keep
-  * the extension point exercised and tested: when a future operator
-  * genuinely needs custom merge state (a new sketch type, an exotic
-  * accumulator), `Aggregator[IN, BUF, OUT]` is the typed, Encoder-
-  * backed way in — it gets map-side partial aggregation automatically
-  * (`merge` is the shuffle contract), unlike a naive UDF-over-groups.
+  * Relational queries land on Catalyst built-ins (partial aggregation
+  * + codegen for free); when an operator genuinely needs custom merge
+  * state there are two ways in, both exercised in this codebase:
+  * `Aggregator[IN, BUF, OUT]` (this module — typed, Encoder-backed,
+  * map-side partial aggregation via `merge`) and
+  * `TypedImperativeAggregate` (SketchAgg.scala — raw-buffer sketches
+  * where the buffer is an opaque object and updates are tight JVM
+  * loops; the round-3 sketch plane runs on it).
   */
 object Aggregators {
 
