@@ -96,6 +96,7 @@ object SparkEntry {
     "sketch_rollup" -> (SketchRollup.sketchRollup _),
     "srp_near_dup" -> (AnnOps.srpNearDup _),
     "salted_join" -> (SkewOps.saltedJoinQuery _),
+    "ann_knn_join" -> (AnnOps.annKnnJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,11 +395,12 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources
         |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
     // §2.5 extras. distinct_hll / near_dup_minhash / simhash_dups /
-    // ann_cosine_topk / sketch_rollup are deliberately absent here
-    // (HLL & xxhash64 internals and IVF probing have no DuckDB
-    // mirror) → driver records the rows-only check; their
-    // quantitative bounds are asserted in HllSpec / MinhashRecallSpec
-    // / SimhashSpec / AnnRecallSpec / SketchAggSpec instead.
+    // ann_cosine_topk / ann_knn_join / sketch_rollup / srp_near_dup
+    // are deliberately absent here (HLL & xxhash64 internals and IVF
+    // probing have no DuckDB mirror) → driver records the rows-only
+    // check; their quantitative bounds are asserted in HllSpec /
+    // MinhashRecallSpec / SimhashSpec / AnnRecallSpec / SketchAggSpec
+    // / SrpProps instead.
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang,

@@ -65,6 +65,26 @@ object AnnOps {
     }
   }
 
+  /** Declared query `ann_knn_join` (rows-only; recall vs exact and
+    * structural guarantees in AnnRecallSpec): BATCH ANN join — the
+    * 50 query vectors vec_id < 50 each retrieve their top-3 neighbors
+    * from the persisted [[IvfIndex]] in ONE plan (probe-list
+    * broadcast + dynamic partition pruning). The batch twin of
+    * `ann_cosine_topk` and the scale path for `knn_join_exact`.
+    */
+  def annKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    IvfIndex.ensure(spark, dir, npivots = 8) match {
+      case Some(path) =>
+        IvfIndex.probeTopkBatch(spark, path,
+          all.filter(col("vec_id") < 50), nprobe = 3, k = 3)
+          .orderBy("q_id", "rnk")
+      case None =>
+        all.select(col("vec_id").as("q_id"), lit(0L).as("rnk"),
+          col("vec_id"), col("label"), r4(lit(0.0)).as("cos")).limit(0)
+    }
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for SRP hashing. */
   private def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)

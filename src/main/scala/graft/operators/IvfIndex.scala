@@ -148,6 +148,45 @@ object IvfIndex {
     Some(path)
   }
 
+  /** BATCH ANN join against a built index — the 100 TB workhorse
+    * shape (a whole query SET at once, not one vector):
+    *   1. rank pivots per query (queries × broadcast pivots — a
+    *      narrow |Q|·P frame; the per-query top-nprobe window
+    *      shuffles only that frame, never the corpus);
+    *   2. broadcast the (q_id, q_emb, bucket) probe list and join it
+    *      to the bucket-partitioned assignment — dynamic partition
+    *      pruning scans only the union of probed buckets;
+    *   3. exact cosine re-rank, dense rank 1..k per query.
+    * For a query set too big to broadcast, the same plan works with a
+    * shuffle join on bucket (losing DPP, keeping bucket locality) —
+    * the broadcast threshold is the switch, not a rewrite.
+    * Output: (q_id, rnk, vec_id, label, cos). Self-matches are
+    * excluded (a query vector present in the corpus is not its own
+    * neighbor).
+    */
+  def probeTopkBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val pivots = spark.read.parquet(s"$path/pivots")
+    val q = queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("pcos").desc, col("p_id"))
+    val probed = q.crossJoin(broadcast(pivots))
+      .withColumn("pcos", cosine(col("q_emb"), col("p_emb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("p_id").as("bucket"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    spark.read.parquet(s"$path/assign")
+      .join(broadcast(probed), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("emb"), col("q_emb")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("label"),
+        r4(col("cos")).as("cos"))
+  }
+
   /** Probe-only ANN top-k against a built index: pick the query's
     * nprobe max-cosine pivots, scan only those bucket partitions of
     * the assignment table (dynamic partition pruning via the

@@ -76,6 +76,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "sketch_rollup" -> 5L,
     "srp_near_dup" -> 1L,
     "salted_join" -> 10L,
+    "ann_knn_join" -> 150L,
   )
 
   test("golden map covers exactly the declared query set") {

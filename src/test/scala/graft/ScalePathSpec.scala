@@ -195,3 +195,44 @@ class AnnRecallSpec extends SparkTestBase {
       s"assign-table scan is not dynamically partition-pruned: $scan")
   }
 }
+
+/** Batch ANN join (`ann_knn_join` / IvfIndex.probeTopkBatch):
+  * structural guarantees + recall floor vs brute-force exact top-k
+  * over the same corpus.
+  */
+class AnnBatchSpec extends SparkTestBase {
+  test("ann_knn_join: dense ranks, exact cosines, no self-matches, recall floor") {
+    val rows = graft.operators.AnnOps.annKnnJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // dense 1..k rank per query, no self matches
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size).toSeq, s"ranks not dense for q=$q")
+      assert(rs.forall(r => r.getLong(2) != q), s"self-match for q=$q")
+    }
+    // exact brute-force top-3 per query over the indexed corpus
+    import org.apache.spark.sql.functions._
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val corpus = all.filter(col("vec_id") =!= 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val queries = all.filter(col("vec_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = queries.map { case (q, qe) =>
+      q -> corpus.filter(_._1 != q).map { case (id, e) => id -> cos(qe, e) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val hits = byQ.map { case (q, rs) =>
+      (rs.map(_.getLong(2)).toSet & exact(q)).size
+    }.sum
+    val recall = hits.toDouble / (queries.length * 3)
+    // isotropic corpus, nprobe 3/8 -> expected recall ~ 3/8; floor at 0.2
+    assert(recall >= 0.2, s"batch recall $recall < 0.2")
+    info(f"batch ANN recall@3 = $recall%.2f over ${queries.length} queries")
+  }
+}
