@@ -162,20 +162,37 @@ object RelationalQueries {
     */
   def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
     revenueJoin(spark, dir).createOrReplaceTempView("graft_rollup_rev")
+    // TWO-PHASE rollup: pre-aggregate to the (region, nation) grain
+    // FIRST (25 rows), then Expand the tiny aggregate. Spark's Expand
+    // multiplies its INPUT by the grouping-set count, so expanding
+    // before aggregating triples the fact-table volume through the
+    // shuffle; expanding after costs 3×25 rows. Algebraically
+    // identical for sum (sum of sums), and the summation-order change
+    // is absorbed by the same epsilon discipline partition-parallel
+    // partial aggregation already requires (oracle hash stays green).
     spark.sql(
-      s"""SELECT coalesce(r_name, 'ALL') AS region,
+      s"""WITH pre AS (
+         |  SELECT r_name, n_name, sum(rev) AS rev
+         |  FROM graft_rollup_rev GROUP BY r_name, n_name)
+         |SELECT coalesce(r_name, 'ALL') AS region,
          |       coalesce(n_name, 'ALL') AS nation,
          |       round(sum(rev) + 2e-5, 2) AS revenue
-         |FROM graft_rollup_rev
+         |FROM pre
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY region, nation""".stripMargin)
   }
 
-  /** #19 — CUBE(returnflag, linestatus) over lineitem. */
+  /** #19 — CUBE(returnflag, linestatus) over lineitem, two-phase
+    * like [[rollupRegionNation]]: pre-aggregate to the 6-row
+    * (flag, status) grain, cube the aggregate (Expand ×4 over 6 rows
+    * instead of the whole fact table); count becomes sum-of-counts.
+    */
   def cubeFlagStatus(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("q"), count(lit(1)).as("c"))
       .cube("l_returnflag", "l_linestatus")
-      .agg(r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(r2(sum("q")).as("sum_qty"), sum("c").as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
