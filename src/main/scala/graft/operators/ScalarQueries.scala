@@ -100,13 +100,19 @@ object ScalarQueries {
     Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .createOrReplaceTempView("graft_gs_events")
+    // two-phase (see rollupRegionNation): Expand runs over the
+    // (event_type, day) pre-aggregate, not the fact rows; avg
+    // decomposes to sum(s)/sum(c)
     spark.sql(
-      """SELECT coalesce(event_type, 'ALL') AS event_type,
+      """WITH pre AS (
+        |  SELECT event_type, day, count(*) AS c, sum(value) AS s
+        |  FROM graft_gs_events GROUP BY event_type, day)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
         |       coalesce(CAST(day AS STRING), 'ALL') AS day,
         |       CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
-        |       count(*) AS n,
-        |       round(avg(value) + 1e-7, 4) AS avg_value
-        |FROM graft_gs_events
+        |       sum(c) AS n,
+        |       round(sum(s) / sum(c) + 1e-7, 4) AS avg_value
+        |FROM pre
         |GROUP BY GROUPING SETS ((event_type), (day), ())
         |ORDER BY gid, event_type, day""".stripMargin)
   }
