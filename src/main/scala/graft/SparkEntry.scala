@@ -97,6 +97,7 @@ object SparkEntry {
     "srp_near_dup" -> (AnnOps.srpNearDup _),
     "salted_join" -> (SkewOps.saltedJoinQuery _),
     "ann_knn_join" -> (AnnOps.annKnnJoin _),
+    "curate_corpus_neardup" -> (TextOps.curateCorpusNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -186,6 +186,45 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Declared query `curate_corpus_neardup` (rows-only; the MinHash
+    * kill list has no SQL mirror — CurateNearDupSpec pins the
+    * containment invariants): [[curateCorpus]] with stage 1 upgraded
+    * exact→NEAR dedup, exactly as that scaladoc promises: the md5
+    * plane drops byte-identical copies, then the LSH kill list
+    * (`DedupOps.nearDupKillList` — candidate generation by banding,
+    * exact Jaccard verify, precision 1.0) anti-joins away verified
+    * near-duplicates of each bucket representative. Quality / split /
+    * stats stages unchanged. At 100 TB this adds the two sketch
+    * shuffles of the kill list and nothing else.
+    */
+  def curateCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lshDocs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val kills = DedupOps.nearDupKillList(lshDocs).select("doc_id")
+    val q = lit(0.5) * least(col("n_chars"), lit(400)) / lit(400.0) +
+      lit(0.5) * stopCount(Seq("the", "a", "and", "of", "to")) / size(toks)
+    val bucket = (instr(lit("0123456789abcdef"),
+      substring(md5(col("text")), 1, 1)) - 1).cast("int")
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keep_id"))
+      .join(kills, Seq("doc_id"), "left_anti")
+      .withColumn("q", q)
+      .filter(col("q") >= 0.3)
+      .withColumn("split",
+        when(bucket < 10, lit("train"))
+          .when(bucket < 13, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(toks, t => t =!= "")).cast("long")).as("sum_tokens"),
+        r4(avg("q")).as("avg_quality"))
+      .orderBy("split", "lang")
+  }
+
   /** `regex_token_profile` — regex-based token profiling (the
     * filter-building block of corpus quality pipelines): per lang,
     * occurrences of '-er'-suffixed words and of long (≥8 char)

@@ -77,6 +77,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "srp_near_dup" -> 1L,
     "salted_join" -> 10L,
     "ann_knn_join" -> 150L,
+    "curate_corpus_neardup" -> 15L,
   )
 
   test("golden map covers exactly the declared query set") {
