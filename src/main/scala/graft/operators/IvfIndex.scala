@@ -36,7 +36,7 @@ object IvfIndex {
     * tie-break, schema) — a persisted index from older code must
     * never be silently reused.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   /** Index location for (corpus dir, npivots) under the JVM temp dir
     * (a production deployment would use a managed table location).
@@ -60,13 +60,26 @@ object IvfIndex {
     * this on the physical plan).
     */
   def assign(emb: DataFrame, pivots: Seq[(Long, Seq[Double])]): DataFrame = {
-    val scored = pivots.map { case (pid, pemb) =>
-      struct(cosine(col("emb"), typedlit(pemb)).as("c"), lit(-pid).as("np"))
+    // argmax over cosines is scale-invariant in the row vector, so
+    // scoring against UNIT-normalized pivot literals needs only ONE
+    // dot per pivot — no per-row self-norm, no division. The row's
+    // own norm is computed once and STORED: probes then re-rank with
+    // a single dot per candidate (norms are index data, the standard
+    // ANN-index layout).
+    val unitPivots = pivots.map { case (pid, p) =>
+      val n = math.sqrt(p.map(x => x * x).sum)
+      (pid, if (n == 0) p else p.map(_ / n))
+    }
+    val scored = unitPivots.map { case (pid, pemb) =>
+      struct(dot(col("emb"), typedlit(pemb)).as("c"), lit(-pid).as("np"))
     }
     emb.withColumn("best", array_max(array(scored: _*)))
       .select(col("vec_id"), col("label"), col("emb"),
+        sqrt(dot(col("emb"), col("emb"))).as("norm"),
         (-col("best").getField("np")).cast("long").as("bucket"))
   }
+
+  private def dot(a: Column, b: Column): Column = AnnOps.dot(a, b)
 
   /** Per-bucket centroid of the assigned vectors — the Lloyd update
     * step, fully relational: posexplode to (bucket, pos, v) →
@@ -167,20 +180,24 @@ object IvfIndex {
   def probeTopkBatch(spark: SparkSession, path: String, queries: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
     val pivots = spark.read.parquet(s"$path/pivots")
-    val q = queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("pcos").desc, col("p_id"))
     val probed = q.crossJoin(broadcast(pivots))
       .withColumn("pcos", cosine(col("q_emb"), col("p_emb")))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("p_id").as("bucket"))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("p_id").as("bucket"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    // ONE dot per candidate: both norms are precomputed (the corpus
+    // side's at index build, the query side's once per query)
     spark.read.parquet(s"$path/assign")
       .join(broadcast(probed), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("emb"), col("q_emb")))
+      .withColumn("cos",
+        dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("label"),
@@ -195,7 +212,8 @@ object IvfIndex {
     */
   def probeTopk(spark: SparkSession, path: String, query: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val q = query.select(col("emb").as("q_emb"))
+    val q = query.select(col("emb").as("q_emb"),
+      sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
     val pivots = spark.read.parquet(s"$path/pivots")
     val probed = pivots.crossJoin(broadcast(q))
       .withColumn("pcos", cosine(col("p_emb"), col("q_emb")))
@@ -206,7 +224,8 @@ object IvfIndex {
       .join(broadcast(probed), "bucket")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        r4(cosine(col("emb"), col("q_emb"))).as("cos_sim"))
+        r4(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
