@@ -98,6 +98,7 @@ object SparkEntry {
     "salted_join" -> (SkewOps.saltedJoinQuery _),
     "ann_knn_join" -> (AnnOps.annKnnJoin _),
     "curate_corpus_neardup" -> (TextOps.curateCorpusNearDup _),
+    "slo_report_maintained" -> (ReportMaintenance.sloReportMaintained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -521,6 +522,18 @@ object SparkEntry {
         |       CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS sum_tokens,
         |       round((avg(q)) + 1e-7, 4) AS avg_quality
         |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // slo_report_maintained serves the day report from the
+    // incrementally-maintained table (ReportMaintenance) but must
+    // hash-match the DIRECT aggregation over the raw fixture — the
+    // oracle is deliberately identical in spirit to slo_day_report's
+    // (avg spelled sum/count to mirror the derived read): a hash match
+    // proves exact-MV maintenance loses nothing.
+    "slo_report_maintained" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       count(*) AS n, round((sum(value) / count(*)) + 1e-7, 4) AS avg_value,
+        |       round((min(value)) + 2e-5, 2) AS min_value, round((max(value)) + 2e-5, 2) AS max_value,
+        |       round((sum(value)) + 2e-5, 2) AS sum_value
+        |FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_fingerprint" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints

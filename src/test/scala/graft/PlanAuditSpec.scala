@@ -101,6 +101,13 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("slo_report_maintained never scans raw events — only the maintained report table") {
+    val p = plan("slo_report_maintained")
+    assert(!p.contains("events.parquet"),
+      s"served report re-read the raw fact table:\n$p")
+    assert(p.contains("graft_report"), "expected the maintained report table scan")
+  }
+
   test("sketch_rollup never scans raw events — only the persisted sketch table") {
     val p = plan("sketch_rollup")
     assert(!p.contains("events.parquet"),
