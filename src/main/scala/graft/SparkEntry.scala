@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_knn_join" -> (AnnOps.annKnnJoin _),
     "curate_corpus_neardup" -> (TextOps.curateCorpusNearDup _),
     "slo_report_maintained" -> (ReportMaintenance.sloReportMaintained _),
+    "interval_join_views" -> (graft.streaming.StreamJoins.intervalJoinViews _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -534,6 +535,21 @@ object SparkEntry {
         |       round((min(value)) + 2e-5, 2) AS min_value, round((max(value)) + 2e-5, 2) AS max_value,
         |       round((sum(value)) + 2e-5, 2) AS sum_value
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // interval_join_views is the BATCH twin of the stream-stream
+    // interval join (StreamJoins.viewPurchasePairs — the identical
+    // expression runs in both modes); the oracle proves the join
+    // semantics, StreamJoinSpec proves streaming == batch.
+    "interval_join_views" ->
+      """WITH v AS (SELECT user_id, ts FROM read_parquet('{dir}/events.parquet') WHERE event_type = 'view'),
+        | p AS (SELECT user_id, event_id, ts FROM read_parquet('{dir}/events.parquet') WHERE event_type = 'purchase'),
+        | pairs AS (
+        |  SELECT p.user_id, p.event_id, p.ts AS p_ts, v.ts AS v_ts
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts)
+        |SELECT user_id, count(DISTINCT event_id) AS n_purchases_with_view,
+        |       count(*) AS n_pairs,
+        |       round((avg((epoch_ms(p_ts) - epoch_ms(v_ts)) / 1000.0)) + 2e-5, 2) AS avg_gap_s
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_fingerprint" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
