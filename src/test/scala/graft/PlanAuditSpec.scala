@@ -114,4 +114,56 @@ class PlanAuditSpec extends SparkTestBase {
       s"rollup re-read the raw fact table:\n$p")
     assert(p.contains("graft_sketch"), "expected the persisted sketch table scan")
   }
+
+  /** Every shuffle is a cluster-wide data movement — at 100 TB the
+    * difference between 2 and 3 exchanges in a hot query is hours.
+    * Pin each declared query's shuffle-exchange count (hash/range/
+    * single-partition, counted on the pre-execution plan — broadcast
+    * exchanges excluded: dim-size-dependent, asserted separately
+    * above) at its audited value so a refactor that silently adds a
+    * shuffle fails HERE, not on the cluster. Audited at sf0.001 with
+    * default confs; a query genuinely needing a new shuffle updates
+    * its pin in the same commit, visibly.
+    */
+  private val shufflePins: Map[String, Int] = Map(
+    "sli_filter_project" -> 1, "sli_minute_downsample" -> 2,
+    "sli_weighted_avg" -> 2, "slo_day_report" -> 2,
+    "slo_breach_count" -> 3, "slo_compliance_pct" -> 3,
+    "sli_latest_per_user" -> 2, "sli_rolling_7d" -> 3,
+    "sli_sessionize" -> 2, "slo_hourly_tumble" -> 2,
+    "error_budget_burn" -> 4, "rev_by_region" -> 2,
+    "top10_customers" -> 1, "semi_join_urgent" -> 2,
+    "anti_join_no_p_orders" -> 2, "outer_join_linecount" -> 3,
+    "range_join_shipwindow" -> 2, "asof_prior_view" -> 2,
+    "rollup_region_nation" -> 3, "cube_flag_status" -> 3,
+    "set_ops_customers" -> 8, "distinct_exact" -> 3,
+    "supplier_nation_rev" -> 3, "rank_parts" -> 2,
+    "string_funcs" -> 2, "date_funcs" -> 2, "math_funcs" -> 2,
+    "json_extract_agg" -> 2, "percentile_value" -> 2,
+    "props_map_agg" -> 2, "grouping_sets_mix" -> 3,
+    "window_lag_delta" -> 2, "moving_avg_rows" -> 3,
+    "topk_words" -> 1, "dedup_docs" -> 3, "near_dup_pairs" -> 2,
+    "cosine_topk" -> 0, "text_stats" -> 3, "ngram_jaccard" -> 2,
+    "emb_near_dup" -> 1, "knn_join_exact" -> 2,
+    "media_bytes_stats" -> 3, "lang_id" -> 2, "quality_score" -> 2,
+    "token_count" -> 2, "doc_fingerprint" -> 3, "hash_split" -> 2,
+    "regex_token_profile" -> 2, "curate_corpus" -> 3,
+    "distinct_hll" -> 2, "near_dup_minhash" -> 9,
+    "simhash_dups" -> 7, "source_overlap" -> 4,
+    "percentile_approx_value" -> 2, "ann_cosine_topk" -> 0,
+    "sketch_rollup" -> 2, "srp_near_dup" -> 3, "salted_join" -> 2,
+    "ann_knn_join" -> 4, "curate_corpus_neardup" -> 11,
+    "slo_report_maintained" -> 1, "interval_join_views" -> 3)
+
+  test("shuffle-exchange budget: no query exceeds its audited exchange count") {
+    val counts = SparkEntry.queries.keys.map { q =>
+      q -> "Exchange (hash|range|Single)".r.findAllIn(plan(q)).size
+    }.toMap
+    val unpinned = counts.keySet -- shufflePins.keySet
+    assert(unpinned.isEmpty, s"new queries need a shuffle pin: $unpinned")
+    val over = counts.filter { case (q, n) => n > shufflePins(q) }
+    assert(over.isEmpty,
+      over.map { case (q, n) => s"$q: $n shuffles (pinned ${shufflePins(q)})" }
+        .mkString("shuffle regressions:\n", "\n", ""))
+  }
 }
