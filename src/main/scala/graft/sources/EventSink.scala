@@ -46,6 +46,53 @@ object EventSink {
       .parquet(path)
   }
 
+  /** Compact the given date partitions to `filesPerDate` files each,
+    * CLUSTERED by (event_type, ts) within each file — the steady-state
+    * maintenance job every high-rate partitioned sink needs:
+    * streaming/upsert ingestion accretes small files per date (one per
+    * micro-batch task), and at 100 TB the resulting listing + per-file
+    * open overhead dominates scans long before data volume does.
+    * Clustering is the second half of the win: sorted files give
+    * parquet tight min/max stats per row group, so `event_type`/`ts`
+    * predicates skip row groups inside boundary dates (partition
+    * pruning already handles whole dates).
+    *
+    * Only the listed days are read or rewritten (partition-pruned scan
+    * → staged write → dynamic partition overwrite, the
+    * [[Upsert]] publish discipline); re-running is idempotent and a
+    * failed run leaves the sink intact. CompactionSpec proves content
+    * identity, the file-count drop, untouched-partition stability, and
+    * the in-file sort order.
+    */
+  def compactDates(spark: SparkSession, path: String, days: Seq[String],
+      filesPerDate: Int = 1): Unit = {
+    if (days.isEmpty) return
+    val dayDates = days.map(java.sql.Date.valueOf)
+    val affected = readDatePartitioned(spark, path)
+      .filter(col("event_date").isInCollection(dayDates))
+      .repartition(math.max(days.size * filesPerDate, 1),
+        col("event_date"), pmod(xxhash64(col("event_id")), lit(filesPerDate)))
+      .sortWithinPartitions("event_date", "event_type", "ts")
+    val staging = s"${path}__compact_staging"
+    affected.write.partitionBy("event_date").mode("overwrite").parquet(staging)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.parquet(staging)
+        .repartition(math.max(days.size * filesPerDate, 1),
+          col("event_date"), pmod(xxhash64(col("event_id")), lit(filesPerDate)))
+        .sortWithinPartitions("event_date", "event_type", "ts")
+        .write.partitionBy("event_date").mode("overwrite").parquet(path)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val p = new org.apache.hadoop.fs.Path(staging)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Read the partitioned layout back. The `event_date` partition
     * column materializes from directory names; `ts` keeps its full
     * fidelity inside the files.
