@@ -100,6 +100,7 @@ object SparkEntry {
     "curate_corpus_neardup" -> (TextOps.curateCorpusNearDup _),
     "slo_report_maintained" -> (ReportMaintenance.sloReportMaintained _),
     "interval_join_views" -> (graft.streaming.StreamJoins.intervalJoinViews _),
+    "burn_rate_alerts" -> (SliQueries.burnRateAlerts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -535,6 +536,25 @@ object SparkEntry {
         |       round((min(value)) + 2e-5, 2) AS min_value, round((max(value)) + 2e-5, 2) AS max_value,
         |       round((sum(value)) + 2e-5, 2) AS sum_value
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "burn_rate_alerts" ->
+      """WITH per_min AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        | hourly AS (
+        |  SELECT event_type, date_trunc('hour', m) AS h, count(*) AS minutes,
+        |         sum(CASE WHEN v < 50 OR v > 150 THEN 1 ELSE 0 END) AS breaches
+        |  FROM per_min GROUP BY 1, 2),
+        | burn AS (
+        |  SELECT event_type,
+        |         (breaches * 1.0 / minutes) / 0.01 AS fast,
+        |         avg((breaches * 1.0 / minutes) / 0.01) OVER (
+        |           PARTITION BY event_type ORDER BY h
+        |           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS slow
+        |  FROM hourly)
+        |SELECT event_type, count(*) AS n_hours,
+        |       CAST(sum(CASE WHEN fast >= 100 AND slow >= 85 THEN 1 ELSE 0 END) AS BIGINT) AS n_alert_hours,
+        |       round((max(slow)) + 1e-7, 4) AS max_slow_burn
+        |FROM burn GROUP BY 1 ORDER BY 1""".stripMargin,
     // interval_join_views is the BATCH twin of the stream-stream
     // interval join (StreamJoins.viewPurchasePairs — the identical
     // expression runs in both modes); the oracle proves the join

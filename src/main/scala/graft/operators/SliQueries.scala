@@ -195,6 +195,43 @@ object SliQueries {
       .orderBy("event_type")
   }
 
+  /** #62 — multi-window multi-burn-rate alerting (the SRE-handbook
+    * policy SLO platforms page on): an hour alerts when BOTH its own
+    * burn (fast window) and the trailing 6-hour average burn (slow
+    * window) exceed their thresholds — fast catches the spike, slow
+    * suppresses one-hour blips. Burn is in error-budget multiples
+    * (breach share / 1% budget). Thresholds (fast ≥ 100 = the hour
+    * fully out of budget, slow ≥ 85) are tuned to the fixture's
+    * synthetic noise floor; a production 99.9% SLO uses the classic
+    * 14.4/6 pairs — the PLAN is threshold-independent.
+    *
+    * Shape: minute rollup → hour rollup (reuses the minute shuffle's
+    * partitioning lineage) → one window pass per event_type → final
+    * per-type agg. No joins; at 100 TB the minute rollup dominates
+    * and is exactly the pre-aggregation the sketch/report tables
+    * already materialize.
+    */
+  def burnRateAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(avg("value").as("v"))
+      .groupBy(col("event_type"), date_trunc("hour", col("m")).as("h"))
+      .agg(
+        count(lit(1)).as("minutes"),
+        sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L)).as("breaches"))
+    val w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-5, 0)
+    hourly
+      .withColumn("fast", (col("breaches") * lit(1.0) / col("minutes")) / lit(0.01))
+      .withColumn("slow", avg(col("fast")).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("fast") >= 100 && col("slow") >= 85, 1L).otherwise(0L))
+          .as("n_alert_hours"),
+        r4(max("slow")).as("max_slow_burn"))
+      .orderBy("event_type")
+  }
+
   /** #10 — tumbling 1-hour aggregation (batch twin of the streaming
     * updater cadence; see graft.streaming for the readStream twin).
     */

@@ -78,6 +78,9 @@ class GoldenCountsSpec extends SparkTestBase {
     "salted_join" -> 10L,
     "ann_knn_join" -> 150L,
     "curate_corpus_neardup" -> 15L,
+    "slo_report_maintained" -> 150L,
+    "interval_join_views" -> 2L,
+    "burn_rate_alerts" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -153,7 +153,8 @@ class PlanAuditSpec extends SparkTestBase {
     "percentile_approx_value" -> 2, "ann_cosine_topk" -> 0,
     "sketch_rollup" -> 2, "srp_near_dup" -> 3, "salted_join" -> 2,
     "ann_knn_join" -> 4, "curate_corpus_neardup" -> 11,
-    "slo_report_maintained" -> 1, "interval_join_views" -> 3)
+    "slo_report_maintained" -> 1, "interval_join_views" -> 3,
+    "burn_rate_alerts" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
