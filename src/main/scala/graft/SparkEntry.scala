@@ -101,6 +101,7 @@ object SparkEntry {
     "slo_report_maintained" -> (ReportMaintenance.sloReportMaintained _),
     "interval_join_views" -> (graft.streaming.StreamJoins.intervalJoinViews _),
     "burn_rate_alerts" -> (SliQueries.burnRateAlerts _),
+    "heavy_hitters" -> (LlmQueries.heavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -536,6 +537,20 @@ object SparkEntry {
         |       round((min(value)) + 2e-5, 2) AS min_value, round((max(value)) + 2e-5, 2) AS max_value,
         |       round((sum(value)) + 2e-5, 2) AS sum_value
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // heavy_hitters: the engine runs 2-pass Misra-Gries (sketch prune
+    // -> exact candidate count); the oracle computes the same EXACT
+    // answer brute-force — a hash match proves the sketch path never
+    // loses a true heavy hitter and never admits a false one.
+    "heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        | c AS (SELECT word, count(*) AS cnt FROM w WHERE word <> '' GROUP BY 1),
+        | t AS (SELECT sum(cnt) AS n FROM c)
+        |SELECT word, cnt,
+        |       round((cnt * 100.0 / (SELECT n FROM t)) + 1e-7, 4) AS pct
+        |FROM c WHERE cnt >= (SELECT n FROM t) * 0.01
+        |ORDER BY cnt DESC, word""".stripMargin,
     "burn_rate_alerts" ->
       """WITH per_min AS (
         |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v

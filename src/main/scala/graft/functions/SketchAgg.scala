@@ -266,6 +266,176 @@ case class SimHashAgg(
     copy(child = newChildren.head)
 }
 
+object MisraGriesAgg {
+  /** Mutable MG state: item → counter (≤ k entries between calls) plus
+    * the exact processed-row count.
+    */
+  final class Buffer(val map: java.util.HashMap[String, Long], var n: Long)
+}
+
+/** Misra–Gries frequent-items summary as a TypedImperativeAggregate —
+  * the heavy-hitters sketch of the mergeable-sketch plane (MinHash =
+  * cardinality/Jaccard, SimHash = similarity, MG = frequency).
+  *
+  * Buffer: at most k (item → counter) entries plus the EXACT total
+  * update count n. Update is classic MG (hit: +1; miss with room:
+  * insert 1; miss when full: decrement all, drop zeros — amortized
+  * O(1) per row). Merge follows the mergeable-summaries construction
+  * (Agarwal et al., PODS'12): add counterparts, then if over capacity
+  * subtract the (k+1)-th largest counter from all and drop ≤ 0 —
+  * which preserves the MG guarantee under ARBITRARY merge trees:
+  *
+  *   true_count − n/(k+1)  ≤  est  ≤  true_count
+  *
+  * So any item with frequency share > 1/(k+1) is guaranteed present
+  * in the final summary regardless of partitioning or merge order —
+  * the property that makes a 2-pass EXACT heavy-hitters query
+  * deterministic at any scale: MG prunes the candidate set to ≤ k
+  * items (one tiny row crosses the shuffle), an exact count of just
+  * those candidates removes the false positives
+  * ([[graft.operators.LlmQueries.heavyHitters]]).
+  *
+  * eval returns `struct(n, items)` with items sorted (est desc, item
+  * asc); n is exact (counters add precisely), so downstream thresholds
+  * of the form share ≥ φ need no second full scan for the total.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGriesAgg.Buffer] {
+
+  import org.apache.spark.sql.types.{LongType => SLong, StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "misra_gries"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", SLong, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est", SLong, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType && k > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a string input and k > 0, got " +
+        s"${child.dataType.simpleString}, k=$k")
+
+  override def createAggregationBuffer(): MisraGriesAgg.Buffer =
+    new MisraGriesAgg.Buffer(new java.util.HashMap[String, Long](k * 2), 0L)
+
+  override def update(buffer: MisraGriesAgg.Buffer, input: InternalRow): MisraGriesAgg.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      buffer.n += 1L
+      val cur = buffer.map.get(item)
+      if (cur != 0L || buffer.map.containsKey(item)) {
+        buffer.map.put(item, cur + 1L)
+      } else if (buffer.map.size < k) {
+        buffer.map.put(item, 1L)
+      } else {
+        // miss with a full summary: decrement every counter, drop zeros
+        val it = buffer.map.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: MisraGriesAgg.Buffer, input: MisraGriesAgg.Buffer): MisraGriesAgg.Buffer = {
+    buffer.n += input.n
+    val it = input.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buffer.map.get(e.getKey)
+      buffer.map.put(e.getKey, cur + e.getValue)
+    }
+    if (buffer.map.size > k) {
+      // subtract the (k+1)-th largest counter from all, drop <= 0
+      val vals = new Array[Long](buffer.map.size)
+      var i = 0
+      val vi = buffer.map.values().iterator()
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val d = vals(vals.length - (k + 1)) // (k+1)-th largest
+      val ei = buffer.map.entrySet().iterator()
+      while (ei.hasNext) {
+        val e = ei.next()
+        if (e.getValue <= d) ei.remove() else e.setValue(e.getValue - d)
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: MisraGriesAgg.Buffer): Any = {
+    val entries = new Array[(String, Long)](buffer.map.size)
+    var i = 0
+    val it = buffer.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue)
+      i += 1
+    }
+    val sorted = entries.sortBy { case (item, est) => (-est, item) }
+    val rows: Array[Any] = sorted.map { case (item, est) =>
+      org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(item), est)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(buffer.n, new GenericArrayData(rows))
+  }
+
+  override def serialize(buffer: MisraGriesAgg.Buffer): Array[Byte] = {
+    val items = new scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](buffer.map.size)
+    var bytes = 8 + 4
+    val it = buffer.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      items += ((b, e.getValue))
+      bytes += 4 + b.length + 8
+    }
+    val bb = ByteBuffer.allocate(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(buffer.n)
+    bb.putInt(items.size)
+    items.foreach { case (b, c) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MisraGriesAgg.Buffer = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getLong()
+    val size = bb.getInt()
+    val map = new java.util.HashMap[String, Long](math.max(size * 2, 16))
+    var i = 0
+    while (i < size) {
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      val c = bb.getLong()
+      map.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), c)
+      i += 1
+    }
+    new MisraGriesAgg.Buffer(map, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren.head)
+}
+
 /** Column-level entry points for the sketch aggregates. */
 object SketchFunctions {
 
@@ -280,6 +450,13 @@ object SketchFunctions {
   /** SimHash signature of a bigint item-hash column. */
   def simhashAgg(h: Column): Column =
     GraftBridge.column(SimHashAgg(GraftBridge.expression(h)).toAggregateExpression())
+
+  /** Misra–Gries frequent-items summary of a string column:
+    * struct(n, items[(item, est)]), ≤ k items, est undercounts by at
+    * most n/(k+1).
+    */
+  def misraGries(item: Column, k: Int): Column =
+    GraftBridge.column(MisraGriesAgg(GraftBridge.expression(item), k).toAggregateExpression())
 
   /** Distinct-count readout of a sketch: n̂ = (k−1)/Σu − 1 with
     * u_i = m_i·2⁻⁶⁴ + ½ ∈ [0,1). Interpreted HOF is fine here — it

@@ -38,6 +38,42 @@ object LlmQueries {
       .orderBy(col("cnt").desc, col("word"))
       .limit(20)
 
+  /** #64 — EXACT heavy hitters at any scale (full DuckDB oracle):
+    * words with frequency share >= 1% of all tokens, found with the
+    * 2-pass Misra–Gries discipline —
+    *   pass 1: `misra_gries(word, 128)` compacts the corpus to ONE
+    *     summary row (<= 128 candidates + the exact token total n;
+    *     map-side partial agg, a few KB cross the shuffle). Every item
+    *     with share > 1/129 is guaranteed present under any merge
+    *     order, so at phi = 1% there are NO false negatives.
+    *   pass 2: exact counts of the candidates only — the count shuffle
+    *     carries <= 128 words regardless of corpus size — then the
+    *     share >= phi filter drops MG's false positives.
+    * Result is EXACT and deterministic (the oracle computes it the
+    * brute-force way); the sketch only ever prunes. Contrast with
+    * #30 `topk_words`, whose full-vocabulary count shuffle is the
+    * thing this query avoids at 100 TB.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val summary = words.agg(
+      graft.functions.SketchFunctions.misraGries(col("word"), 128).as("mg"))
+    val cands = summary.select(col("mg.n").as("n"), explode(col("mg.items")).as("it"))
+      .select(col("n"), col("it.item").as("word"))
+    val counts = words
+      .join(broadcast(cands.select("word")), Seq("word"), "left_semi")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .crossJoin(broadcast(summary.select(col("mg.n").as("n"))))
+      .filter(col("cnt") >= col("n") * lit(0.01))
+      .select(col("word"), col("cnt"),
+        r4(col("cnt") * lit(100.0) / col("n")).as("pct"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** #31 — exact dedup by normalized-text hash, per language. */
   def dedupDocs(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(lower(trim(col("text"))))

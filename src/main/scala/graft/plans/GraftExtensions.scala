@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashAgg, MinHashMergeAgg, SimHashAgg}
+import graft.functions.{DotProduct, MinHashAgg, MinHashMergeAgg, MisraGriesAgg, SimHashAgg}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
@@ -69,6 +69,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(h) => SimHashAgg(h)
         case _ => throw new IllegalArgumentException(
           "simhash_agg takes exactly 1 argument")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (children: Seq[Expression]) => children match {
+        case Seq(item, Literal(k: Int, IntegerType)) => MisraGriesAgg(item, k)
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(item_col, k) requires a literal int k")
       }))
     ext.injectOptimizerRule(_ => NativeDotRewrite)
     // derived-timestamp range pushdown for raw-nanos event tables

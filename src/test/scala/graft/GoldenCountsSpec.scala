@@ -81,6 +81,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "slo_report_maintained" -> 150L,
     "interval_join_views" -> 2L,
     "burn_rate_alerts" -> 5L,
+    "heavy_hitters" -> 30L,
   )
 
   test("golden map covers exactly the declared query set") {
