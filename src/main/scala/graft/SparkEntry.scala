@@ -102,6 +102,9 @@ object SparkEntry {
     "interval_join_views" -> (graft.streaming.StreamJoins.intervalJoinViews _),
     "burn_rate_alerts" -> (SliQueries.burnRateAlerts _),
     "heavy_hitters" -> (LlmQueries.heavyHitters _),
+    "pivot_day_type" -> (RelationalQueries.pivotDayType _),
+    "unpivot_type_stats" -> (RelationalQueries.unpivotTypeStats _),
+    "stratified_sample" -> (TextOps.stratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,6 +540,42 @@ object SparkEntry {
         |       round((min(value)) + 2e-5, 2) AS min_value, round((max(value)) + 2e-5, 2) AS max_value,
         |       round((sum(value)) + 2e-5, 2) AS sum_value
         |FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // pivot_day_type: Spark's pivot lowers to conditional aggregation,
+    // which is exactly what the oracle spells out with CASE — one hash
+    // agg either way.
+    "pivot_day_type" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  round((avg(CASE WHEN event_type = 'click' THEN value END)) + 1e-7, 4) AS click,
+        |  round((avg(CASE WHEN event_type = 'error' THEN value END)) + 1e-7, 4) AS error,
+        |  round((avg(CASE WHEN event_type = 'purchase' THEN value END)) + 1e-7, 4) AS purchase,
+        |  round((avg(CASE WHEN event_type = 'signup' THEN value END)) + 1e-7, 4) AS signup,
+        |  round((avg(CASE WHEN event_type = 'view' THEN value END)) + 1e-7, 4) AS view
+        |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    // unpivot_type_stats re-melts the pivoted matrix; the oracle
+    // computes the same stats from the raw table over the rounded
+    // day-average grain (the engine's day_avg values ARE the rounded
+    // pivot cells, so the second-level stats match bit for bit).
+    "unpivot_type_stats" ->
+      """WITH day_avg AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |         round((avg(value)) + 1e-7, 4) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |       round((avg(v)) + 1e-7, 4) AS avg_of_day_avgs,
+        |       round((max(v)) + 1e-7, 4) AS max_day_avg
+        |FROM day_avg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // stratified_sample: content-hash-ordered per-stratum quota — both
+    // engines draw the IDENTICAL sample because the order is a pure
+    // function of content (md5, doc_id tie-break).
+    "stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |       round((avg(n_chars)) + 1e-7, 4) AS avg_chars,
+        |       min(doc_id) AS min_doc_id
+        |FROM (
+        |  SELECT lang, n_chars, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM read_parquet('{dir}/documents.parquet')) t
+        |WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin,
     // heavy_hitters: the engine runs 2-pass Misra-Gries (sketch prune
     // -> exact candidate count); the oracle computes the same EXACT
     // answer brute-force — a hash match proves the sketch path never

@@ -243,6 +243,41 @@ object RelationalQueries {
         countDistinct("s_suppkey").as("n_suppliers"))
       .orderBy("n_name")
 
+  /** #65 — PIVOT: the day × event_type average-value matrix (long →
+    * wide reshaping). Pivot values are DECLARED (the five fixture
+    * types), which is the 100 TB discipline anyway: an undeclared
+    * pivot forces an extra distinct-values job before planning. Plan
+    * is ONE hash aggregate whose buffer holds 5 conditional avgs —
+    * identical shape to the oracle's CASE-based conditional
+    * aggregation, no extra shuffle vs a plain groupBy.
+    */
+  def pivotDayType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(r4(avg("value")))
+      .orderBy("day")
+
+  /** #66 — UNPIVOT (wide → long, the inverse reshaping): melts the
+    * pivoted matrix back to (day, event_type, avg_value) rows and
+    * re-aggregates per type. Unpivot is a per-row expression expansion
+    * (Expand, no shuffle); the round trip pivot→unpivot→agg proves
+    * both directions compose losslessly — the oracle computes the
+    * same thing straight from the raw table.
+    */
+  def unpivotTypeStats(spark: SparkSession, dir: String): DataFrame =
+    pivotDayType(spark, dir)
+      .unpivot(Array(col("day")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "day_avg")
+      .filter(col("day_avg").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        r4(avg("day_avg")).as("avg_of_day_avgs"),
+        r4(max("day_avg")).as("max_day_avg"))
+      .orderBy("event_type")
+
   /** #22 — top-3 parts per brand (dense_rank + filter, per-group top-N).
     * Ranks on the RAW price (matching the oracle, whose window cannot
     * see the projected alias) and rounds only the output column.

@@ -147,6 +147,34 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** #67 `stratified_sample` — deterministic fixed-size per-stratum
+    * sampling: the first 10 docs per language in content-hash order
+    * (md5, tie-break doc_id). Hash-ordering makes the sample a pure
+    * function of content — reproducible across cluster sizes, re-runs,
+    * and engines (the DuckDB oracle draws the identical sample), and
+    * stable under appends unless new content actually displaces a
+    * sampled doc. The eval/holdout-set discipline [[hashSplit]]
+    * applies to splits, applied to per-group quotas.
+    *
+    * Scale: one shuffle on the stratum key + a per-group sorted
+    * window truncated at 10. At 100 TB with few huge strata you'd
+    * pre-prune with an approximate per-group hash-rank threshold
+    * before the window; the declared grain here is the direct form.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        r4(avg("n_chars")).as("avg_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("lang")
+  }
+
   /** `curate_corpus` — the end-to-end curation pipeline as ONE
     * declarative flow (the flagship "switch your pipeline to this
     * engine" query): exact content dedup (keep the min-doc_id

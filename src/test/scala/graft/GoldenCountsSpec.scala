@@ -82,6 +82,9 @@ class GoldenCountsSpec extends SparkTestBase {
     "interval_join_views" -> 2L,
     "burn_rate_alerts" -> 5L,
     "heavy_hitters" -> 30L,
+    "pivot_day_type" -> 30L,
+    "unpivot_type_stats" -> 5L,
+    "stratified_sample" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -154,7 +154,9 @@ class PlanAuditSpec extends SparkTestBase {
     "sketch_rollup" -> 2, "srp_near_dup" -> 3, "salted_join" -> 2,
     "ann_knn_join" -> 4, "curate_corpus_neardup" -> 11,
     "slo_report_maintained" -> 1, "interval_join_views" -> 3,
-    "burn_rate_alerts" -> 4, "heavy_hitters" -> 4)
+    "burn_rate_alerts" -> 4, "heavy_hitters" -> 4,
+    "pivot_day_type" -> 3, "unpivot_type_stats" -> 5,
+    "stratified_sample" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
