@@ -105,6 +105,9 @@ object SparkEntry {
     "pivot_day_type" -> (RelationalQueries.pivotDayType _),
     "unpivot_type_stats" -> (RelationalQueries.unpivotTypeStats _),
     "stratified_sample" -> (TextOps.stratifiedSample _),
+    // rows-only (GK sketch internals have no DuckDB mirror; rank
+    // bound asserted in QuantileSketchSpec)
+    "quantile_sketch_rollup" -> (QuantileRollup.quantileSketchRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashAgg, MinHashMergeAgg, MisraGriesAgg, SimHashAgg}
+import graft.functions.{DotProduct, GkMergeAgg, GkQuantiles, GkSketchAgg,
+  MinHashAgg, MinHashMergeAgg, MisraGriesAgg, SimHashAgg}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by
@@ -69,6 +70,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(h) => SimHashAgg(h)
         case _ => throw new IllegalArgumentException(
           "simhash_agg takes exactly 1 argument")
+      }))
+    // quantile sketch plane: gk_sketch(value, eps), gk_merge(sketch,
+    // eps), gk_quantiles(sketch, array(phi...))
+    ext.injectFunction((
+      FunctionIdentifier("gk_sketch"),
+      new ExpressionInfo(classOf[GkSketchAgg].getName, "gk_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(eps: Double, DoubleType)) => GkSketchAgg(v, eps)
+        case _ => throw new IllegalArgumentException(
+          "gk_sketch(value_col, eps) requires a literal double eps")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gk_merge"),
+      new ExpressionInfo(classOf[GkMergeAgg].getName, "gk_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, Literal(eps: Double, DoubleType)) => GkMergeAgg(s, eps)
+        case _ => throw new IllegalArgumentException(
+          "gk_merge(sketch_col, eps) requires a literal double eps")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gk_quantiles"),
+      new ExpressionInfo(classOf[GkQuantiles].getName, "gk_quantiles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, p) => GkQuantiles(s, p)
+        case _ => throw new IllegalArgumentException(
+          "gk_quantiles takes exactly 2 arguments")
       }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),

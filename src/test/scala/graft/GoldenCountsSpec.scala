@@ -85,6 +85,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "pivot_day_type" -> 30L,
     "unpivot_type_stats" -> 5L,
     "stratified_sample" -> 5L,
+    "quantile_sketch_rollup" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {
