@@ -108,6 +108,8 @@ object SparkEntry {
     // rows-only (GK sketch internals have no DuckDB mirror; rank
     // bound asserted in QuantileSketchSpec)
     "quantile_sketch_rollup" -> (QuantileRollup.quantileSketchRollup _),
+    "gap_fill_minutes" -> (SliQueries.gapFillMinutes _),
+    "weekly_retention" -> (SliQueries.weeklyRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -593,6 +595,38 @@ object SparkEntry {
         |       round((cnt * 100.0 / (SELECT n FROM t)) + 1e-7, 4) AS pct
         |FROM c WHERE cnt >= (SELECT n FROM t) * 0.01
         |ORDER BY cnt DESC, word""".stripMargin,
+    // gap_fill_minutes: dense minute grid + forward fill; the oracle
+    // mirrors the grid (generate_series) and the carry-forward
+    // (last_value IGNORE NULLS) exactly.
+    "gap_fill_minutes" ->
+      """WITH m AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(minute) AS lo, max(minute) AS hi FROM m GROUP BY 1),
+        | grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute FROM bounds),
+        | joined AS (
+        |  SELECT g.event_type, g.minute, m.v,
+        |         last_value(m.v IGNORE NULLS) OVER (
+        |           PARTITION BY g.event_type ORDER BY g.minute
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM grid g LEFT JOIN m ON m.event_type = g.event_type AND m.minute = g.minute)
+        |SELECT event_type, count(*) AS n_minutes, count(v) AS n_observed,
+        |       count(*) - count(v) AS n_filled,
+        |       round((avg(filled)) + 1e-7, 4) AS avg_filled
+        |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin,
+    "weekly_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM read_parquet('{dir}/events.parquet')),
+        | r AS (
+        |  SELECT a.wk, count(*) AS n_retained
+        |  FROM uw a JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        | u AS (SELECT wk, count(*) AS n_users FROM uw GROUP BY 1)
+        |SELECT CAST(u.wk AS DATE) AS week, u.n_users,
+        |       coalesce(r.n_retained, 0) AS n_retained,
+        |       round((100.0 * coalesce(r.n_retained, 0) / u.n_users) + 1e-7, 4) AS retention_pct
+        |FROM u LEFT JOIN r ON r.wk = u.wk ORDER BY 1""".stripMargin,
     "burn_rate_alerts" ->
       """WITH per_min AS (
         |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v

@@ -232,6 +232,70 @@ object SliQueries {
       .orderBy("event_type")
   }
 
+  /** #69 — gap-filled, forward-filled minute series: generate the
+    * full minute grid per event_type (sequence + explode — the dense
+    * time axis the reference's report charts need), left-join the
+    * observed 1-minute SLI rollup, and carry the last observation
+    * forward over gaps (`last(v, ignoreNulls)` window). Output is the
+    * per-type fill accounting + the mean of the FILLED series, which
+    * differs from the raw mean exactly where gaps are (the
+    * gap-duration weighting real dashboards show).
+    *
+    * Scale: the grid is minutes × types — O(calendar), not O(events)
+    * — and the fill is one window pass per type over the already
+    * down-sampled rollup. At 100 TB nothing here touches raw events
+    * except the minute rollup every SLI query shares.
+    */
+  def gapFillMinutes(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(avg("value").as("v"))
+    val grid = m.groupBy("event_type")
+      .agg(min("minute").as("lo"), max("minute").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MINUTE"))).as("minute"))
+    val w = Window.partitionBy("event_type").orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(m, Seq("event_type", "minute"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        count(col("v")).as("n_observed"),
+        (count(lit(1)) - count(col("v"))).as("n_filled"),
+        r4(avg("filled")).as("avg_filled"))
+      .orderBy("event_type")
+  }
+
+  /** #70 — weekly retention cohorts: of the users active in week w,
+    * how many return in week w+1. The classic product-analytics
+    * self-join over the distinct (user, week) activity set — the
+    * activity set is the only shuffle (distinct on two narrow
+    * columns), the cohort join matches on (user, adjacent week), and
+    * the final grain is O(weeks).
+    */
+  def weeklyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val retained = uw.as("a")
+      .join(uw.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.wk") === col("a.wk") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("a.wk").as("wk"))
+      .agg(count(lit(1)).as("n_retained"))
+    uw.groupBy("wk")
+      .agg(count(lit(1)).as("n_users"))
+      .join(retained, Seq("wk"), "left")
+      .select(
+        col("wk").cast("date").as("week"),
+        col("n_users"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        r4(lit(100.0) * coalesce(col("n_retained"), lit(0L)) / col("n_users"))
+          .as("retention_pct"))
+      .orderBy("week")
+  }
+
   /** #10 — tumbling 1-hour aggregation (batch twin of the streaming
     * updater cadence; see graft.streaming for the readStream twin).
     */

@@ -86,6 +86,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "unpivot_type_stats" -> 5L,
     "stratified_sample" -> 5L,
     "quantile_sketch_rollup" -> 5L,
+    "gap_fill_minutes" -> 5L,
+    "weekly_retention" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {
