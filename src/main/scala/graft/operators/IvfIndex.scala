@@ -33,10 +33,19 @@ import graft.sources.Tables
 object IvfIndex {
 
   /** Bump when the assignment/probe FORMAT changes (hash chain,
-    * tie-break, schema) — a persisted index from older code must
-    * never be silently reused.
+    * tie-break, schema, pivot selection) — a persisted index from
+    * older code must never be silently reused.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
+
+  /** Lloyd iterations used by [[ensure]] to refine the seed pivots.
+    * Measured on the isotropic sf0.01 corpus (worst case for IVF):
+    * batch recall@3 at nprobe 3/8 goes 0.667 (raw seeds) → 0.720
+    * (3 iters) → 0.727 (6 iters) — 3 captures most of the gain at
+    * half the build cost, and on genuinely clustered corpora the gap
+    * widens (IvfKmeansSpec: bucket purity 0.125 → ≥ 0.9).
+    */
+  val KmeansIters = 3
 
   /** Index location for (corpus dir, npivots) under the JVM temp dir
     * (a production deployment would use a managed table location).
@@ -147,12 +156,16 @@ object IvfIndex {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
     // the one driver-side step of the build: materialize the npivots
-    // pivot rows (deterministic: lowest vec_ids) as literals
-    val pivotRows: Seq[(Long, Seq[Double])] = corpus
+    // seed rows (deterministic: lowest vec_ids) as literals, then
+    // refine them with spherical k-means ([[kmeansPivots]] — each
+    // iteration is a shuffle-free assignment + relational centroid
+    // agg; only npivots×dim doubles reach the driver)
+    val seeds: Seq[(Long, Seq[Double])] = corpus
       .orderBy("vec_id").limit(npivots)
       .select(col("vec_id"), col("emb")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-    if (pivotRows.isEmpty) return None
+    if (seeds.isEmpty) return None
+    val pivotRows = kmeansPivots(corpus, seeds, KmeansIters)
     import spark.implicits._
     pivotRows.toDF("p_id", "p_emb")
       .write.mode("overwrite").parquet(s"$path/pivots")
