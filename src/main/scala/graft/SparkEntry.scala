@@ -110,6 +110,8 @@ object SparkEntry {
     "quantile_sketch_rollup" -> (QuantileRollup.quantileSketchRollup _),
     "gap_fill_minutes" -> (SliQueries.gapFillMinutes _),
     "weekly_retention" -> (SliQueries.weeklyRetention _),
+    "ntile_quartiles" -> (ScalarQueries.ntileQuartiles _),
+    "tfidf_top_terms" -> (LlmQueries.tfidfTopTerms _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -595,6 +597,42 @@ object SparkEntry {
         |       round((cnt * 100.0 / (SELECT n FROM t)) + 1e-7, 4) AS pct
         |FROM c WHERE cnt >= (SELECT n FROM t) * 0.01
         |ORDER BY cnt DESC, word""".stripMargin,
+    "ntile_quartiles" ->
+      """SELECT event_type, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+        |       round((avg(value)) + 1e-7, 4) AS avg_value,
+        |       round((max(prank)) + 1e-7, 4) AS max_prank,
+        |       round((max(cume)) + 1e-7, 4) AS max_cume
+        |FROM (
+        |  SELECT event_type, value,
+        |         ntile(4) OVER w AS quartile,
+        |         percent_rank() OVER w AS prank,
+        |         cume_dist() OVER w AS cume
+        |  FROM read_parquet('{dir}/events.parquet')
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // tfidf_top_terms: argmax compares raw tf*ln(N/df) doubles in both
+    // engines (exact ties break on the term); only the aggregated
+    // outputs are rounded.
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang, word AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |        FROM read_parquet('{dir}/documents.parquet')) w
+        |  WHERE word <> '' GROUP BY 1, 2, 3),
+        | df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM read_parquet('{dir}/documents.parquet')),
+        | scored AS (
+        |  SELECT tf.doc_id, tf.lang, tf.term,
+        |         tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) AS tfidf,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df) DESC,
+        |                                     tf.term) AS rn
+        |  FROM tf JOIN df ON df.term = tf.term)
+        |SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT term) AS n_distinct_top_terms,
+        |       round((avg(tfidf)) + 1e-7, 4) AS avg_top_tfidf,
+        |       round((max(tfidf)) + 1e-7, 4) AS max_top_tfidf
+        |FROM scored WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // gap_fill_minutes: dense minute grid + forward fill; the oracle
     // mirrors the grid (generate_series) and the carry-forward
     // (last_value IGNORE NULLS) exactly.

@@ -74,6 +74,40 @@ object LlmQueries {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  /** #72 — TF-IDF top term per document, aggregated per language:
+    * the classic corpus-relevance op. tf = in-doc term count, idf =
+    * ln(N / df) with df = docs containing the term; each doc's top
+    * term maximizes tf·idf (ties → lexicographically first term).
+    * Shape: one explode → (doc, term) tf agg → term-level df agg
+    * joined back (df table is vocabulary-sized, broadcastable at this
+    * corpus; at 100 TB it shuffles on term — the standard two-agg
+    * TF-IDF dataflow) → per-doc argmax window → per-lang rollup.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("term").as("n_distinct_top_terms"),
+        r4(avg("tfidf")).as("avg_top_tfidf"),
+        r4(max("tfidf")).as("max_top_tfidf"))
+      .orderBy("lang")
+  }
+
   /** #31 — exact dedup by normalized-text hash, per language. */
   def dedupDocs(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(lower(trim(col("text"))))

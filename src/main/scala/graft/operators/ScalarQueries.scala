@@ -147,6 +147,30 @@ object ScalarQueries {
         r4(expr("percentile_approx(value, 0.99, 10000)")).as("p99"))
       .orderBy("event_type")
 
+  /** #71 — distribution windows: `ntile(4)` quartile buckets per
+    * event_type over a TOTAL order (value, event_id — ties broken so
+    * both engines bucket identically), with `percent_rank` and
+    * `cume_dist` read out at each quartile's edge. Covers the three
+    * distribution-ranking window functions the surface didn't yet
+    * exercise; one shuffle on the partition key like every window
+    * query.
+    */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .groupBy("event_type", "quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(avg("value")).as("avg_value"),
+        r4(max("prank")).as("max_prank"),
+        r4(max("cume")).as("max_cume"))
+      .orderBy("event_type", "quartile")
+  }
+
   /** #28 — first-difference of the series via lag (burn-rate style). */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -88,6 +88,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "quantile_sketch_rollup" -> 5L,
     "gap_fill_minutes" -> 5L,
     "weekly_retention" -> 5L,
+    "ntile_quartiles" -> 20L,
+    "tfidf_top_terms" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -157,7 +157,8 @@ class PlanAuditSpec extends SparkTestBase {
     "burn_rate_alerts" -> 4, "heavy_hitters" -> 4,
     "pivot_day_type" -> 3, "unpivot_type_stats" -> 5,
     "stratified_sample" -> 2, "quantile_sketch_rollup" -> 2,
-    "gap_fill_minutes" -> 3, "weekly_retention" -> 6)
+    "gap_fill_minutes" -> 3, "weekly_retention" -> 6,
+    "ntile_quartiles" -> 2, "tfidf_top_terms" -> 9)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
