@@ -112,6 +112,8 @@ object SparkEntry {
     "weekly_retention" -> (SliQueries.weeklyRetention _),
     "ntile_quartiles" -> (ScalarQueries.ntileQuartiles _),
     "tfidf_top_terms" -> (LlmQueries.tfidfTopTerms _),
+    "above_brand_avg" -> (RelationalQueries.aboveBrandAvg _),
+    "range_frame_daily" -> (RelationalQueries.rangeFrameDaily _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -597,6 +599,28 @@ object SparkEntry {
         |       round((cnt * 100.0 / (SELECT n FROM t)) + 1e-7, 4) AS pct
         |FROM c WHERE cnt >= (SELECT n FROM t) * 0.01
         |ORDER BY cnt DESC, word""".stripMargin,
+    "above_brand_avg" ->
+      """SELECT p_brand, count(*) AS n_above,
+        |       round((avg(p_retailprice - brand_avg)) + 1e-7, 4) AS avg_premium
+        |FROM (
+        |  SELECT p_brand, p_retailprice,
+        |         (SELECT avg(p2.p_retailprice) FROM read_parquet('{dir}/part.parquet') p2
+        |          WHERE p2.p_brand = p.p_brand) AS brand_avg
+        |  FROM read_parquet('{dir}/part.parquet') p) t
+        |WHERE p_retailprice > brand_avg
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "range_frame_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v,
+        |         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |       round((avg(v) OVER w) + 1e-7, 4) AS range_7d_avg,
+        |       count(*) OVER w AS days_in_window
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "ntile_quartiles" ->
       """SELECT event_type, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
         |       round((avg(value)) + 1e-7, 4) AS avg_value,

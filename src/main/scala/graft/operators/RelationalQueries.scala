@@ -278,6 +278,49 @@ object RelationalQueries {
         r4(max("day_avg")).as("max_day_avg"))
       .orderBy("event_type")
 
+  /** #73 — correlated scalar subquery, exercised through the SQL
+    * surface (GraftCatalog views + `spark.sql`): parts priced above
+    * their brand's average. Catalyst decorrelates the subquery into a
+    * per-brand aggregate + join — the plan a hand-written DSL version
+    * would build — so this pins that the SQL subquery path and the
+    * oracle agree. Premium is rounded per row before averaging (both
+    * engines), keeping the double discipline.
+    */
+  def aboveBrandAvg(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.registerTables(spark, dir, prefix = "graft_")
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_above,
+        |       round(avg(p_retailprice - brand_avg) + 1e-7, 4) AS avg_premium
+        |FROM (
+        |  SELECT p_brand, p_retailprice,
+        |         (SELECT avg(p2.p_retailprice) FROM graft_part p2
+        |          WHERE p2.p_brand = p.p_brand) AS brand_avg
+        |  FROM graft_part p) t
+        |WHERE p_retailprice > brand_avg
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** #74 — RANGE window frame (value-based, gap-aware — the frame
+    * class the ROWS queries #8/#29 don't cover): per (type, day), the
+    * average of daily averages over the trailing CALENDAR week
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on integer
+    * days-since-epoch. Unlike a ROWS frame, missing days shrink the
+    * window instead of reaching further back — the correct semantics
+    * for sparse series.
+    */
+  def rangeFrameDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .select(col("event_type"), col("day"),
+        r4(avg("v").over(w)).as("range_7d_avg"),
+        count(lit(1)).over(w).as("days_in_window"))
+      .orderBy("event_type", "day")
+  }
+
   /** #22 — top-3 parts per brand (dense_rank + filter, per-group top-N).
     * Ranks on the RAW price (matching the oracle, whose window cannot
     * see the projected alias) and rounds only the output column.

@@ -90,6 +90,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "weekly_retention" -> 5L,
     "ntile_quartiles" -> 20L,
     "tfidf_top_terms" -> 5L,
+    "above_brand_avg" -> 25L,
+    "range_frame_daily" -> 150L,
   )
 
   test("golden map covers exactly the declared query set") {
