@@ -53,6 +53,37 @@ object QuantileRollup {
     path
   }
 
+  /** Incremental maintenance — the daily-ETL append (mirror of
+    * [[SketchRollup.appendDayFrom]]): sketch ONLY the given day's
+    * rows from `events` and replace that day's rows in the persisted
+    * table (staged rewrite; the table is KB-scale). Re-running a day
+    * is idempotent — the day row is a pure function of the day's
+    * data — so backfills and retries can never double-count, and
+    * QuantileSketchSpec proves day-wise builds answer quantiles
+    * within the same ε bound as one-shot builds.
+    */
+  def appendDayFrom(spark: SparkSession, events: DataFrame, day: String,
+      tablePath: String): Unit = {
+    val dayRows = events
+      .filter(to_date(col("ts")) === lit(day).cast("date"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(
+        QuantileFunctions.gkSketch(col("value"), Eps).as("qs"),
+        count(lit(1)).as("n_events"))
+    val hPath = new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      dayRows.write.mode("overwrite").parquet(tablePath)
+      return
+    }
+    val existing = spark.read.parquet(tablePath)
+      .filter(col("event_date") =!= lit(day).cast("date"))
+    val staged = s"${tablePath}__staged"
+    existing.unionByName(dayRows).write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(tablePath)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
   /** Declared query `quantile_sketch_rollup` (rows-only: GK sketch
     * internals have no DuckDB mirror; the ε rank bound is asserted in
     * QuantileSketchSpec): all-time p50/p90/p99 per event_type computed

@@ -91,6 +91,37 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(p.contains("graft_qsketch"), "expected the persisted quantile-sketch table scan")
   }
 
+  test("day-wise incremental builds answer quantiles within the same eps bound") {
+    val base = java.nio.file.Files.createTempDirectory("graft_qs_inc").toString
+    val inc = s"$base/inc"
+    val ev = Tables.events(spark, sf)
+    val days = ev.select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toString).sorted
+    assert(days.length > 2)
+    days.foreach(d => QuantileRollup.appendDayFrom(spark, ev, d, inc))
+    // replay a mid-stream day: must be a no-op on counts
+    QuantileRollup.appendDayFrom(spark, ev, days(days.length / 2), inc)
+    val rollup = spark.read.parquet(inc)
+      .groupBy("event_type")
+      .agg(QuantileFunctions.gkMerge(col("qs"), Eps).as("qs"),
+        sum("n_events").as("n"))
+      .withColumn("q", QuantileFunctions.gkQuantiles(col("qs"), Seq(0.5, 0.99)))
+      .select(col("event_type"), col("n"), col("q")(0).as("p50"), col("q")(1).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exactByType = ev.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    exactByType.foreach { case (et, exact) =>
+      val (n, p50, p99) = rollup(et)
+      assert(n == exact.length.toLong, s"$et: replayed day double-counted ($n != ${exact.length})")
+      Seq(0.5 -> p50, 0.99 -> p99).foreach { case (phi, est) =>
+        val (lo, hi) = rankBounds(exact, est)
+        // same ±1 slack as the one-shot rollup assertion (discrete ranks)
+        assert(hi >= phi * n - Eps * n - 1 && lo <= phi * n + Eps * n + 1,
+          s"$et p$phi from day-wise table violates rank bound (lo=$lo hi=$hi n=$n)")
+      }
+    }
+  }
+
   test("empty and all-null groups eval to null sketches, not crashes") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double)].toDF("g", "v")
