@@ -114,6 +114,9 @@ object SparkEntry {
     "tfidf_top_terms" -> (LlmQueries.tfidfTopTerms _),
     "above_brand_avg" -> (RelationalQueries.aboveBrandAvg _),
     "range_frame_daily" -> (RelationalQueries.rangeFrameDaily _),
+    // rows-only (approximate shortlist; recall/compression bounds in
+    // PqSpec) — the memory-bound ANN path: PQ codes + exact re-rank
+    "pq_topk" -> (PqIndex.pqTopkQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -412,12 +415,12 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources
         |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
     // §2.5 extras. distinct_hll / near_dup_minhash / simhash_dups /
-    // ann_cosine_topk / ann_knn_join / sketch_rollup / srp_near_dup
-    // are deliberately absent here (HLL & xxhash64 internals and IVF
-    // probing have no DuckDB mirror) → driver records the rows-only
-    // check; their quantitative bounds are asserted in HllSpec /
-    // MinhashRecallSpec / SimhashSpec / AnnRecallSpec / SketchAggSpec
-    // / SrpProps instead.
+    // ann_cosine_topk / ann_knn_join / sketch_rollup / srp_near_dup /
+    // pq_topk are deliberately absent here (HLL & xxhash64 internals
+    // and IVF/PQ probing have no DuckDB mirror) → driver records the
+    // rows-only check; their quantitative bounds are asserted in
+    // HllSpec / MinhashRecallSpec / SimhashSpec / AnnRecallSpec /
+    // SketchAggSpec / SrpProps / PqSpec instead.
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang,

@@ -92,6 +92,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "tfidf_top_terms" -> 5L,
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
+    "pq_topk" -> 10L,
   )
 
   test("golden map covers exactly the declared query set") {
