@@ -117,6 +117,8 @@ object SparkEntry {
     // rows-only (approximate shortlist; recall/compression bounds in
     // PqSpec) — the memory-bound ANN path: PQ codes + exact re-rank
     "pq_topk" -> (PqIndex.pqTopkQuery _),
+    // rows-only (IvfPqSpec) — IVF partition pruning × PQ narrow scan
+    "ivfpq_topk" -> (IvfPq.ivfpqTopk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

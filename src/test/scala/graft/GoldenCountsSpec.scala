@@ -93,6 +93,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,
+    "ivfpq_topk" -> 10L,
   )
 
   test("golden map covers exactly the declared query set") {
