@@ -33,6 +33,10 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.operators.QuantileRollup.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.operators.PqIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.operators.IvfPq.ensure(spark, sfDir, npivots = 8)
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
