@@ -35,8 +35,11 @@ object IvfIndex {
   /** Bump when the assignment/probe FORMAT changes (hash chain,
     * tie-break, schema, pivot selection) — a persisted index from
     * older code must never be silently reused.
+    * v5: assignment partitioned by (bucket, ingest_batch) — the
+    * second level makes streaming appends exactly-once (see
+    * [[appendVectors]]).
     */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   /** Lloyd iterations used by [[ensure]] to refine the seed pivots.
     * Measured on the isotropic sf0.01 corpus (worst case for IVF):
@@ -128,17 +131,45 @@ object IvfIndex {
 
   /** Append-only index refresh: assign NEW vectors against the
     * EXISTING pivots (shuffle-free, same literal-unrolled argmax) and
-    * append their rows to the bucket-partitioned assign table — no
-    * rebuild, no touch of existing files. Correct because the
-    * assignment of a vector depends only on the (frozen) pivots;
-    * IvfKmeansSpec proves append == full rebuild bit-for-bit.
+    * write their rows under the (bucket, ingest_batch=`batchId`)
+    * partitions of the assign table — no rebuild, no touch of other
+    * batches' files. Correct because the assignment of a vector
+    * depends only on the (frozen) pivots; IvfKmeansSpec proves
+    * append == full rebuild row-for-row.
+    *
+    * EXACTLY-ONCE under replay: the write is a DYNAMIC partition
+    * overwrite scoped to this batch's own `ingest_batch` leaf
+    * partitions, so re-delivering a batch (foreachBatch restart, a
+    * retried backfill) REPLACES its previous files instead of
+    * duplicating rows — the same idempotency contract as the upsert
+    * sink, proven in IvfStreamSpec.
     */
-  def appendVectors(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+  def appendVectors(spark: SparkSession, path: String, newVecs: DataFrame,
+      batchId: Long = 1L): Unit = {
     val pivotRows = spark.read.parquet(s"$path/pivots")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     assign(newVecs, pivotRows)
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/assign")
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "ingest_batch")
+      .parquet(s"$path/assign")
   }
+
+  /** Continuous index maintenance: attach the assign-and-overwrite
+    * append as a `foreachBatch` sink on a stream of new (vec_id,
+    * label, emb) rows. Batch ids are offset by +1 so replays can
+    * never collide with the build's own `ingest_batch = 0` rows.
+    * Start/stop/checkpoint belong to the caller (standard streaming
+    * lifecycle); every probe sees each appended batch exactly once
+    * regardless of restarts.
+    */
+  def streamingAppend(spark: SparkSession, path: String, newVecs: DataFrame):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newVecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendVectors(spark, path, batch, batchId + 1)
+    }
 
   /** Ensure the index for (dir, npivots) exists, building it if
     * missing (idempotent; JVM-synchronized so concurrent suites can't
@@ -170,7 +201,9 @@ object IvfIndex {
     pivotRows.toDF("p_id", "p_emb")
       .write.mode("overwrite").parquet(s"$path/pivots")
     assign(corpus, pivotRows)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/assign")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
+      .parquet(s"$path/assign")
     Some(path)
   }
 

@@ -85,7 +85,9 @@ class IvfKmeansSpec extends SparkTestBase {
     val (oldVecs, newVecs) =
       (clustered.filter(col("vec_id") <= 200), clustered.filter(col("vec_id") > 200))
     IvfIndex.assign(oldVecs, pivots)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$base/assign")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
+      .parquet(s"$base/assign")
     IvfIndex.appendVectors(spark, base, newVecs)
     // partition columns read back from directory names as int —
     // normalize both sides to long
