@@ -119,6 +119,8 @@ object SparkEntry {
     "pq_topk" -> (PqIndex.pqTopkQuery _),
     // rows-only (IvfPqSpec) — IVF partition pruning × PQ narrow scan
     "ivfpq_topk" -> (IvfPq.ivfpqTopk _),
+    // recursive CTE (full oracle): non-linear budget recurrence
+    "budget_carryover" -> (SliQueries.budgetCarryover _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -626,6 +628,32 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, day""".stripMargin,
+    "budget_carryover" ->
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         sum(CASE WHEN value < 50 OR value > 150 THEN 1 ELSE 0 END)
+        |           / CAST(count(*) AS DOUBLE) AS burn
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |numbered AS (
+        |  SELECT event_type, day, burn,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |carry(event_type, day, rn, burn, budget) AS (
+        |  SELECT event_type, day, rn, burn,
+        |         greatest(CAST(0.0 AS DOUBLE), least(CAST(2.0 AS DOUBLE),
+        |           CAST(1.0 AS DOUBLE) + CAST(0.25 AS DOUBLE) - burn))
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.day, n.rn, n.burn,
+        |         greatest(CAST(0.0 AS DOUBLE), least(CAST(2.0 AS DOUBLE),
+        |           c.budget + CAST(0.25 AS DOUBLE) - n.burn))
+        |  FROM carry c JOIN numbered n
+        |    ON n.event_type = c.event_type AND n.rn = c.rn + 1)
+        |SELECT event_type, day,
+        |       round(burn + 1e-7, 4) AS burn,
+        |       round(budget + 1e-7, 4) AS budget
+        |FROM carry ORDER BY event_type, day""".stripMargin,
     "ntile_quartiles" ->
       """SELECT event_type, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
         |       round((avg(value)) + 1e-7, 4) AS avg_value,

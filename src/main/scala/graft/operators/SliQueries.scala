@@ -305,4 +305,48 @@ object SliQueries {
         col("event_type"))
       .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
       .orderBy("window_start_ms", "event_type")
+
+  /** #77 — error-budget CARRYOVER via a RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE`, full DuckDB oracle): each day's remaining
+    * budget is `clamp(prev + refill − burn, 0, cap)` — a NON-LINEAR
+    * recurrence (the clamps make every prefix-sum/window rewrite
+    * wrong the first time a bound is hit), which is exactly the job
+    * recursion exists for. The day-over-day carryover-with-cap policy
+    * is how real SLO programs spread an error budget across a window
+    * instead of resetting it daily.
+    *
+    * Scale/termination: the recursion runs over the DAILY rollup —
+    * O(types × days) rows, linear depth (one join per day), branching
+    * factor 1 — after the single raw-events scan in the `daily` CTE.
+    * Spark requires UNION ALL recursion (UNION is unsupported in
+    * 4.1); this recurrence is inherently acyclic so UNION ALL is the
+    * correct semantics, not a workaround.
+    */
+  def budgetCarryover(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.registerTables(spark, dir, prefix = "graft_")
+    spark.sql(
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         sum(CASE WHEN value < 50 OR value > 150 THEN 1 ELSE 0 END)
+        |           / CAST(count(*) AS DOUBLE) AS burn
+        |  FROM graft_events GROUP BY 1, 2),
+        |numbered AS (
+        |  SELECT event_type, day, burn,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |carry(event_type, day, rn, burn, budget) AS (
+        |  SELECT event_type, day, rn, burn,
+        |         greatest(0.0D, least(2.0D, 1.0D + 0.25D - burn))
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.day, n.rn, n.burn,
+        |         greatest(0.0D, least(2.0D, c.budget + 0.25D - n.burn))
+        |  FROM carry c JOIN numbered n
+        |    ON n.event_type = c.event_type AND n.rn = c.rn + 1)
+        |SELECT event_type, day,
+        |       round(burn + 1e-7, 4) AS burn,
+        |       round(budget + 1e-7, 4) AS budget
+        |FROM carry ORDER BY event_type, day""".stripMargin)
+  }
 }

@@ -94,6 +94,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,
     "ivfpq_topk" -> 10L,
+    "budget_carryover" -> 150L,
   )
 
   test("golden map covers exactly the declared query set") {
