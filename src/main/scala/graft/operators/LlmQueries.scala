@@ -78,10 +78,17 @@ object LlmQueries {
     * the classic corpus-relevance op. tf = in-doc term count, idf =
     * ln(N / df) with df = docs containing the term; each doc's top
     * term maximizes tf·idf (ties → lexicographically first term).
-    * Shape: one explode → (doc, term) tf agg → term-level df agg
-    * joined back (df table is vocabulary-sized, broadcastable at this
-    * corpus; at 100 TB it shuffles on term — the standard two-agg
-    * TF-IDF dataflow) → per-doc argmax window → per-lang rollup.
+    *
+    * Shape: one explode → (doc, term) tf agg → df as a COUNT WINDOW
+    * over term (the tf frame has exactly one row per (doc, term), so
+    * `count(*) over (partition by term)` IS df — this replaces the
+    * classic separate df-aggregate + join-back, saving the distinct
+    * expand and both join shuffles; the term window is one unordered
+    * whole-partition count, the same single term-keyed exchange the
+    * join's tf side would have paid anyway) → per-doc argmax window →
+    * per-lang rollup. 9 → 8 pinned exchanges, 1.44 → ~1.0 s warm at
+    * sf0.1 (the remaining exchanges are the rollup's countDistinct,
+    * the scalar-N branch, and the output ordering).
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -91,10 +98,10 @@ object LlmQueries {
       .filter(col("term") =!= "")
       .groupBy("doc_id", "lang", "term")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rn", row_number().over(w))

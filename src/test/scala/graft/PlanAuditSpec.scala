@@ -158,7 +158,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pivot_day_type" -> 3, "unpivot_type_stats" -> 5,
     "stratified_sample" -> 2, "quantile_sketch_rollup" -> 2,
     "gap_fill_minutes" -> 3, "weekly_retention" -> 6,
-    "ntile_quartiles" -> 2, "tfidf_top_terms" -> 9,
+    "ntile_quartiles" -> 2, "tfidf_top_terms" -> 8,
     "above_brand_avg" -> 4, "range_frame_daily" -> 3,
     "pq_topk" -> 0, "ivfpq_topk" -> 0, "budget_carryover" -> 1)
 
