@@ -121,6 +121,9 @@ object SparkEntry {
     "ivfpq_topk" -> (IvfPq.ivfpqTopk _),
     // recursive CTE (full oracle): non-linear budget recurrence
     "budget_carryover" -> (SliQueries.budgetCarryover _),
+    // Spark 4 VARIANT path + SQL-defined functions (both full oracle)
+    "props_variant_stats" -> (ScalarQueries.propsVariantStats _),
+    "sql_udf_slo" -> (ScalarQueries.sqlUdfSlo _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -654,6 +657,21 @@ object SparkEntry {
         |       round(burn + 1e-7, 4) AS burn,
         |       round(budget + 1e-7, 4) AS budget
         |FROM carry ORDER BY event_type, day""".stripMargin,
+    "props_variant_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) + 1e-7, 4) AS avg_k,
+        |       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+        |       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM read_parquet('{dir}/events.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sql_udf_slo" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN value < 50 OR value > 150 THEN 1 ELSE 0 END) AS BIGINT) AS breaches,
+        |       round(sum(CASE WHEN value < 50 OR value > 150 THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE) / 0.01 + 1e-7, 4) AS burn
+        |FROM read_parquet('{dir}/events.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ntile_quartiles" ->
       """SELECT event_type, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
         |       round((avg(value)) + 1e-7, 4) AS avg_value,

@@ -171,6 +171,59 @@ object ScalarQueries {
       .orderBy("event_type", "quartile")
   }
 
+  /** #78 — the VARIANT semi-structured path (Spark 4 `parse_json` /
+    * `variant_get`, full oracle): props parsed ONCE to the binary
+    * variant encoding, then typed extraction. Same answer as the
+    * string-path #26/#48 twins, different engine machinery — at
+    * 100 TB the variant column is what you'd STORE at ingest
+    * (parse once, read many; typed extraction skips re-tokenizing
+    * the JSON text per query, and shredding can push the `$.k` read
+    * into the scan), so the engine must speak it.
+    */
+  def propsVariantStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(avg("k")).as("avg_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("event_type")
+
+  /** #79 — SQL-defined functions (Spark 4 `CREATE FUNCTION … RETURN`,
+    * full oracle): the breach predicate and burn formula declared as
+    * reusable SQL UDFs and used in an aggregation. Unlike a JVM/
+    * Python UDF, a SQL UDF is INLINED by Catalyst — the optimized
+    * plan is the plain CASE expression (whole-stage codegen, pushdown
+    * and column pruning all survive; PlanAuditSpec's codegen gate
+    * covers this query like any other), so this is the extensibility
+    * mechanism that costs nothing at 100 TB.
+    */
+  def sqlUdfSlo(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.registerTables(spark, dir, prefix = "graft_")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_is_breach(v DOUBLE)
+        |RETURNS BOOLEAN RETURN v < 50 OR v > 150""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_burn(breaches BIGINT, n BIGINT)
+        |RETURNS DOUBLE RETURN breaches / CAST(n AS DOUBLE) / 0.01""".stripMargin)
+    // round() applied OUTSIDE the aggregate select: inlining the UDF
+    // inside round() trips Spark's foldable-scale check (the literal 4
+    // gets hoisted into the Aggregate and stops being foldable)
+    spark.sql(
+      """SELECT event_type, n, breaches, round(burn0 + 1e-7, 4) AS burn
+        |FROM (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CASE WHEN graft_is_breach(value) THEN 1 ELSE 0 END) AS breaches,
+        |         graft_burn(
+        |           sum(CASE WHEN graft_is_breach(value) THEN 1 ELSE 0 END),
+        |           count(*)) AS burn0
+        |  FROM graft_events GROUP BY 1) t
+        |ORDER BY event_type""".stripMargin)
+  }
+
   /** #28 — first-difference of the series via lag (burn-rate style). */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

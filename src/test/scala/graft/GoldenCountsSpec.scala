@@ -95,6 +95,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "pq_topk" -> 10L,
     "ivfpq_topk" -> 10L,
     "budget_carryover" -> 150L,
+    "props_variant_stats" -> 5L,
+    "sql_udf_slo" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {
