@@ -124,6 +124,9 @@ object SparkEntry {
     // Spark 4 VARIANT path + SQL-defined functions (both full oracle)
     "props_variant_stats" -> (ScalarQueries.propsVariantStats _),
     "sql_udf_slo" -> (ScalarQueries.sqlUdfSlo _),
+    // HOF array surface + ANSI-safe try_* arithmetic (both full oracle)
+    "array_funcs" -> (TextOps.arrayFuncs _),
+    "try_funcs" -> (ScalarQueries.tryFuncs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -672,6 +675,28 @@ object SparkEntry {
         |             / CAST(count(*) AS DOUBLE) / 0.01 + 1e-7, 4) AS burn
         |FROM read_parquet('{dir}/events.parquet')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "array_funcs" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM read_parquet('{dir}/documents.parquet'))
+        |SELECT lang, count(*) AS n_docs,
+        |       round(avg(len(list_distinct(toks)) * 1.0 / len(toks)) + 1e-7, 4) AS avg_uniq_ratio,
+        |       CAST(max(list_max(list_transform(toks, t -> length(t)))) AS INT) AS max_token_len,
+        |       CAST(sum(len(list_filter(toks, t -> length(t) >= 6))) AS BIGINT) AS n_long_tokens,
+        |       CAST(sum(CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_the
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "try_funcs" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM read_parquet('{dir}/events.parquet'))
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN k = 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_denom,
+        |       CAST(count(CASE WHEN k <> 50 THEN 1 END) AS BIGINT) AS n_ok,
+        |       round(avg(CASE WHEN k = 50 THEN NULL
+        |                      ELSE value / CAST(k - 50 AS DOUBLE) END) + 1e-7, 4) AS avg_ratio
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "ntile_quartiles" ->
       """SELECT event_type, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
         |       round((avg(value)) + 1e-7, 4) AS avg_value,

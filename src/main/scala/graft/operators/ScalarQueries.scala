@@ -224,6 +224,27 @@ object ScalarQueries {
         |ORDER BY event_type""".stripMargin)
   }
 
+  /** #81 — ANSI-safe arithmetic (`try_divide` / `try_cast`, full
+    * oracle): Spark 4 runs ANSI mode by default, where a divide-by-
+    * zero THROWS — the `try_*` family is the per-row-safe form that
+    * yields NULL instead, which is the only acceptable behavior when
+    * one bad row 90% through a 100 TB job must not kill it. The
+    * oracle mirrors with explicit CASE guards (the semantics, not the
+    * spelling, are the contract).
+    */
+  def tryFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+      .withColumn("ratio", try_divide(col("value"), (col("k") - 50).cast("double")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k") === 50, 1L).otherwise(0L)).as("n_zero_denom"),
+        count(col("ratio")).as("n_ok"),
+        r4(avg("ratio")).as("avg_ratio"))
+      .orderBy("event_type")
+
   /** #28 — first-difference of the series via lag (burn-rate style). */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

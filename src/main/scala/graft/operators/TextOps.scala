@@ -274,4 +274,33 @@ object TextOps {
         r4(avg("n_er")).as("avg_er_words"))
       .orderBy("lang")
   }
+
+  /** #80 — the higher-order array-function family as a DECLARED
+    * oracle-backed query (filter / transform / aggregate /
+    * array_distinct / array_max / array_contains — used as internals
+    * all over the engine, here exercised as user-facing surface
+    * against DuckDB's list_* twins): per-doc token-array analytics
+    * rolled up per language. All lambdas run inside the row
+    * projection — zero extra shuffles over a plain aggregation, the
+    * reason HOFs beat explode-and-regroup when per-element state
+    * isn't needed.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks).as("n_toks"),
+        size(array_distinct(toks)).as("n_uniq"),
+        array_max(transform(toks, t => length(t))).as("longest"),
+        size(filter(toks, t => length(t) >= 6)).as("n_long"),
+        when(array_contains(toks, "the"), 1L).otherwise(0L).as("has_the"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r4(avg(col("n_uniq").cast("double") / col("n_toks"))).as("avg_uniq_ratio"),
+        max("longest").as("max_token_len"),
+        sum("n_long").as("n_long_tokens"),
+        sum("has_the").as("n_docs_with_the"))
+      .orderBy("lang")
+  }
 }

@@ -97,6 +97,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "budget_carryover" -> 150L,
     "props_variant_stats" -> 5L,
     "sql_udf_slo" -> 5L,
+    "array_funcs" -> 5L,
+    "try_funcs" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -161,7 +161,8 @@ class PlanAuditSpec extends SparkTestBase {
     "ntile_quartiles" -> 2, "tfidf_top_terms" -> 8,
     "above_brand_avg" -> 4, "range_frame_daily" -> 3,
     "pq_topk" -> 0, "ivfpq_topk" -> 0, "budget_carryover" -> 1,
-    "props_variant_stats" -> 3, "sql_udf_slo" -> 2)
+    "props_variant_stats" -> 3, "sql_udf_slo" -> 2,
+    "array_funcs" -> 2, "try_funcs" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
