@@ -287,3 +287,45 @@ object NanosPushdownProps extends SparkProps("nanos_pushdown") {
       withRule == withoutRule
     }
 }
+
+object PqProps extends SparkProps("pq_codes") {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+  import graft.operators.{OpqLite, PqIndex}
+
+  private val genVec: Gen[Seq[Double]] =
+    Gen.listOfN(64, Gen.choose(-8.0, 8.0)).map(_.toSeq)
+
+  private def frame(vs: List[Seq[Double]]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vs.zipWithIndex.map { case (v, i) => Row((i + 1).toLong, v) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(DoubleType)))))
+
+  // Law: encoding is total and in-range for ARBITRARY vectors — every
+  // code vector has exactly M entries in [0, K), with any codebook
+  // trained on any (>= K vectors) corpus.
+  property("encode: M codes, each in [0, K), for arbitrary corpora") =
+    forAll(Gen.listOfN(20, genVec)) { vs =>
+      val df = frame(vs)
+      val cb = PqIndex.trainCodebooks(df, iters = 1)
+      val bad = df.select(PqIndex.encode(col("emb"), cb).as("c"))
+        .filter(size(col("c")) =!= PqIndex.M ||
+          exists(col("c"), x => x < 0 || x >= PqIndex.K))
+        .count()
+      bad == 0L
+    }
+
+  // Law: the balancing permutation is a bijection of 0..63 for
+  // ARBITRARY variance profiles (ties, zeros, equal values), and
+  // permuting preserves the vector as a multiset.
+  property("balancedPermutation: bijection; permute preserves multiset") =
+    forAll(Gen.listOfN(64, Gen.choose(0.0, 100.0))) { vars =>
+      val perm = OpqLite.balancedPermutation(vars.toSeq)
+      val bijective = perm.sorted == (0 until 64)
+      val v = (1 to 64).map(_.toDouble)
+      val permuted = perm.map(i => v(i))
+      bijective && permuted.sorted == v.sorted
+    }
+}
