@@ -127,6 +127,9 @@ object SparkEntry {
     // HOF array surface + ANSI-safe try_* arithmetic (both full oracle)
     "array_funcs" -> (TextOps.arrayFuncs _),
     "try_funcs" -> (ScalarQueries.tryFuncs _),
+    // rows-only (MediaSpec: hash laws + pigeonhole recall) —
+    // perceptual-hash media near-dup, output-linear
+    "phash_dups" -> (MediaOps.phashDups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -95,6 +95,96 @@ object MediaOps {
     }.toDF("media_id", "frame_idx", "frame")
   }
 
+  /** 64-slice average hash (aHash) of an opaque payload — the
+    * perceptual-hash SHAPE over the deterministic stand-in "pixels":
+    * a real deployment decodes to an 8×8 grayscale grid and hashes
+    * pixel-vs-mean; here the grid is the payload's 64 byte-slice
+    * means (content-derived, so near-identical payloads get
+    * hamming-close hashes — the property the dedup plane needs).
+    * Runs in the batched kernel beside [[fakeDecode]]; only the
+    * 8-byte hash ever leaves the scan partition.
+    */
+  private[graft] def aHash(bs: Array[Byte]): Long = {
+    if (bs.isEmpty) return 0L
+    val n = bs.length
+    val means = Array.tabulate(64) { i =>
+      val from = (i * n) / 64
+      val until = math.min(math.max((i + 1) * n / 64, from + 1), n)
+      var s = 0.0
+      var j = math.min(from, n - 1)
+      val end = math.max(until, j + 1)
+      while (j < end) { s += (bs(j) & 0xFF); j += 1 }
+      s / (end - math.min(from, n - 1))
+    }
+    val mean = means.sum / 64
+    means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+      if (m > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Per-media perceptual hashes: narrow map over the scan (the blob
+    * never moves), output (media_id, phash).
+    */
+  def phashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map(r => (r.media_id, aHash(r.content))).toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate media pairs at hamming ≤ `maxHamming`, found by
+    * 16-bit chunk banding + exact `bit_count(xor)` verify. The
+    * pigeonhole guarantee: a ≤ 3-bit difference over 4 chunks leaves
+    * ≥ 1 chunk identical, so recall at the default threshold is 1.0
+    * BY CONSTRUCTION (not probabilistic — unlike MinHash/SRP, the
+    * hash is short enough to band exhaustively). Only (media_id,
+    * chunk-key) ints cross the candidate shuffle.
+    */
+  def phashNearDupPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val keyed = hashed.select(col("media_id"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("phash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ckey")))
+    val cands = keyed.as("l")
+      .join(keyed.as("r"),
+        col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("a_id"), col("r.media_id").as("b_id"))
+      .distinct()
+    val a = hashed.select(col("media_id").as("a_id"), col("phash").as("a_h"))
+    val b = hashed.select(col("media_id").as("b_id"), col("phash").as("b_h"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .withColumn("hamming", expr("bit_count(a_h ^ b_h)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Declared query `phash_dups` (rows-only; hash laws + pigeonhole
+    * recall in MediaSpec): perceptual near-dup summary over the
+    * stand-in media corpus (documents' payload blobs). The media
+    * analog of `srp_near_dup`, with BY-CONSTRUCTION recall instead of
+    * probabilistic — and OUTPUT-LINEAR by the round-2 simhash lesson:
+    * identical hashes collapse to one representative (+ multiplicity)
+    * BEFORE banding, so a template clique of m exact dups costs one
+    * row, its C(m,2) pair count computed arithmetically, never
+    * enumerated; the banding join runs over DISTINCT hashes only.
+    */
+  def phashDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bs) => (id, aHash(bs)) }
+      .toDF("media_id", "phash")
+    val groups = media.groupBy("phash")
+      .agg(count(lit(1)).as("m"), min("media_id").as("media_id"))
+    val pairs = phashNearDupPairs(groups.select(col("media_id"), col("phash")))
+    groups.agg(
+        sum("m").as("n_media"),
+        count(lit(1)).as("n_distinct_hashes"),
+        sum(col("m") * (col("m") - 1) / 2).cast("long").as("n_exact_pairs"))
+      .crossJoin(pairs.agg(
+        count(lit(1)).as("n_near_dup_hash_pairs")))
+  }
+
   /** Declared query `media_bytes_stats` (WITH oracle): documents'
     * text payloads viewed as opaque UTF-8 blobs (the stand-in media
     * store), per-lang byte/dedup stats — the metadata-plane

@@ -99,6 +99,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "sql_udf_slo" -> 5L,
     "array_funcs" -> 5L,
     "try_funcs" -> 5L,
+    "phash_dups" -> 1L,
   )
 
   test("golden map covers exactly the declared query set") {

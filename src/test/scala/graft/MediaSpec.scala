@@ -80,4 +80,61 @@ class MediaSpec extends SparkTestBase {
       }.toMap
     assert(got == expect)
   }
+
+  test("aHash laws: deterministic, content-derived, locally sensitive") {
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(6400)(rnd.nextInt(256).toByte)
+    // identical content -> identical hash; empty -> 0
+    assert(MediaOps.aHash(base) == MediaOps.aHash(base.clone()))
+    assert(MediaOps.aHash(Array.emptyByteArray) == 0L)
+    // perturbing ONE slice region flips few bits (locality — the
+    // property that makes hamming distance a near-dup signal)
+    val tweaked = base.clone()
+    (0 until 100).foreach(i => tweaked(i) = (tweaked(i) ^ 0x7F).toByte)
+    val d = java.lang.Long.bitCount(MediaOps.aHash(base) ^ MediaOps.aHash(tweaked))
+    assert(d >= 1 && d <= 8, s"one-slice perturbation flipped $d/64 bits")
+    // unrelated content diverges widely
+    val other = Array.fill(6400)(rnd.nextInt(256).toByte)
+    assert(java.lang.Long.bitCount(MediaOps.aHash(base) ^ MediaOps.aHash(other)) > 10)
+  }
+
+  test("pigeonhole recall: every pair at hamming <= 3 IS found (by construction)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val bases = Seq.fill(20)(rnd.nextLong())
+    // for each base hash, a partner with 3 bit flips spread across
+    // THREE different 16-bit chunks (worst case: only one chunk left
+    // intact) — the banding must still catch it
+    val rows = bases.zipWithIndex.flatMap { case (h, i) =>
+      val partner = h ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)
+      Seq((i * 2L + 1, h), (i * 2L + 2, partner))
+    }
+    val found = MediaOps.phashNearDupPairs(rows.toDF("media_id", "phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    bases.indices.foreach { i =>
+      assert(found.contains((i * 2L + 1, i * 2L + 2)),
+        s"pair $i at hamming 3 missed — pigeonhole guarantee broken")
+    }
+    // and nothing at hamming > 3 sneaks through the verify filter
+    val hams = MediaOps.phashNearDupPairs(rows.toDF("media_id", "phash"))
+      .select("hamming").collect().map(_.getInt(0))
+    assert(hams.forall(_ <= 3))
+  }
+
+  test("phash_dups: output-linear summary counts exact cliques arithmetically") {
+    val row = MediaOps.phashDups(spark, sf).collect().head
+    val nMedia = row.getLong(0); val nDistinct = row.getLong(1)
+    val nExact = row.getLong(2)
+    assert(nMedia == Tables.documents(spark, sf).count())
+    assert(nDistinct <= nMedia)
+    // the corpus has exact dup cliques (dedup_docs proves dups exist);
+    // identical text => identical payload => identical aHash
+    val dups = Tables.documents(spark, sf)
+      .groupBy(md5(col("text").cast("binary"))).count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0.0)))
+      .collect().head.getDouble(0)
+    assert(nExact >= dups.toLong,
+      s"exact-pair count $nExact below the md5-clique floor $dups")
+  }
 }
