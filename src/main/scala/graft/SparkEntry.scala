@@ -130,6 +130,8 @@ object SparkEntry {
     // rows-only (MediaSpec: hash laws + pigeonhole recall) —
     // perceptual-hash media near-dup, output-linear
     "phash_dups" -> (MediaOps.phashDups _),
+    // statistical-moment aggregates (full oracle, population-def parity)
+    "dist_moments" -> (ScalarQueries.distMoments _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -700,6 +702,30 @@ object SparkEntry {
         |       round(avg(CASE WHEN k = 50 THEN NULL
         |                      ELSE value / CAST(k - 50 AS DOUBLE) END) + 1e-7, 4) AS avg_ratio
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dist_moments" ->
+      """WITH mu AS (
+        |  SELECT event_type, avg(value) AS m,
+        |         avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS mk
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type,
+        |         count(*) AS n,
+        |         stddev_samp(e.value) AS sd,
+        |         avg(pow(e.value - mu.m, 2)) AS m2,
+        |         avg(pow(e.value - mu.m, 3)) AS m3,
+        |         avg(pow(e.value - mu.m, 4)) AS m4,
+        |         median(e.value) AS med,
+        |         corr(e.value, CAST(json_extract_string(e.props, '$.k') AS DOUBLE)) AS corr_vk,
+        |         covar_samp(e.value, CAST(json_extract_string(e.props, '$.k') AS DOUBLE)) AS covar_vk
+        |  FROM read_parquet('{dir}/events.parquet') e JOIN mu USING (event_type)
+        |  GROUP BY 1)
+        |SELECT event_type, n, round(sd + 1e-7, 4) AS sd,
+        |       round(m3 / pow(m2, 1.5) + 1e-7, 4) AS skew,
+        |       round(m4 / (m2 * m2) - 3 + 1e-7, 4) AS kurt,
+        |       round(med + 1e-7, 4) AS med,
+        |       round(corr_vk + 1e-7, 4) AS corr_vk,
+        |       round(covar_vk + 1e-7, 4) AS covar_vk
+        |FROM c ORDER BY event_type""".stripMargin,
     "ntile_quartiles" ->
       """SELECT event_type, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
         |       round((avg(value)) + 1e-7, 4) AS avg_value,

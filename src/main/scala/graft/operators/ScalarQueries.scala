@@ -245,6 +245,32 @@ object ScalarQueries {
         r4(avg("ratio")).as("avg_ratio"))
       .orderBy("event_type")
 
+  /** #82 — the statistical-moment aggregate family (full oracle):
+    * stddev_samp / skewness / kurtosis / median / corr / covar_samp
+    * per event_type. Cross-engine subtlety, pinned by the hash gate:
+    * Spark's skewness/kurtosis are the POPULATION estimators
+    * (g1 = m3/m2^1.5, g2 = m4/m2² − 3 over 1/n central moments) while
+    * DuckDB's built-ins are bias-corrected sample estimators — so the
+    * oracle derives Spark's definitions from raw central moments
+    * instead of calling DuckDB's skewness()/kurtosis(). corr and
+    * covar_samp agree natively; median = quantile_cont(0.5) parity is
+    * the #27 result.
+    */
+  def distMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(stddev_samp(col("value"))).as("sd"),
+        r4(skewness(col("value"))).as("skew"),
+        r4(kurtosis(col("value"))).as("kurt"),
+        r4(median(col("value"))).as("med"),
+        r4(corr(col("value"), col("k"))).as("corr_vk"),
+        r4(covar_samp(col("value"), col("k"))).as("covar_vk"))
+      .orderBy("event_type")
+
   /** #28 — first-difference of the series via lag (burn-rate style). */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -100,6 +100,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "array_funcs" -> 5L,
     "try_funcs" -> 5L,
     "phash_dups" -> 1L,
+    "dist_moments" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {
