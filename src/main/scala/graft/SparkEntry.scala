@@ -132,6 +132,8 @@ object SparkEntry {
     "phash_dups" -> (MediaOps.phashDups _),
     // statistical-moment aggregates (full oracle, population-def parity)
     "dist_moments" -> (ScalarQueries.distMoments _),
+    // ordered string aggregation (Spark 4 listagg, full oracle)
+    "listagg_sources" -> (ScalarQueries.listaggSources _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -702,6 +704,11 @@ object SparkEntry {
         |       round(avg(CASE WHEN k = 50 THEN NULL
         |                      ELSE value / CAST(k - 50 AS DOUBLE) END) + 1e-7, 4) AS avg_ratio
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "listagg_sources" ->
+      """SELECT lang, count(*) AS n_sources,
+        |       string_agg(source, ',' ORDER BY source) AS sources
+        |FROM (SELECT DISTINCT lang, source FROM read_parquet('{dir}/documents.parquet'))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "dist_moments" ->
       """WITH mu AS (
         |  SELECT event_type, avg(value) AS m,

@@ -271,6 +271,26 @@ object ScalarQueries {
         r4(covar_samp(col("value"), col("k"))).as("covar_vk"))
       .orderBy("event_type")
 
+  /** #83 — ordered string aggregation (`listagg … WITHIN GROUP`,
+    * new in Spark 4; full oracle vs DuckDB `string_agg … ORDER BY`):
+    * the report-rendering aggregate (comma-joined member lists). The
+    * WITHIN GROUP order is what makes a string aggregate
+    * deterministic at all — unordered listagg is a hash-gate landmine
+    * on any distributed engine. (The dedup happens in a subquery:
+    * `listagg(DISTINCT …) WITHIN GROUP` beside a second DISTINCT
+    * aggregate trips Spark 4.1's distinct-rewrite with a SortOrder
+    * cast error — the pre-deduped two-phase form is also the better
+    * plan, one expand fewer.)
+    */
+  def listaggSources(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.registerTables(spark, dir, prefix = "graft_")
+    spark.sql(
+      """SELECT lang, count(*) AS n_sources,
+        |       listagg(source, ',') WITHIN GROUP (ORDER BY source) AS sources
+        |FROM (SELECT DISTINCT lang, source FROM graft_documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** #28 — first-difference of the series via lag (burn-rate style). */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -101,6 +101,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "try_funcs" -> 5L,
     "phash_dups" -> 1L,
     "dist_moments" -> 5L,
+    "listagg_sources" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {
