@@ -134,6 +134,9 @@ object SparkEntry {
     "dist_moments" -> (ScalarQueries.distMoments _),
     // ordered string aggregation (Spark 4 listagg, full oracle)
     "listagg_sources" -> (ScalarQueries.listaggSources _),
+    // LATERAL correlated subquery + aggregate FILTER clause (full oracle)
+    "lateral_topn" -> (RelationalQueries.lateralTopn _),
+    "filtered_aggs" -> (RelationalQueries.filteredAggs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -704,6 +707,23 @@ object SparkEntry {
         |       round(avg(CASE WHEN k = 50 THEN NULL
         |                      ELSE value / CAST(k - 50 AS DOUBLE) END) + 1e-7, 4) AS avg_ratio
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lateral_topn" ->
+      """SELECT n.n_name, l.c_name, l.c_acctbal
+        |FROM read_parquet('{dir}/nation.parquet') n,
+        |     LATERAL (SELECT c_name, round(c_acctbal + 1e-7, 2) AS c_acctbal
+        |              FROM read_parquet('{dir}/customer.parquet') c
+        |              WHERE c.c_nationkey = n.n_nationkey
+        |              ORDER BY c.c_acctbal DESC, c.c_name
+        |              LIMIT 2) l
+        |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin,
+    "filtered_aggs" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(*) FILTER (WHERE value > 150) AS n_high,
+        |       count(*) FILTER (WHERE value < 50) AS n_low,
+        |       round(avg(value) FILTER (WHERE value BETWEEN 50 AND 150) + 1e-7, 4) AS avg_inband,
+        |       round(max(value) FILTER (WHERE user_id % 2 = 0) + 1e-7, 2) AS max_even_users
+        |FROM read_parquet('{dir}/events.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "listagg_sources" ->
       """SELECT lang, count(*) AS n_sources,
         |       string_agg(source, ',' ORDER BY source) AS sources

@@ -336,4 +336,41 @@ object RelationalQueries {
         r2(col("p_retailprice")).as("p_retailprice"), col("rnk"))
       .orderBy("p_brand", "rnk", "p_partkey")
   }
+
+  /** #84 — LATERAL correlated subquery (full oracle): per nation, the
+    * top-2 customers by account balance via a correlated
+    * ORDER BY … LIMIT subquery in the FROM clause — the remaining
+    * subquery class after scalar (#73) and EXISTS (#13/#14). Catalyst
+    * decorrelates the lateral to a ranked window under the hood, so
+    * the plan is the same single-shuffle per-group top-N as #22 —
+    * writing it LATERAL is surface coverage, not a new plan risk.
+    */
+  def lateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.registerTables(spark, dir, prefix = "graft_")
+    spark.sql(
+      """SELECT n.n_name, l.c_name, l.c_acctbal
+        |FROM graft_nation n,
+        |     LATERAL (SELECT c_name, round(c_acctbal + 1e-7, 2) AS c_acctbal
+        |              FROM graft_customer c
+        |              WHERE c.c_nationkey = n.n_nationkey
+        |              ORDER BY c.c_acctbal DESC, c.c_name
+        |              LIMIT 2) l
+        |ORDER BY n.n_name, l.c_acctbal DESC, l.c_name""".stripMargin)
+  }
+
+  /** #85 — the aggregate FILTER clause (full oracle): per-type
+    * conditional aggregates without CASE scaffolding. Same Expand-free
+    * plan as the `sum(when(…))` spelling every other query uses —
+    * this declares the SQL-standard surface for it.
+    */
+  def filteredAggs(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.GraftCatalog.registerTables(spark, dir, prefix = "graft_")
+    spark.sql(
+      """SELECT event_type, count(*) AS n,
+        |       count(*) FILTER (WHERE value > 150) AS n_high,
+        |       count(*) FILTER (WHERE value < 50) AS n_low,
+        |       round(avg(value) FILTER (WHERE value BETWEEN 50 AND 150) + 1e-7, 4) AS avg_inband,
+        |       round(max(value) FILTER (WHERE user_id % 2 = 0) + 1e-7, 2) AS max_even_users
+        |FROM graft_events GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

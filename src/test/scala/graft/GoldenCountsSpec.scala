@@ -102,6 +102,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "phash_dups" -> 1L,
     "dist_moments" -> 5L,
     "listagg_sources" -> 5L,
+    "lateral_topn" -> 50L,
+    "filtered_aggs" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -167,7 +167,8 @@ class PlanAuditSpec extends SparkTestBase {
     "pq_topk" -> 0, "ivfpq_topk" -> 0, "budget_carryover" -> 9,
     "props_variant_stats" -> 3, "sql_udf_slo" -> 2,
     "array_funcs" -> 2, "try_funcs" -> 2, "phash_dups" -> 8,
-    "dist_moments" -> 2, "listagg_sources" -> 3)
+    "dist_moments" -> 2, "listagg_sources" -> 3,
+    "lateral_topn" -> 3, "filtered_aggs" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
