@@ -434,13 +434,17 @@ object SparkEntry {
         |       round((avg(len(string_split(text, ' ')))) + 1e-7, 4) AS avg_tokens,
         |       count(DISTINCT source) AS n_sources
         |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
-    // §2.5 extras. distinct_hll / near_dup_minhash / simhash_dups /
-    // ann_cosine_topk / ann_knn_join / sketch_rollup / srp_near_dup /
-    // pq_topk are deliberately absent here (HLL & xxhash64 internals
-    // and IVF/PQ probing have no DuckDB mirror) → driver records the
-    // rows-only check; their quantitative bounds are asserted in
-    // HllSpec / MinhashRecallSpec / SimhashSpec / AnnRecallSpec /
-    // SketchAggSpec / SrpProps / PqSpec instead.
+    // §2.5 extras. The 14 rows-only queries (ann_cosine_topk,
+    // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
+    // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,
+    // quantile_sketch_rollup, simhash_dups, sketch_rollup,
+    // source_overlap, srp_near_dup) are deliberately absent here
+    // (sketch / hash-chain internals and index probing have no DuckDB
+    // mirror) → driver records the rows-only check; their
+    // quantitative bounds are asserted in HllSpec / MinhashRecallSpec
+    // / SimhashSpec / AnnRecallSpec / SketchAggSpec /
+    // QuantileSketchSpec / SrpProps / PqSpec / IvfPqSpec /
+    // CurateNearDupSpec / MediaSpec instead.
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang,
