@@ -69,10 +69,19 @@ object GkSer {
   def compressed(qs: QuantileSummaries): QuantileSummaries =
     if (qs.compressed) qs else qs.compress()
 
-  def mergeQs(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries =
-    if (b.count == 0) compressed(a)
-    else if (a.count == 0) compressed(b)
-    else compressed(a).merge(compressed(b))
+  /** `count` excludes values still in the un-flushed head buffer
+    * (flushed only every defaultHeadSize inserts or on compress), so
+    * both sides must be compressed BEFORE any emptiness check — a
+    * count-first test silently drops groups smaller than the head
+    * buffer in Complete-mode / window evaluation.
+    */
+  def mergeQs(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries = {
+    val ca = compressed(a)
+    val cb = compressed(b)
+    if (cb.count == 0) ca
+    else if (ca.count == 0) cb
+    else ca.merge(cb)
+  }
 }
 
 /** BUILD side: double input → binary GK sketch (ε is a plan-time
@@ -108,8 +117,13 @@ case class GkSketchAgg(
   override def merge(buffer: QuantileSummaries, input: QuantileSummaries): QuantileSummaries =
     GkSer.mergeQs(buffer, input)
 
-  override def eval(buffer: QuantileSummaries): Any =
-    if (buffer.count == 0) null else GkSer.serialize(GkSer.compressed(buffer))
+  override def eval(buffer: QuantileSummaries): Any = {
+    // Compress FIRST: count excludes the un-flushed head buffer, so a
+    // count-first check evals groups with < defaultHeadSize rows to null
+    // (reachable via Complete mode / `gk_sketch(...) OVER (...)`).
+    val c = GkSer.compressed(buffer)
+    if (c.count == 0) null else GkSer.serialize(c)
+  }
 
   override def serialize(buffer: QuantileSummaries): Array[Byte] =
     GkSer.serialize(GkSer.compressed(buffer))
@@ -159,8 +173,13 @@ case class GkMergeAgg(
   override def merge(buffer: QuantileSummaries, input: QuantileSummaries): QuantileSummaries =
     GkSer.mergeQs(buffer, input)
 
-  override def eval(buffer: QuantileSummaries): Any =
-    if (buffer.count == 0) null else GkSer.serialize(GkSer.compressed(buffer))
+  override def eval(buffer: QuantileSummaries): Any = {
+    // Same compress-before-count ordering as GkSketchAgg.eval; the
+    // merge path keeps buffers compressed, but Complete mode can still
+    // reach eval with a freshly-updated buffer.
+    val c = GkSer.compressed(buffer)
+    if (c.count == 0) null else GkSer.serialize(c)
+  }
 
   override def serialize(buffer: QuantileSummaries): Array[Byte] =
     GkSer.serialize(GkSer.compressed(buffer))

@@ -144,8 +144,22 @@ object IvfIndex {
     * duplicating rows — the same idempotency contract as the upsert
     * sink, proven in IvfStreamSpec.
     */
+  /** Ad-hoc append with an auto-derived batch id (max existing
+    * `ingest_batch` + 1) so successive default appends ACCUMULATE.
+    * A defaulted fixed id would make the dynamic partition overwrite
+    * silently replace the previous ad-hoc batch — callers that manage
+    * their own replay-safe ids (foreachBatch) use the explicit
+    * overload.
+    */
+  def appendVectors(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    val row = spark.read.parquet(s"$path/assign")
+      .agg(max(col("ingest_batch").cast("long"))).head()
+    val next = (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1L
+    appendVectors(spark, path, newVecs, next)
+  }
+
   def appendVectors(spark: SparkSession, path: String, newVecs: DataFrame,
-      batchId: Long = 1L): Unit = {
+      batchId: Long): Unit = {
     val pivotRows = spark.read.parquet(s"$path/pivots")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     assign(newVecs, pivotRows)

@@ -79,16 +79,27 @@ object LlmQueries {
     * ln(N / df) with df = docs containing the term; each doc's top
     * term maximizes tf·idf (ties → lexicographically first term).
     *
-    * Shape: one explode → (doc, term) tf agg → df as a COUNT WINDOW
-    * over term (the tf frame has exactly one row per (doc, term), so
-    * `count(*) over (partition by term)` IS df — this replaces the
-    * classic separate df-aggregate + join-back, saving the distinct
-    * expand and both join shuffles; the term window is one unordered
-    * whole-partition count, the same single term-keyed exchange the
-    * join's tf side would have paid anyway) → per-doc argmax window →
-    * per-lang rollup. 9 → 8 pinned exchanges, 1.44 → ~1.0 s warm at
-    * sf0.1 (the remaining exchanges are the rollup's countDistinct,
-    * the scalar-N branch, and the output ordering).
+    * Shape: one explode → (doc, term) tf agg → df as a pre-aggregated
+    * BROADCAST map → per-doc argmax window → per-lang rollup. The df
+    * side explodes each doc's DISTINCT terms (`array_distinct` keeps
+    * the dedup inside the row — no (doc, term) shuffle on this
+    * branch) and counts per term: partial aggregation collapses
+    * Zipfian hot terms map-side, so "the" contributes at most one row
+    * per map task to the df exchange, never one per document. The map
+    * is then pruned to df ≥ 2 BEFORE broadcasting: a term absent from
+    * the map has df = 1 by construction (restored via coalesce after
+    * a left join), and on a web-scale corpus the singleton long tail
+    * is the overwhelming bulk of the vocabulary, so the broadcast
+    * carries only the repeated-term slice. The previous
+    * `count(*) over (partition by term)` window shape paid a full
+    * term-keyed shuffle of the tf frame with NO partial agg — every
+    * (doc, term) row for a hot term landed in one task's window
+    * buffer, a guaranteed straggler at corpus scale. If the df ≥ 2
+    * vocabulary ever outgrows the broadcast threshold, the same plan
+    * degrades gracefully to a shuffle join whose df side is still
+    * partial-agg-collapsed (or a salted two-phase argmax; not needed
+    * here). TfidfPlanSpec pins the plan: zero term-partitioned Window
+    * nodes, df side carries a partial_count HashAggregate.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -98,10 +109,15 @@ object LlmQueries {
       .filter(col("term") =!= "")
       .groupBy("doc_id", "lang", "term")
       .agg(count(lit(1)).as("tf"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val dfMap = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(broadcast(dfMap), Seq("term"), "left_outer")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
       .withColumn("rn", row_number().over(w))

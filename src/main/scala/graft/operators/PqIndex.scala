@@ -109,10 +109,16 @@ object PqIndex {
     * centroid. Seeds: the first K vectors' subvectors (deterministic).
     */
   def trainCodebooks(emb: DataFrame, iters: Int = TrainIters): Seq[Seq[Seq[Double]]] = {
-    val seeds = emb.orderBy("vec_id").limit(K)
+    val seedRows = emb.orderBy("vec_id").limit(K)
       .select("emb").collect().map(_.getSeq[Double](0).toSeq)
+    require(seedRows.nonEmpty, "trainCodebooks on an empty corpus (ensure guards this)")
+    // A corpus smaller than K must still yield exactly K centroids per
+    // subspace — encode/argmin iterate k in 0..K-1 and element_at is
+    // ANSI-strict — so cycle the available seeds (duplicate centroids
+    // are harmless: argmin picks the first, empty clusters keep theirs).
+    val seeds = Seq.tabulate(K)(i => seedRows(i % seedRows.length))
     var cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(M)(m =>
-      seeds.toSeq.map(_.slice(m * SubDim, (m + 1) * SubDim)))
+      seeds.map(_.slice(m * SubDim, (m + 1) * SubDim)))
     val subs = emb.select(
       posexplode(array((0 until M).map(m =>
         slice(col("emb"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "s")))

@@ -27,8 +27,11 @@ object QuantileRollup {
   /** Relative rank error ε: estimates rank within 1% of target. */
   val Eps = 0.01
 
-  /** Bump when the sketch format changes. */
-  val FormatVersion = 1
+  /** Bump when the sketch format changes.
+    * v2: table is partitioned by event_date so a day refresh swaps
+    * ONLY that day's partition (dynamic partition overwrite).
+    */
+  val FormatVersion = 2
 
   def tablePath(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -43,45 +46,42 @@ object QuantileRollup {
         QuantileFunctions.gkSketch(col("value"), Eps).as("qs"),
         count(lit(1)).as("n_events"))
 
-  /** Idempotent one-shot build of the persisted sketch table. */
+  /** Idempotent one-shot build of the persisted sketch table
+    * (event_date-partitioned so a day refresh swaps single days).
+    */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val path = tablePath(dir)
     val hPath = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath))
-      dailySketches(spark, dir).write.mode("overwrite").parquet(path)
+      dailySketches(spark, dir)
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
     path
   }
 
   /** Incremental maintenance — the daily-ETL append (mirror of
     * [[SketchRollup.appendDayFrom]]): sketch ONLY the given day's
-    * rows from `events` and replace that day's rows in the persisted
-    * table (staged rewrite; the table is KB-scale). Re-running a day
-    * is idempotent — the day row is a pure function of the day's
-    * data — so backfills and retries can never double-count, and
-    * QuantileSketchSpec proves day-wise builds answer quantiles
-    * within the same ε bound as one-shot builds.
+    * rows from `events` and swap ONLY that day's partition of the
+    * persisted table (dynamic partition overwrite — other days' files
+    * are never touched, so a mid-publish crash is recoverable by
+    * re-running the day). Re-running a day is idempotent — the day
+    * row is a pure function of the day's data — so backfills and
+    * retries can never double-count, and QuantileSketchSpec proves
+    * day-wise builds answer quantiles within the same ε bound as
+    * one-shot builds.
     */
   def appendDayFrom(spark: SparkSession, events: DataFrame, day: String,
       tablePath: String): Unit = {
-    val dayRows = events
+    events
       .filter(to_date(col("ts")) === lit(day).cast("date"))
       .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
       .agg(
         QuantileFunctions.gkSketch(col("value"), Eps).as("qs"),
         count(lit(1)).as("n_events"))
-    val hPath = new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS")
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath)) {
-      dayRows.write.mode("overwrite").parquet(tablePath)
-      return
-    }
-    val existing = spark.read.parquet(tablePath)
-      .filter(col("event_date") =!= lit(day).cast("date"))
-    val staged = s"${tablePath}__staged"
-    existing.unionByName(dayRows).write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged).write.mode("overwrite").parquet(tablePath)
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(tablePath)
   }
 
   /** Declared query `quantile_sketch_rollup` (rows-only: GK sketch
@@ -89,8 +89,19 @@ object QuantileRollup {
     * QuantileSketchSpec): all-time p50/p90/p99 per event_type computed
     * ONLY from the persisted per-day sketch table.
     */
+  /** Stored-table schema, declared so reads survive an EMPTY table
+    * (a partitioned write of zero rows leaves no data files to infer
+    * from; event_date is the partition column).
+    */
+  val TableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type string, qs binary, n_events bigint, event_date date")
+
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(TableSchema).parquet(path)
+
   def quantileSketchRollup(spark: SparkSession, dir: String): DataFrame = {
-    val daily = spark.read.parquet(ensure(spark, dir))
+    val daily = readTable(spark, ensure(spark, dir))
     daily
       .groupBy("event_type")
       .agg(

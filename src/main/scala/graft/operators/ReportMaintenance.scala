@@ -29,8 +29,10 @@ import graft.sources.Tables
   * computed `slo_day_report` under upsert-correction).
   *
   * Cost at 100 TB: a refresh scans the affected days only (partition-
-  * pruned on the date sink); the report table itself is
-  * O(days × types) rows — metadata-scale — so its rewrite is free.
+  * pruned on the date sink) and REWRITES only the affected days'
+  * partitions of the report table (dynamic partition overwrite) —
+  * unaffected days' files are never touched, so a mid-refresh crash
+  * is recoverable by re-running the same refresh.
   * The declared query `slo_report_maintained` reads ONLY this table
   * (asserted in PlanAuditSpec) yet hash-matches the DuckDB oracle that
   * aggregates the raw fixture directly — the strongest form of
@@ -38,8 +40,11 @@ import graft.sources.Tables
   */
 object ReportMaintenance {
 
-  /** Bump when the stored state schema changes. */
-  val FormatVersion = 1
+  /** Bump when the stored state schema changes.
+    * v2: table is partitioned by event_date so a refresh swaps ONLY
+    * the affected days' partitions (dynamic partition overwrite).
+    */
+  val FormatVersion = 2
 
   /** Deterministic per-corpus location (same convention as
     * [[SketchRollup.tablePath]]; production would use a managed table).
@@ -62,40 +67,37 @@ object ReportMaintenance {
         min("value").as("min_value"),
         max("value").as("max_value"))
 
-  /** Idempotent one-shot build of the persisted report table. */
+  /** Idempotent one-shot build of the persisted report table
+    * (event_date-partitioned so refreshes can swap single days).
+    */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val path = tablePath(dir)
     val hPath = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath))
-      dayStats(Tables.events(spark, dir)).write.mode("overwrite").parquet(path)
+      dayStats(Tables.events(spark, dir))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
     path
   }
 
   /** Recompute the given days from `events` (the post-merge sink — or
     * any frame with ts/event_type/value) and replace those days' rows
-    * in the report table. Days outside the list are never re-read;
-    * re-running is idempotent. Staged rewrite like
-    * [[graft.sources.Upsert]] so a failed refresh leaves the table
-    * intact.
+    * in the report table. Days outside the list are never re-read AND
+    * never rewritten: the publish is a DYNAMIC partition overwrite
+    * scoped to the affected `event_date` leaf partitions, with new
+    * files staged by the commit protocol before the swap — a failed
+    * refresh cannot damage unaffected days, and re-running converges
+    * (the day row is a pure function of the day's data).
     */
   def refreshDays(spark: SparkSession, events: DataFrame, days: Seq[String],
       tablePath: String): Unit = {
     if (days.isEmpty) return
     val dayDates = days.map(java.sql.Date.valueOf)
-    val fresh = dayStats(events.filter(to_date(col("ts")).isInCollection(dayDates)))
-    val hPath = new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS")
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath)) {
-      fresh.write.mode("overwrite").parquet(tablePath)
-      return
-    }
-    val existing = spark.read.parquet(tablePath)
-      .filter(!col("event_date").isInCollection(dayDates))
-    val staged = s"${tablePath}__staged"
-    existing.unionByName(fresh).write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged).write.mode("overwrite").parquet(tablePath)
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    dayStats(events.filter(to_date(col("ts")).isInCollection(dayDates)))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(tablePath)
   }
 
   /** Report-on-ingest: the streaming composition — every micro-batch
@@ -125,8 +127,20 @@ object ReportMaintenance {
     * table. avg derives as sum/n; rounding happens at read time so the
     * stored state stays exact and mergeable.
     */
+  /** Stored-table schema, declared so reads survive an EMPTY table:
+    * a partitioned write of zero rows leaves no data files to infer
+    * from (event_date is the partition column).
+    */
+  val TableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type string, n bigint, sum_value double, " +
+        "min_value double, max_value double, event_date date")
+
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(TableSchema).parquet(path)
+
   def sloReportMaintained(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(ensure(spark, dir))
+    readTable(spark, ensure(spark, dir))
       .select(
         col("event_date").as("day"),
         col("event_type"),

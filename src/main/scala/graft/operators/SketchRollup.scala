@@ -34,8 +34,11 @@ object SketchRollup {
     */
   val K = 512
 
-  /** Bump when the sketch format changes (hash chain, k, schema). */
-  val FormatVersion = 1
+  /** Bump when the sketch format changes (hash chain, k, schema).
+    * v2: table is partitioned by event_date so a day refresh swaps
+    * ONLY that day's partition (dynamic partition overwrite).
+    */
+  val FormatVersion = 2
 
   /** Deterministic per-corpus location (same convention as
     * [[IvfIndex.indexPath]]; production would use a managed table).
@@ -57,26 +60,29 @@ object SketchRollup {
         SketchFunctions.minhashAgg(col("h"), K).as("sig"),
         count(lit(1)).as("n_events"))
 
-  /** Idempotent build of the persisted sketch table. */
+  /** Idempotent build of the persisted sketch table
+    * (event_date-partitioned so a day refresh swaps single days).
+    */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val path = tablePath(dir)
     val hPath = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath))
-      dailySketches(spark, dir).write.mode("overwrite").parquet(path)
+      dailySketches(spark, dir)
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
     path
   }
 
   /** Incremental maintenance — the daily-ETL append: sketch ONLY the
-    * given day's raw events and replace that day's rows in the
-    * persisted table (replace-by-day, staged like
-    * [[graft.sources.Upsert]]; the sketch table itself is KB-scale —
-    * constant bytes per group — so rewriting it is a metadata-class
-    * operation at any corpus size). Raw data outside `day` is never
-    * re-read, and re-running a day (backfill, retry) is idempotent,
-    * so no rollup can double-count. SketchAggSpec proves day-wise
-    * appends produce a table whose rollup is bit-identical to the
-    * one-shot build.
+    * given day's raw events and swap ONLY that day's partition of the
+    * persisted table (dynamic partition overwrite — other days' files
+    * are never touched, and the commit protocol stages new files
+    * before the swap, so a mid-publish crash is recoverable by
+    * re-running the day). Raw data outside `day` is never re-read,
+    * and re-running a day (backfill, retry) is idempotent, so no
+    * rollup can double-count. SketchAggSpec proves day-wise appends
+    * produce a table whose rollup is bit-identical to the one-shot
+    * build.
     */
   def appendDay(spark: SparkSession, dir: String, day: String, tablePath: String): Unit =
     appendDayFrom(spark, Tables.events(spark, dir), day, tablePath)
@@ -87,7 +93,7 @@ object SketchRollup {
     */
   def appendDayFrom(spark: SparkSession, events: DataFrame, day: String,
       tablePath: String): Unit = {
-    val dayRows = events
+    events
       .filter(to_date(col("ts")) === lit(day).cast("date"))
       .select(col("event_type"), to_date(col("ts")).as("event_date"),
         xxhash64(col("user_id")).as("h"))
@@ -95,21 +101,10 @@ object SketchRollup {
       .agg(
         graft.functions.SketchFunctions.minhashAgg(col("h"), K).as("sig"),
         count(lit(1)).as("n_events"))
-    if (!new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(s"$tablePath/_SUCCESS"))) {
-      dayRows.write.mode("overwrite").parquet(tablePath)
-    } else {
-      val existing = spark.read.parquet(tablePath)
-        .filter(col("event_date") =!= lit(day).cast("date"))
-      existing.unionByName(dayRows)
-        .write.mode("overwrite").parquet(s"${tablePath}__staged")
-      spark.read.parquet(s"${tablePath}__staged")
-        .write.mode("overwrite").parquet(tablePath)
-      new org.apache.hadoop.fs.Path(s"${tablePath}__staged")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(s"${tablePath}__staged"), true)
-    }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(tablePath)
   }
 
   /** Sketch-on-ingest: the streaming composition of the idempotent
@@ -145,8 +140,19 @@ object SketchRollup {
     * distinct-user estimate per event_type computed ONLY from the
     * persisted per-day sketch table.
     */
+  /** Stored-table schema, declared so reads survive an EMPTY table
+    * (a partitioned write of zero rows leaves no data files to infer
+    * from; event_date is the partition column).
+    */
+  val TableSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type string, sig array<bigint>, n_events bigint, event_date date")
+
+  def readTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema(TableSchema).parquet(path)
+
   def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
-    val daily = spark.read.parquet(ensure(spark, dir))
+    val daily = readTable(spark, ensure(spark, dir))
     daily
       .groupBy("event_type")
       .agg(

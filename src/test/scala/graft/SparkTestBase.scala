@@ -17,9 +17,20 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      // RocksDB is the production state store at 100 TB state sizes
+      // (default HDFS-backed store keeps state on the executor heap);
+      // making it the TEST default means every streaming suite
+      // exercises the store the cluster would actually run.
+      // StateStoreSpec holds the provider proof + eviction bounds.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // graft-owned session: opt in to the sketch-plane perf confs the
+    // way Bench/Verify do (Tables.configure no longer sets them on
+    // arbitrary host sessions)
+    graft.sources.Tables.configureSketchPerf(s)
     s
   }
 }
