@@ -105,7 +105,7 @@ object MediaOps {
     * 8-byte hash ever leaves the scan partition.
     */
   private[graft] def aHash(bs: Array[Byte]): Long = {
-    if (bs.isEmpty) return 0L
+    if (bs == null || bs.isEmpty) return 0L
     val n = bs.length
     val means = Array.tabulate(64) { i =>
       val from = (i * n) / 64
@@ -169,7 +169,10 @@ object MediaOps {
     */
   def phashDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // null payloads DROP (a media row with no bytes has nothing to
+    // hash — DirtyInputSpec policy); the kernel also null-guards
     val media = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
       .map { case (id, bs) => (id, aHash(bs)) }

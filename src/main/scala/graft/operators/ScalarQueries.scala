@@ -65,10 +65,14 @@ object ScalarQueries {
         r2(sum(abs(col("l_quantity") - 25))).as("sum_abs_dev"))
       .orderBy("l_returnflag")
 
-  /** #26 — JSON path extract + modulo bucketing over the props column. */
+  /** #26 — JSON path extract + modulo bucketing over the props column.
+    * try_cast: a non-numeric `$.k` (dirty JSON) buckets under NULL
+    * instead of failing the query under ANSI (DirtyInputSpec).
+    */
   def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+      .groupBy((expr("try_cast(get_json_object(props, '$.k') AS BIGINT)") % 10)
+        .as("k_bucket"))
       .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
       .orderBy("k_bucket")
 
@@ -179,11 +183,20 @@ object ScalarQueries {
     * (parse once, read many; typed extraction skips re-tokenizing
     * the JSON text per query, and shredding can push the `$.k` read
     * into the scan), so the engine must speak it.
+    *
+    * Dirty-input policy (DirtyInputSpec): `try_parse_json` +
+    * `try_variant_get`, not the plain forms — plain parse THROWS on
+    * malformed JSON and plain variant_get THROWS on an uncastable
+    * value (e.g. `{"k":"notanum"}`), so one broken props row would
+    * fail the whole query at corpus scale. A broken row nulls out
+    * (`k` null, still counted in `n`, excluded from avg/distinct/high
+    * like every other null-k row) — identical to the get_json_object
+    * twins' semantics.
     */
   def propsVariantStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        try_variant_get(try_parse_json(col("props")), "$.k", "long").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -259,7 +272,9 @@ object ScalarQueries {
   def distMoments(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"), col("value"),
-        get_json_object(col("props"), "$.k").cast("double").as("k"))
+        // try_cast: dirty `$.k` nulls out of corr/covar instead of
+        // failing the query under ANSI (DirtyInputSpec)
+        expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

@@ -58,9 +58,12 @@ object SliQueries {
 
   /** #3 — weighted average Σ(v·w)/Σ(w), weight from the JSON props
     * column (`aggregation.type = weighted` in the reference).
+    * try_cast, not cast: under ANSI a non-numeric `$.k` (dirty JSON)
+    * would otherwise fail the whole query; the null weight drops the
+    * row from both sums instead (DirtyInputSpec).
     */
   def sliWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
-    val w = get_json_object(col("props"), "$.k").cast("long")
+    val w = expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(r4(weightedAvg(col("value"), w)).as("weighted_avg"))

@@ -297,7 +297,11 @@ object TextOps {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        r4(avg(col("n_uniq").cast("double") / col("n_toks"))).as("avg_uniq_ratio"),
+        // nullif: an empty/whitespace-only doc has 0 tokens — under
+        // ANSI the bare division would fail the query; the empty doc
+        // nulls out of the ratio instead (DirtyInputSpec)
+        r4(avg(col("n_uniq").cast("double") / nullif(col("n_toks"), lit(0))))
+          .as("avg_uniq_ratio"),
         max("longest").as("max_token_len"),
         sum("n_long").as("n_long_tokens"),
         sum("has_the").as("n_docs_with_the"))
