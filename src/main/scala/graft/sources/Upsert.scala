@@ -34,8 +34,67 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * exactly the contract `foreachBatch` needs ([[streamingUpsert]]):
   * structured streaming guarantees at-least-once batch delivery, so
   * the sink function must tolerate replays.
+  *
+  * Concurrent writers: plain parquet has no optimistic concurrency,
+  * so two simultaneous merges into one sink (say a streaming ingest
+  * plus an ad-hoc backfill) could interleave between the read and the
+  * publish and lose one side's rows. [[upsertDatePartitioned]] guards
+  * the window with a per-sink LOCK FILE acquired by atomic
+  * create-exclusive — a primitive HDFS and local filesystems provide
+  * (object stores without atomic create need an external lock; a
+  * production deployment on Iceberg/Delta gets this from the format's
+  * own optimistic-concurrency commit and drops the lock entirely —
+  * that swap is a writer-config change, not a code change). A waiter
+  * retries briefly then fails LOUDLY with the holder's identity;
+  * stale locks (a crashed writer) are detected by age and broken.
+  * UpsertSpec proves serialized concurrent merges lose nothing.
   */
 object Upsert {
+
+  /** How long a waiter retries before giving up. */
+  private val LockWaitMs = 60000L
+  /** A lock older than this is presumed crashed and is broken. */
+  private val LockStaleMs = 600000L
+
+  /** Run `body` holding the sink's merge lock. The lock is a SIBLING
+    * of the sink directory (not inside it) so the first-load
+    * whole-path overwrite can never clobber a held lock.
+    */
+  private[graft] def withSinkLock[T](
+      fs: org.apache.hadoop.fs.FileSystem, path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(
+      s"${path.stripSuffix("/")}__merge_lock")
+    val holder =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // atomic create-exclusive
+        out.write(holder.getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val age = try {
+            System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          } catch { case _: java.io.IOException => 0L } // vanished — retry
+          if (age > LockStaleMs) {
+            fs.delete(lock, false) // break the stale lock, retry acquire
+          } else if (System.currentTimeMillis() > deadline) {
+            val who = try {
+              new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+                fs.open(lock)), "UTF-8")
+            } catch { case _: java.io.IOException => "<unknown>" }
+            throw new IllegalStateException(
+              s"upsert into $path: merge lock held by $who for > ${LockWaitMs} ms; " +
+                "concurrent writer or crashed merge (stale locks break after " +
+                s"${LockStaleMs} ms)")
+          } else Thread.sleep(200L)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
 
   /** Merge `batch` (schema of `Tables.events`: must contain `ts` plus
     * the key columns) into the date-partitioned sink at `path`.
@@ -45,6 +104,15 @@ object Upsert {
     */
   def upsertDatePartitioned(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String], versionCol: String = "ts"): Unit = {
+    val lockFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withSinkLock(lockFs, path) {
+      upsertLocked(spark, path, batch, keys, versionCol)
+    }
+  }
+
+  private def upsertLocked(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String], versionCol: String): Unit = {
     val withDate = batch.withColumn("event_date", to_date(col("ts")))
     // deterministic even on version ties: fall back to a content hash
     // so the surviving row never depends on partitioning or task order

@@ -111,6 +111,47 @@ class UpsertSpec extends SparkTestBase {
     assert(sink(2L) == ("b", 9.0), s"overlapping key not upserted: ${sink(2L)}")
   }
 
+  test("concurrent merges into one sink serialize through the lock and lose nothing") {
+    // two writers, disjoint key ranges, racing into the same sink —
+    // without the sibling lock file the loser's read-merge-publish
+    // window could swallow the winner's rows (plain parquet has no
+    // optimistic concurrency; Iceberg/Delta would provide this at the
+    // format layer)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = Files.createTempDirectory("graft_upsert_cc").toString + "/sink"
+    // seed the sink so both racers take the merge path, not first-load
+    Upsert.upsertDatePartitioned(spark, path,
+      events.filter(col("event_id") < 100), Seq("event_id"))
+    val a = events.filter(col("event_id") >= 100 && col("event_id") < 300)
+    val b = events.filter(col("event_id") >= 300 && col("event_id") < 500)
+    val fa = Future(Upsert.upsertDatePartitioned(spark, path, a, Seq("event_id")))
+    val fb = Future(Upsert.upsertDatePartitioned(spark, path, b, Seq("event_id")))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    val got = spark.read.parquet(path).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = events.filter(col("event_id") < 500).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"concurrent merge lost ${(want -- got).size} rows, invented ${(got -- want).size}")
+    // the lock is released afterwards
+    assert(!new java.io.File(s"${path}__merge_lock").exists(), "lock leaked")
+  }
+
+  test("a stale lock (crashed writer) is broken, not waited on forever") {
+    val path = Files.createTempDirectory("graft_upsert_stale").toString + "/sink"
+    val lock = new java.io.File(s"${path}__merge_lock")
+    lock.getParentFile.mkdirs()
+    assert(lock.createNewFile())
+    lock.setLastModified(System.currentTimeMillis() - 3600_000L) // 1 h old
+    // must break the stale lock and complete the merge
+    Upsert.upsertDatePartitioned(spark, path,
+      events.filter(col("event_id") < 50), Seq("event_id"))
+    assert(spark.read.parquet(path).count() == 50)
+    assert(!lock.exists(), "stale lock not cleaned up")
+  }
+
   test("filesPerDate caps per-date file count (and >1 splits big dates)") {
     val d1 = Files.createTempDirectory("graft_fpd").toString
     EventSink.writeDatePartitioned(events, d1, filesPerDate = 3)
