@@ -83,6 +83,7 @@ object SparkEntry {
     "lang_id" -> (TextOps.langId _),
     "quality_score" -> (TextOps.qualityScore _),
     "token_count" -> (TextOps.tokenCount _),
+    "seq_pack_buckets" -> (TextOps.seqPackBuckets _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "hash_split" -> (TextOps.hashSplit _),
     "regex_token_profile" -> (TextOps.regexTokenProfile _),
@@ -523,6 +524,21 @@ object SparkEntry {
         |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws,
         |    list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
         |             t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS n_bpe
+        |  FROM read_parquet('{dir}/documents.parquet')) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "seq_pack_buckets" ->
+      """SELECT CAST(least(512, CAST(ceil(n_tok / 32.0) AS BIGINT) * 32) AS BIGINT) AS bucket_cap,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(least(512, CAST(ceil(n_tok / 32.0) AS BIGINT) * 32)
+        |                 - least(n_tok, least(512, CAST(ceil(n_tok / 32.0) AS BIGINT) * 32))) AS BIGINT)
+        |         AS padding_waste,
+        |       CAST(sum(greatest(n_tok - 512, 0)) AS BIGINT) AS truncated_tokens,
+        |       round((CAST(sum(least(n_tok, least(512, CAST(ceil(n_tok / 32.0) AS BIGINT) * 32))) AS DOUBLE)
+        |              / nullif(sum(least(512, CAST(ceil(n_tok / 32.0) AS BIGINT) * 32)), 0)) + 1e-7, 4)
+        |         AS pack_efficiency
+        |FROM (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
         |  FROM read_parquet('{dir}/documents.parquet')) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_split" ->

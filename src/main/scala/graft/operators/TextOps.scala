@@ -100,6 +100,38 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** `seq_pack_buckets` (#87, full oracle) — sequence-length
+    * bucketing for training-batch packing: the pre-tokenization pass
+    * every LLM data pipeline runs to size batches. Docs bucket by
+    * whitespace-token count into 32-token-granular caps (clamped at
+    * 512 — longer docs truncate); per bucket the report carries doc
+    * count, true token mass, padding waste (cap − kept tokens: the
+    * compute a naive pad-to-cap batch would burn) and truncated
+    * tokens, plus the bucket's packing efficiency kept/(kept+waste).
+    *
+    * Scale shape: one scan, one narrow projection (size of split —
+    * no explode, the token ARRAY never materializes into rows), one
+    * partial-agg'd groupBy on ≤ 17 bucket keys, ordered output.
+    * All-integer arithmetic end to end, so the oracle hash is exact
+    * (no float rounding discipline needed). The nullif guards the
+    * all-empty-docs corpus under ANSI (DirtyInputSpec class).
+    */
+  def seqPackBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+    Tables.documents(spark, dir)
+      .select(least(lit(512L), ceil(nTok / lit(32.0)).cast("long") * 32L).as("bucket_cap"),
+        nTok.as("n_tok"))
+      .groupBy("bucket_cap")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum(col("bucket_cap") - least(col("n_tok"), col("bucket_cap"))).as("padding_waste"),
+        sum(greatest(col("n_tok") - lit(512L), lit(0L))).as("truncated_tokens"),
+        r4(sum(least(col("n_tok"), col("bucket_cap"))).cast("double")
+          / nullif(sum(col("bucket_cap")), lit(0L)).cast("double")).as("pack_efficiency"))
+      .orderBy("bucket_cap")
+  }
+
   /** `doc_fingerprint` — rolling-hash document fingerprint: the
     * 8-char shingle at position i hashes via Horner's rule
     * (acc·31 + ord(char)) mod 1e9+7; the doc fingerprint is the min

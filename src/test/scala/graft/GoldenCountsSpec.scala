@@ -90,6 +90,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "weekly_retention" -> 5L,
     "ntile_quartiles" -> 20L,
     "tfidf_top_terms" -> 5L,
+    "seq_pack_buckets" -> 4L,
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,
