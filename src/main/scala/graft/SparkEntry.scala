@@ -84,6 +84,7 @@ object SparkEntry {
     "quality_score" -> (TextOps.qualityScore _),
     "token_count" -> (TextOps.tokenCount _),
     "seq_pack_buckets" -> (TextOps.seqPackBuckets _),
+    "repetition_stats" -> (TextOps.repetitionStats _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "hash_split" -> (TextOps.hashSplit _),
     "regex_token_profile" -> (TextOps.regexTokenProfile _),
@@ -541,6 +542,24 @@ object SparkEntry {
         |  SELECT CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
         |  FROM read_parquet('{dir}/documents.parquet')) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "repetition_stats" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang, w, count(*) AS c
+        |  FROM (SELECT doc_id, lang,
+        |               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        |        FROM read_parquet('{dir}/documents.parquet')) u
+        |  GROUP BY 1, 2, 3),
+        |per_doc AS (
+        |  SELECT lang,
+        |         CAST(max(c) AS DOUBLE) / sum(c) AS top_share,
+        |         CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+        |  FROM tf GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN top_share > 0.2 OR distinct_ratio < 0.4
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       round((avg(top_share)) + 1e-7, 4) AS avg_top_share,
+        |       round((avg(distinct_ratio)) + 1e-7, 4) AS avg_distinct_ratio
+        |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_split" ->
       """SELECT CASE WHEN b < 10 THEN 'train' WHEN b < 13 THEN 'val' ELSE 'test' END AS split,
         |       lang, count(*) AS n_docs, round((avg(n_chars)) + 1e-7, 4) AS avg_chars

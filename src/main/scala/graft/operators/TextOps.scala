@@ -132,6 +132,43 @@ object TextOps {
       .orderBy("bucket_cap")
   }
 
+  /** `repetition_stats` (#88, full oracle) — repetition-based quality
+    * filtering, the Gopher/RefinedWeb-class rule every LLM curation
+    * pipeline applies: a document dominated by one token (top-word
+    * share) or with a collapsed vocabulary (distinct-token ratio) is
+    * boilerplate/spam and exits the corpus. Per lang: docs, flagged
+    * docs (top share > 0.2 OR distinct ratio < 0.4), and the average
+    * of both signals.
+    *
+    * Scale shape: explode → (doc, word) tf agg (the same partial-agg
+    * first stage as tfidf) → per-doc reduction → per-lang rollup; no
+    * window, no join, no all-pairs anywhere. The per-doc shares are
+    * exact IEEE divisions of two counts, so the flag threshold can
+    * never be decided differently by the two engines (no epsilon
+    * discipline needed on the comparison; the averaged outputs carry
+    * the usual r4 nudge).
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+      .groupBy("doc_id", "lang", "w")
+      .agg(count(lit(1)).as("c"))
+    val perDoc = tf.groupBy("doc_id", "lang")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"), max("c").as("top_c"))
+      .select(col("lang"),
+        (col("top_c").cast("double") / col("n_tok")).as("top_share"),
+        (col("n_uniq").cast("double") / col("n_tok")).as("distinct_ratio"))
+    perDoc.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("top_share") > 0.2 || col("distinct_ratio") < 0.4, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        r4(avg("top_share")).as("avg_top_share"),
+        r4(avg("distinct_ratio")).as("avg_distinct_ratio"))
+      .orderBy("lang")
+  }
+
   /** `doc_fingerprint` — rolling-hash document fingerprint: the
     * 8-char shingle at position i hashes via Horner's rule
     * (acc·31 + ord(char)) mod 1e9+7; the doc fingerprint is the min

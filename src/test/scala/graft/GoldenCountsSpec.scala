@@ -91,6 +91,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "ntile_quartiles" -> 20L,
     "tfidf_top_terms" -> 5L,
     "seq_pack_buckets" -> 4L,
+    "repetition_stats" -> 5L,
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,
