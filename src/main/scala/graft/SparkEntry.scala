@@ -85,6 +85,7 @@ object SparkEntry {
     "token_count" -> (TextOps.tokenCount _),
     "seq_pack_buckets" -> (TextOps.seqPackBuckets _),
     "repetition_stats" -> (TextOps.repetitionStats _),
+    "contamination_check" -> (TextOps.contaminationCheck _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "hash_split" -> (TextOps.hashSplit _),
     "regex_token_profile" -> (TextOps.regexTokenProfile _),
@@ -560,6 +561,28 @@ object SparkEntry {
         |       round((avg(top_share)) + 1e-7, 4) AS avg_top_share,
         |       round((avg(distinct_ratio)) + 1e-7, 4) AS avg_distinct_ratio
         |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "contamination_check" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ws) - 6),
+        |                i -> array_to_string(ws[i:i+7], ' '))) AS sh
+        |  FROM (SELECT doc_id, lang,
+        |               list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |        FROM read_parquet('{dir}/documents.parquet')) t
+        |  WHERE len(ws) >= 8),
+        |cont AS (
+        |  SELECT DISTINCT doc_id, lang FROM sh
+        |  WHERE doc_id >= 50 AND sh IN (SELECT sh FROM sh WHERE doc_id < 50)),
+        |pool AS (
+        |  SELECT lang, count(*) AS n_docs
+        |  FROM read_parquet('{dir}/documents.parquet')
+        |  WHERE doc_id >= 50 GROUP BY 1)
+        |SELECT p.lang, p.n_docs,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+        |       round((coalesce(c.n, 0) * 100.0 / p.n_docs) + 1e-7, 4) AS pct_contaminated
+        |FROM pool p
+        |LEFT JOIN (SELECT lang, count(*) AS n FROM cont GROUP BY 1) c USING (lang)
+        |ORDER BY 1""".stripMargin,
     "hash_split" ->
       """SELECT CASE WHEN b < 10 THEN 'train' WHEN b < 13 THEN 'val' ELSE 'test' END AS split,
         |       lang, count(*) AS n_docs, round((avg(n_chars)) + 1e-7, 4) AS avg_chars

@@ -169,6 +169,46 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** `contamination_check` (#89, full oracle) — benchmark
+    * contamination via EXACT 8-token shingle overlap: the standard
+    * train/test decontamination pass (a training doc sharing any
+    * 8-gram with the benchmark set is contaminated), distinct from
+    * similarity near-dup — an embedded verbatim quote flags here even
+    * when the whole document is not a near-duplicate of anything.
+    * The benchmark here is the reserved doc_id < 50 slice; per lang:
+    * candidate docs, contaminated docs, contamination rate.
+    *
+    * Scale shape: the benchmark side (a test suite) is BOUNDED at any
+    * corpus size, so its distinct shingle set broadcasts and the
+    * check is one broadcast left-semi join over the corpus's exploded
+    * shingles — the corpus shuffles only its distinct contaminated
+    * (doc, lang) pairs. No all-pairs anywhere; shingles never leave
+    * their scan partition un-joined.
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), col("lang"),
+        filter(split(col("text"), " "), t => t =!= "").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 7),
+          i => concat_ws(" ", slice(col("ws"), i, lit(8))))).as("sh"))
+    val bench = sh.filter(col("doc_id") < 50).select("sh").distinct()
+    val contaminated = sh.filter(col("doc_id") >= 50)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .select("doc_id", "lang").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+    docs.filter(col("doc_id") >= 50)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(contaminated, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        r4(coalesce(col("n_contaminated"), lit(0L)) * lit(100.0) / col("n_docs"))
+          .as("pct_contaminated"))
+      .orderBy("lang")
+  }
+
   /** `doc_fingerprint` — rolling-hash document fingerprint: the
     * 8-char shingle at position i hashes via Horner's rule
     * (acc·31 + ord(char)) mod 1e9+7; the doc fingerprint is the min

@@ -92,6 +92,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "tfidf_top_terms" -> 5L,
     "seq_pack_buckets" -> 4L,
     "repetition_stats" -> 5L,
+    "contamination_check" -> 5L,
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,
