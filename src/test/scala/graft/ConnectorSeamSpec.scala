@@ -110,6 +110,48 @@ class ConnectorSeamSpec extends SparkTestBase {
       "streamed kafka-shape rows differ from the parquet plane")
   }
 
+  test("the reference updater loop end-to-end over the Kafka seam: stream -> upsert -> maintained report") {
+    // the full composition the reference runs as its updater: poll
+    // (kafka-shaped stream) -> idempotent keyed upsert into the
+    // date-partitioned sink -> refresh the persisted day report for
+    // affected days. Delivered here in TWO waves with the second wave
+    // REPLAYING half of the first (at-least-once transport) — the
+    // final report must equal the clean batch aggregation anyway.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_updater").toString
+    val all = Connectors.toKafkaShape(events, "graft.events").collect()
+      .map(r => (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1), r.getString(2),
+        r.getInt(3), r.getLong(4), r.getTimestamp(5), r.getInt(6)))
+    val in = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)]
+    val q = graft.operators.ReportMaintenance.maintainOnIngest(
+      Connectors.eventsFromKafkaShape(
+        in.toDF().toDF(Connectors.KafkaSourceSchema.fieldNames: _*)),
+      s"$base/sink", s"$base/report", Seq("event_id"), s"$base/ckpt")
+    try {
+      val (w1, w2) = all.splitAt(all.length / 2)
+      in.addData(w1.toSeq); q.processAllAvailable()
+      in.addData((w1.takeRight(w1.length / 2) ++ w2).toSeq) // replay half of wave 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = graft.operators.ReportMaintenance
+      .readTable(spark, s"$base/report")
+      .orderBy("event_date", "event_type").collect()
+      .map(r => (r.getDate(5).toString, r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    val direct = reportRows(events)
+    assert(maintained.size == direct.size,
+      s"report rows: ${maintained.size} != ${direct.size}")
+    maintained.zip(direct).foreach { case (m, d) =>
+      assert(m._1 == d._1 && m._2 == d._2 && m._3 == d._3,
+        s"group/count mismatch: $m vs $d (replay double-counted?)")
+      assert(math.abs(m._4 - d._4) <= 1e-6 * math.max(1.0, math.abs(d._4)), s"sum: $m vs $d")
+      assert(m._5 == d._5 && m._6 == d._6, s"min/max: $m vs $d")
+    }
+  }
+
   test("malformed Kafka payloads drop at the edge instead of failing the stream") {
     import spark.implicits._
     val dirty = Seq(

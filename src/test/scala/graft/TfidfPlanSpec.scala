@@ -46,4 +46,29 @@ class TfidfPlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"df join regressed to SMJ:\n$p")
     info(s"shuffle exchanges: ${"Exchange (hash|range|Single)".r.findAllIn(p).size}")
   }
+
+  test("tfidf: an unbroadcastable vocabulary degrades to a shuffle join, same result") {
+    // the documented fallback: if the df >= 2 slice outgrows the
+    // broadcast threshold, the SAME plan runs as a shuffle join whose
+    // df side still carries partial aggregation — no rewrite, no skew
+    // regression (the window shape is gone either way)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val want = SparkEntry.queries("tfidf_top_terms")(spark, sf).collect().toSeq
+    spark.conf.set(key, "-1")
+    try {
+      val df = SparkEntry.queries("tfidf_top_terms")(spark, sf)
+      val got = df.collect().toSeq
+      val p = df.queryExecution.executedPlan.toString
+      val pFinal = p.indexOf("== Initial Plan ==") match {
+        case -1 => p; case i => p.substring(0, i)
+      }
+      assert("Window ".r.findAllIn(pFinal).size == 1,
+        "fallback must not resurrect the term window")
+      assert(pFinal.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial_count") && l.contains("term")),
+        "fallback lost the df side's partial aggregation")
+      assert(got == want, "fallback changed the result")
+    } finally spark.conf.set(key, prev)
+  }
 }
