@@ -86,6 +86,7 @@ object SparkEntry {
     "seq_pack_buckets" -> (TextOps.seqPackBuckets _),
     "repetition_stats" -> (TextOps.repetitionStats _),
     "contamination_check" -> (TextOps.contaminationCheck _),
+    "pii_scrub" -> (TextOps.piiScrub _),
     "doc_fingerprint" -> (TextOps.docFingerprint _),
     "hash_split" -> (TextOps.hashSplit _),
     "regex_token_profile" -> (TextOps.regexTokenProfile _),
@@ -583,6 +584,26 @@ object SparkEntry {
         |FROM pool p
         |LEFT JOIN (SELECT lang, count(*) AS n FROM cont GROUP BY 1) c USING (lang)
         |ORDER BY 1""".stripMargin,
+    "pii_scrub" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+        |  CAST(sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+        |  CAST(sum(CASE WHEN n_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
+        |  CAST(sum(n_email + n_ip + n_num) AS BIGINT) AS total_matches,
+        |  CAST(sum(n_chars - len(scrubbed)) AS BIGINT) AS redacted_char_delta
+        |FROM (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |    len(regexp_extract_all(text, '\d{6,}')) AS n_num,
+        |    len(text) AS n_chars,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\d{6,}', '[NUM]', 'g') AS scrubbed
+        |  FROM read_parquet('{dir}/documents.parquet')) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "hash_split" ->
       """SELECT CASE WHEN b < 10 THEN 'train' WHEN b < 13 THEN 'val' ELSE 'test' END AS split,
         |       lang, count(*) AS n_docs, round((avg(n_chars)) + 1e-7, 4) AS avg_chars

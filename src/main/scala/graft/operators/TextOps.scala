@@ -209,6 +209,55 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** PII patterns for [[piiScrub]] — deliberately simple, anchored
+    * regexes valid in BOTH Java regex (Spark) and RE2 (DuckDB): no
+    * lookarounds, no backrefs. Email, IPv4, long digit runs (ids /
+    * phone numbers; an IPv4 octet can't reach 6 digits so the
+    * classes are disjoint and replacement order is email → ip → num).
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiLongNum = "\\d{6,}"
+
+  /** Row-level PII scrub over any docs-shaped frame (doc_id, text,
+    * lang): per-doc match counts per class + the redacted text
+    * (emails → [EMAIL], IPv4 → [IP], 6+-digit runs → [NUM]). A pure
+    * codegen'd projection — no shuffle, no UDF — so it rides the
+    * ingest scan for free at any corpus size.
+    */
+  def piiScrubRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      regexp_count(col("text"), lit(PiiEmail)).as("n_email"),
+      regexp_count(col("text"), lit(PiiIp)).as("n_ip"),
+      regexp_count(col("text"), lit(PiiLongNum)).as("n_num"),
+      length(col("text")).as("n_chars"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), PiiEmail, "[EMAIL]"),
+          PiiIp, "[IP]"),
+        PiiLongNum, "[NUM]").as("scrubbed"))
+
+  /** `pii_scrub` (#90, full oracle) — the compliance-scrubbing stage
+    * of a curation pipeline: per lang, docs containing each PII class
+    * (email / IPv4 / long digit run), total matches, and the net
+    * character delta of redaction. The synthetic fixture is PII-free
+    * — the oracle pins the all-zero report (counting nothing is also
+    * a contract) — while PiiSpec drives a constructed dirty fixture
+    * through the SAME [[piiScrubRows]] expressions and pins exact
+    * detection counts and redacted output.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubRows(Tables.documents(spark, dir))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("n_ip") > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(when(col("n_num") > 0, 1L).otherwise(0L)).as("docs_with_num"),
+        sum(col("n_email") + col("n_ip") + col("n_num")).as("total_matches"),
+        sum(col("n_chars") - length(col("scrubbed"))).as("redacted_char_delta"))
+      .orderBy("lang")
+
   /** `doc_fingerprint` — rolling-hash document fingerprint: the
     * 8-char shingle at position i hashes via Horner's rule
     * (acc·31 + ord(char)) mod 1e9+7; the doc fingerprint is the min

@@ -93,6 +93,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "seq_pack_buckets" -> 4L,
     "repetition_stats" -> 5L,
     "contamination_check" -> 5L,
+    "pii_scrub" -> 5L,
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,

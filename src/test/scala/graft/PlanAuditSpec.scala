@@ -160,7 +160,7 @@ class PlanAuditSpec extends SparkTestBase {
     "gap_fill_minutes" -> 3, "weekly_retention" -> 6,
     "ntile_quartiles" -> 2, "tfidf_top_terms" -> 8,
     "seq_pack_buckets" -> 2, "repetition_stats" -> 4,
-    "contamination_check" -> 5,
+    "contamination_check" -> 5, "pii_scrub" -> 2,
     "above_brand_avg" -> 4, "range_frame_daily" -> 3,
     // budget_carryover: 9 is textual, not executed-per-row — the
     // cached day-rollup's subplan (agg+window exchanges, run ONCE at
