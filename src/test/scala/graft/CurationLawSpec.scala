@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Functional laws for the round-4 curation queries — properties the
+  * oracle (which only proves engine agreement) cannot express:
+  * structural bounds that must hold on ANY corpus, and constructed
+  * positive/negative cases proving the detectors actually detect.
+  */
+class CurationLawSpec extends SparkTestBase {
+
+  test("seq_pack_buckets: waste < 32 per doc, caps on the 32-grid, efficiency in (0, 1]") {
+    val rows = SparkEntry.queries("seq_pack_buckets")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cap, nDocs, waste) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(cap % 32 == 0 && cap >= 32 && cap <= 512, s"cap off-grid: $cap")
+      // each doc wastes at most 31 tokens against its own 32-granular
+      // cap — the bound that makes bucketing worth doing at all
+      assert(waste < 32 * nDocs, s"cap $cap: waste $waste >= 32 * $nDocs")
+      val eff = r.getDouble(5)
+      assert(eff > 0.0 && eff <= 1.0, s"cap $cap: efficiency $eff")
+    }
+    // total token mass is conserved: sum over buckets == corpus total
+    val bucketed = rows.map(_.getLong(2)).sum
+    val direct = Tables.documents(spark, sf)
+      .select(sum(size(filter(split(col("text"), " "), t => t =!= "")).cast("long")))
+      .head().getLong(0)
+    assert(bucketed == direct, s"token mass not conserved: $bucketed != $direct")
+  }
+
+  test("repetition_stats: a pathological doc flags, a diverse doc does not") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val d = java.nio.file.Files.createTempDirectory("graft_rep_law").toString
+    val spam = ("buy " * 50).trim                    // top share 1.0
+    val diverse = (1 to 50).map(i => s"w$i").mkString(" ") // distinct ratio 1.0
+    Seq((1L, spam, "en", "s", spam.length.toLong),
+        (2L, diverse, "en", "s", diverse.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextOps.repetitionStats(spark, d).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 1,
+      s"expected exactly the spam doc flagged: ${r.toSeq}")
+  }
+
+  test("contamination_check: an embedded verbatim 8-gram flags; fresh text does not") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val d = java.nio.file.Files.createTempDirectory("graft_cont_law").toString
+    val benchDoc = (1 to 20).map(i => s"b$i").mkString(" ") // doc_id < 50 slice
+    val quote = (5 to 12).map(i => s"b$i").mkString(" ")    // verbatim 8-gram
+    val contaminated = s"some fresh prose then $quote and more prose after"
+    val clean = (1 to 30).map(i => s"c$i").mkString(" ")
+    Seq((1L, benchDoc, "en"), (100L, contaminated, "en"), (101L, clean, "en"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = TextOps.contaminationCheck(spark, d).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2, s"candidate pool: ${r.toSeq}")
+    assert(r.head.getLong(2) == 1,
+      s"exactly the embedded-quote doc must flag: ${r.toSeq}")
+  }
+
+  test("pii_scrub: scrubbed output of the fixture corpus re-scrubs to itself (idempotent)") {
+    import graft.operators.TextOps
+    // scrub twice == scrub once on any corpus where replacement tokens
+    // don't themselves match a pattern (they can't: no @, no digits)
+    val once = TextOps.piiScrubRows(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("scrubbed").as("text"), col("lang"))
+    val twice = TextOps.piiScrubRows(once)
+    val changed = twice.filter(col("text") =!= col("scrubbed")).count()
+    assert(changed == 0, s"$changed docs changed on re-scrub")
+  }
+}
