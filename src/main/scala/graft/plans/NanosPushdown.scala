@@ -34,9 +34,10 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.nanosPushdown.enabled"
 
-  /** Matches `timestamp_micros(cast(ns / 1000 as long))` in both the
-    * shapes the DSL produces: integral divide or double divide (the
-    * `col / 1000` form casts through double).
+  /** Matches `timestamp_micros(ns div 1000)` (the loader's exact
+    * integral form) plus the legacy shapes `timestamp_micros(cast(ns
+    * / 1000 as long))` / bare Divide, so user-written conversions in
+    * any of the three spellings all get the pushdown.
     */
   private object DerivedMicros {
     private def thousand(e: Expression): Boolean = e match {
@@ -51,14 +52,15 @@ object NanosRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
       case c: Cast => rawLongAttr(c.child)
       case _ => None
     }
+    private def dividedAttr(e: Expression): Option[Attribute] = e match {
+      case d: Divide if thousand(d.right) => rawLongAttr(d.left)
+      case d: IntegralDivide if thousand(d.right) => rawLongAttr(d.left)
+      case _ => None
+    }
     def unapply(e: Expression): Option[Attribute] = e match {
       case MicrosToTimestamp(inner) => inner match {
-        case c: Cast if c.dataType == LongType => c.child match {
-          case d: Divide if thousand(d.right) => rawLongAttr(d.left)
-          case _ => None
-        }
-        case d: Divide if thousand(d.right) => rawLongAttr(d.left)
-        case _ => None
+        case c: Cast if c.dataType == LongType => dividedAttr(c.child)
+        case other => dividedAttr(other)
       }
       case _ => None
     }

@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * The one ingestion quirk (SURVEY.md §1.2, verified): `events.ts` is
   * stored as parquet INT64 TIMESTAMP(NANOS), which Spark 4.x rejects
   * by default. We read it as raw nanos via the legacy conf and convert
-  * to a microsecond TIMESTAMP (`timestamp_micros(ns / 1000)`); the
-  * fixture has no sub-microsecond component so this is lossless and
-  * bit-identical to what DuckDB (the oracle) sees.
+  * to a microsecond TIMESTAMP (`timestamp_micros(ns div 1000)`).
+  * INTEGRAL division, not `/`: epoch nanos (~1.7e18) exceed double's
+  * 53-bit exact range, so the double-division form `(ns / 1000) cast
+  * long` carries a ±128 ns representation error that can shift a row
+  * into the neighboring microsecond — caught by the sf1 cross-engine
+  * validation on arbitrary-nanos data (the driver fixture happened to
+  * mask it). `div` truncates exactly, bit-identical to what DuckDB
+  * (the oracle) computes.
   */
 /** Typed row of the events fact table (Dataset[Event] surface — used
   * where compile-time safety pays; the DataFrame surface stays the
@@ -85,7 +90,7 @@ object Tables {
     val r = raw(spark, dir, "events")
     r.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        r.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => r
     }
   }
@@ -110,7 +115,7 @@ object Tables {
     r.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         r.filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(toUtc))
-          .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         // stored TIMESTAMP column: the predicate is directly pushable
         r.filter(col("ts") >= to_timestamp(lit(fromUtc)) &&

@@ -43,7 +43,9 @@ object StreamingQueries {
     val raw = spark.readStream.schema(schema).parquet(glob)
     schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integral div, not `/`: see Tables.events — double division
+        // loses ns precision at epoch magnitude
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
