@@ -92,6 +92,7 @@ object SparkEntry {
     "regex_token_profile" -> (TextOps.regexTokenProfile _),
     "curate_corpus" -> (TextOps.curateCorpus _),
     "distinct_hll" -> (DedupOps.distinctHll _),
+    "segment_dedup" -> (DedupOps.segmentDedup _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -417,6 +418,24 @@ object SparkEntry {
         |       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
         |       count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dups
         |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "segment_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |base AS (
+        |  SELECT doc_id, source, CAST(ceil(len(t) / 8.0) AS BIGINT) AS nseg, t FROM d),
+        |inst AS (
+        |  SELECT doc_id, array_to_string(t[((i - 1) * 8 + 1):(i * 8)], ' ') AS seg
+        |  FROM (SELECT doc_id, t, unnest(range(1, nseg + 1)) AS i FROM base)),
+        |dup AS (SELECT seg FROM inst GROUP BY seg HAVING count(*) > 1),
+        |rem AS (SELECT doc_id, count(*) AS n_rem FROM inst JOIN dup USING (seg) GROUP BY doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(nseg) AS BIGINT) AS n_segs,
+        |       CAST(sum(coalesce(n_rem, 0)) AS BIGINT) AS n_removed,
+        |       CAST(sum(CASE WHEN coalesce(n_rem, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+        |       round((avg(coalesce(coalesce(n_rem, 0) * 1.0 / nullif(nseg, 0), 0))) + 1e-7, 4) AS avg_frac_removed
+        |FROM base LEFT JOIN rem USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

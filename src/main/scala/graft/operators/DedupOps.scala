@@ -392,4 +392,79 @@ object DedupOps {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+
+  /** Tokens-per-segment for [[segmentDedup]]: 8 is the paragraph
+    * granularity this corpus supports (no newlines — docs are one
+    * whitespace-token stream, SURVEY §1.2).
+    */
+  val SegLen = 8
+
+  /** Per-doc segmentation for [[segmentDedup]]: consecutive
+    * [[SegLen]]-token windows (1-based, last one ragged) as a `segs`
+    * array column plus the `nseg` count. The `when` guards Spark's
+    * `sequence(1, 0)` DESCENDING surprise on token-less docs (same
+    * guard class as doc_fingerprint's).
+    */
+  def segmentedDocs(docs: DataFrame): DataFrame = {
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    docs
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .withColumn("nseg",
+        ceil(size(col("t")) / lit(SegLen.toDouble)).cast("long"))
+      .withColumn("segs",
+        when(col("nseg") > 0, transform(
+          sequence(lit(1L), col("nseg")),
+          i => array_join(
+            slice(col("t"), ((i - 1) * SegLen + 1).cast("int"), lit(SegLen)),
+            " ")))
+          .otherwise(array().cast("array<string>")))
+      .drop("t")
+  }
+
+  /** Declared query `segment_dedup` (full oracle) — duplicate-segment
+    * removal, the paragraph/line-level dedup pass (CCNet/Dolma style)
+    * that sits between exact-doc dedup and near-dup LSH in a training
+    * pipeline: boilerplate repeated ACROSS documents (headers,
+    * navigation, license blocks) is removed per-instance while the
+    * host documents survive. A segment instance is removed when its
+    * text occurs more than once corpus-wide (both instances go — the
+    * boilerplate itself carries no training signal). Output per
+    * source: docs, segment mass, instances removed, docs touched,
+    * and the mean removed fraction.
+    *
+    * Scale shape: the classic two-exchange paragraph-dedup plan.
+    * (1) segment instances → partial-agg'd `groupBy(seg).count` —
+    * map-side combine collapses hot boilerplate before the exchange,
+    * so the seg-keyed shuffle is distinct-segments-sized, never
+    * instance-sized (the skew lesson from tfidf applied from the
+    * start). (2) instances join the `count > 1` slice (shuffle join
+    * on seg — the dup set is corpus-sized at 100 TB, NOT assumed
+    * broadcastable) → per-doc removed counts, which re-join the
+    * per-doc frame on doc_id. Per-doc totals (`nseg`) come straight
+    * from the scan-side arithmetic — no second pass over instances.
+    * Nothing here is quadratic; every stage is output- or
+    * distinct-bounded.
+    */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = segmentedDocs(Tables.documents(spark, dir))
+    val inst = perDoc.select(col("doc_id"), explode(col("segs")).as("seg"))
+    val dupSegs = inst
+      .groupBy("seg").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val removedPerDoc = inst.join(dupSegs, Seq("seg"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rem"))
+    perDoc.select("doc_id", "source", "nseg")
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_rem", coalesce(col("n_rem"), lit(0L)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nseg").as("n_segs"),
+        sum("n_rem").as("n_removed"),
+        sum(when(col("n_rem") > 0, 1L).otherwise(0L)).as("n_docs_touched"),
+        graft.functions.Det.r4(
+          avg(coalesce(col("n_rem") / nullif(col("nseg"), lit(0L)), lit(0.0))))
+          .as("avg_frac_removed"))
+      .orderBy("source")
+  }
 }

@@ -75,4 +75,38 @@ class CurationLawSpec extends SparkTestBase {
     val changed = twice.filter(col("text") =!= col("scrubbed")).count()
     assert(changed == 0, s"$changed docs changed on re-scrub")
   }
+
+  test("segment_dedup: cross-doc boilerplate and intra-doc repeats both remove; clean docs survive") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val d = java.nio.file.Files.createTempDirectory("graft_seg_law").toString
+    val boiler = (1 to 8).map(i => s"nav$i").mkString(" ")  // position-aligned 8-tok segment
+    val docA = boiler + " " + (1 to 8).map(i => s"a$i").mkString(" ")
+    val docB = boiler + " " + (1 to 8).map(i => s"b$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docC = rep + " " + rep                              // intra-doc repeat: both go
+    val docD = (1 to 16).map(i => s"d$i").mkString(" ")     // clean
+    Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = DedupOps.segmentDedup(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 4, s"n_docs: $row")
+    assert(row.getLong(2) == 8, s"n_segs: $row")
+    assert(row.getLong(3) == 4, s"n_removed (A+B boiler, C both): $row")
+    assert(row.getLong(4) == 3, s"n_docs_touched: $row")
+    assert(math.abs(row.getDouble(5) - 0.5) < 1e-9, s"avg_frac_removed: $row")
+  }
+
+  test("segment_dedup: structural bounds hold on the real corpus") {
+    SparkEntry.queries("segment_dedup")(spark, sf).collect().foreach { r =>
+      val (nDocs, nSegs, nRem, nTouched, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nRem >= 0 && nRem <= nSegs, s"removed out of bounds: $r")
+      assert(nTouched <= nDocs, s"touched > docs: $r")
+      assert(frac >= 0.0 && frac <= 1.0001, s"frac out of [0,1]: $r")
+    }
+  }
 }

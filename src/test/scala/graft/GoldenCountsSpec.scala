@@ -94,6 +94,7 @@ class GoldenCountsSpec extends SparkTestBase {
     "repetition_stats" -> 5L,
     "contamination_check" -> 5L,
     "pii_scrub" -> 5L,
+    "segment_dedup" -> 20L,
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,

@@ -148,7 +148,7 @@ class PlanAuditSpec extends SparkTestBase {
     "media_bytes_stats" -> 3, "lang_id" -> 2, "quality_score" -> 2,
     "token_count" -> 2, "doc_fingerprint" -> 3, "hash_split" -> 2,
     "regex_token_profile" -> 2, "curate_corpus" -> 3,
-    "distinct_hll" -> 2, "near_dup_minhash" -> 9,
+    "distinct_hll" -> 2, "segment_dedup" -> 4, "near_dup_minhash" -> 9,
     "simhash_dups" -> 7, "source_overlap" -> 4,
     "percentile_approx_value" -> 2, "ann_cosine_topk" -> 0,
     "sketch_rollup" -> 2, "srp_near_dup" -> 3, "salted_join" -> 2,
