@@ -93,6 +93,8 @@ object SparkEntry {
     "curate_corpus" -> (TextOps.curateCorpus _),
     "distinct_hll" -> (DedupOps.distinctHll _),
     "segment_dedup" -> (DedupOps.segmentDedup _),
+    "dedup_clusters" -> (GraphOps.dedupClusters _),
+    "cluster_keep_best" -> (GraphOps.clusterKeepBest _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -106,6 +108,7 @@ object SparkEntry {
     "slo_report_maintained" -> (ReportMaintenance.sloReportMaintained _),
     "interval_join_views" -> (graft.streaming.StreamJoins.intervalJoinViews _),
     "burn_rate_alerts" -> (SliQueries.burnRateAlerts _),
+    "zscore_anomaly" -> (SliQueries.zscoreAnomaly _),
     "heavy_hitters" -> (LlmQueries.heavyHitters _),
     "pivot_day_type" -> (RelationalQueries.pivotDayType _),
     "unpivot_type_stats" -> (RelationalQueries.unpivotTypeStats _),
@@ -436,6 +439,56 @@ object SparkEntry {
         |       round((avg(coalesce(coalesce(n_rem, 0) * 1.0 / nullif(nseg, 0), 0))) + 1e-7, 4) AS avg_frac_removed
         |FROM base LEFT JOIN rem USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM read_parquet('{dir}/documents.parquet') WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+        |        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8),
+        |edges AS (
+        |  SELECT lang, a_id AS s, b_id AS d FROM pairs
+        |  UNION ALL
+        |  SELECT lang, b_id AS s, a_id AS d FROM pairs),
+        |reach(lang, node, lbl) AS (
+        |  SELECT DISTINCT lang, s, s FROM edges
+        |  UNION
+        |  SELECT e.lang, e.d, r.lbl
+        |  FROM reach r JOIN edges e ON e.lang = r.lang AND e.s = r.node),
+        |comp AS (SELECT lang, node, min(lbl) AS cluster_id FROM reach GROUP BY lang, node)
+        |SELECT lang, cluster_id, count(*) AS cluster_size
+        |FROM comp GROUP BY lang, cluster_id
+        |ORDER BY lang, cluster_id""".stripMargin,
+    "cluster_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM read_parquet('{dir}/documents.parquet') WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+        |        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8),
+        |edges AS (
+        |  SELECT lang, a_id AS s, b_id AS d FROM pairs
+        |  UNION ALL
+        |  SELECT lang, b_id AS s, a_id AS d FROM pairs),
+        |reach(lang, node, lbl) AS (
+        |  SELECT DISTINCT lang, s, s FROM edges
+        |  UNION
+        |  SELECT e.lang, e.d, r.lbl
+        |  FROM reach r JOIN edges e ON e.lang = r.lang AND e.s = r.node),
+        |comp AS (SELECT lang, node, min(lbl) AS cluster_id FROM reach GROUP BY lang, node),
+        |scored AS (
+        |  SELECT c.lang, c.cluster_id, c.node, d.n_chars
+        |  FROM comp c JOIN read_parquet('{dir}/documents.parquet') d ON d.doc_id = c.node)
+        |SELECT lang, cluster_id,
+        |       max_by(node, n_chars * 1000000 - node) AS keep_doc_id,
+        |       count(*) AS cluster_size,
+        |       count(*) - 1 AS n_removed
+        |FROM scored GROUP BY lang, cluster_id
+        |ORDER BY lang, cluster_id""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
@@ -923,6 +976,23 @@ object SparkEntry {
         |       coalesce(r.n_retained, 0) AS n_retained,
         |       round((100.0 * coalesce(r.n_retained, 0) / u.n_users) + 1e-7, 4) AS retention_pct
         |FROM u LEFT JOIN r ON r.wk = u.wk ORDER BY 1""".stripMargin,
+    "zscore_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, v,
+        |         avg(v) OVER w AS mu, stddev(v) OVER w AS sigma,
+        |         count(*) OVER w AS n_prior
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day,
+        |       round(v + 1e-7, 4) AS daily_avg,
+        |       round((v - mu) / sigma + 1e-7, 4) AS z,
+        |       abs(round((v - mu) / sigma + 1e-7, 4)) > 2.0 AS is_anomaly
+        |FROM win WHERE n_prior = 7 AND sigma > 0
+        |ORDER BY event_type, day""".stripMargin,
     "burn_rate_alerts" ->
       """WITH per_min AS (
         |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v

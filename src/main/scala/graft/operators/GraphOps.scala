@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Graph operators over DataFrames — connected components, the
+  * missing piece on top of pairwise near-dup detection: dedup
+  * pipelines need CLUSTERS (one survivor per group of mutual
+  * near-dups), and near-dup similarity is not transitive, so the
+  * pair list must be closed into components before retention
+  * decisions are global-consistent.
+  *
+  * Algorithm: iterative min-label propagation ("Hash-Min", Rastogi
+  * et al., "Finding Connected Components in MapReduce" — public
+  * algorithmic knowledge) with one pointer-jumping step per round
+  * (label := label(label)), which halves the remaining chain depth
+  * and brings convergence from O(diameter) to O(log diameter)
+  * rounds. Each round is two hash joins plus one partially-aggregated
+  * `min` — all key-partitioned exchanges with map-side combine, no
+  * driver-side data. The driver loop only counts changed labels
+  * (LIMIT 1 short-circuit), same bounded-driver-loop class as the
+  * recursive-CTE runner in budget_carryover.
+  *
+  * 100 TB shape: edge lists from LSH candidate generation are
+  * output-linear in the corpus; each round shuffles the edge list by
+  * src and the label frame by node — both hash joins AQE-sizable.
+  * `localCheckpoint` cuts the per-round lineage (on a cluster with a
+  * configured checkpoint dir, `checkpoint` gives the same effect with
+  * fault tolerance). Near-dup graphs have tiny diameters (dup
+  * clusters are dense), so rounds ≈ 3-5 in practice.
+  */
+object GraphOps {
+
+  /** Connected components of an undirected graph, scoped per
+    * partition key. Input `edges` must have columns (part, a, b) —
+    * one row per undirected edge. Returns (part, node, cluster_id)
+    * where cluster_id is the minimum node id in the component
+    * (deterministic, join-able back to the vertex frame). Nodes with
+    * no edges don't appear (singletons are trivially their own
+    * cluster; callers that need them union them back).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // checkpoint the symmetrized edge list once: it is re-scanned every
+    // round (worth materializing), and the fresh attribute ids keep the
+    // per-round label unions free of cross-child id sharing
+    val sym = edges
+      .select(col("part"), col("a").as("s"), col("b").as("d"))
+      .union(edges.select(col("part"), col("b").as("s"), col("a").as("d")))
+      .localCheckpoint()
+    var labels = sym
+      .select(col("part"), col("s").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: node adopts min(own label, neighbors' labels) —
+      // neighbor mins partial-agg BEFORE the exchange (hot nodes
+      // collapse map-side), then one join back to the label frame
+      val nbrMin = sym
+        .join(
+          labels.select(col("part").as("mp"), col("node").as("mn"), col("lbl")),
+          col("part") === col("mp") && col("s") === col("mn"))
+        .groupBy(col("part"), col("d").as("node"))
+        .agg(min("lbl").as("nlbl"))
+      val prop = labels
+        .join(nbrMin, Seq("part", "node"), "left")
+        .select(col("part"), col("node"),
+          coalesce(least(col("lbl"), col("nlbl")), col("lbl")).as("lbl"))
+      // pointer jump: lbl := lbl(lbl). A label is always a live node
+      // id, and labels only decrease, so the jump is monotone-safe;
+      // left join + coalesce covers the already-minimal root.
+      val next = prop.alias("x")
+        .join(
+          prop.select(col("part").as("jp"), col("node").as("jn"), col("lbl").as("jl")),
+          col("x.part") === col("jp") && col("x.lbl") === col("jn"), "left")
+        .select(col("x.part").as("part"), col("x.node").as("node"),
+          coalesce(least(col("jl"), col("x.lbl")), col("x.lbl")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.select(col("part"), col("node"), col("lbl").as("old")),
+          Seq("part", "node"))
+        .filter(col("lbl") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    labels
+  }
+
+  /** Declared query `dedup_clusters` (full oracle) — near-dup
+    * CLUSTERS: the exact Jaccard pair graph (same-lang, token-set
+    * jaccard ≥ 0.8, bounded to doc_id < 300 like its pair-level
+    * sibling near_dup_pairs) closed into connected components.
+    * Output one row per cluster of mutual-or-transitive near-dups:
+    * (lang, cluster_id = min doc_id, cluster_size). This is the
+    * retention unit a dedup pipeline actually keys on — "keep one
+    * doc per cluster" is only well-defined after the transitive
+    * closure; pairwise kill-lists (curate_corpus_neardup) are the
+    * streaming-friendly approximation, this is the exact batch form.
+    *
+    * The DuckDB oracle mirrors the closure with a recursive CTE
+    * (min reachable id per node over the symmetrized edge set).
+    *
+    * Scale: the bounded slice is the ground-truth fixture (constant
+    * at any corpus size); the unbounded path swaps the exact pair
+    * join for DedupOps' MinHash-LSH candidate pairs and runs the
+    * same [[connectedComponents]] — edge generation output-linear,
+    * CC rounds log-diameter (GraphOpsSpec pins both the union-find
+    * equivalence and the round count on a 200-node chain).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    nearDupComponents(spark, dir)
+      .groupBy(col("part"), col("lbl"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("part").as("lang"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("lang", "cluster_id")
+
+  /** Shared fixture graph for the cluster queries: exact same-lang
+    * token-set Jaccard ≥ 0.8 pairs on doc_id < 300, closed into
+    * components. Returns (part = lang, node = doc_id, lbl = min id).
+    */
+  private def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+    val pairs = LlmQueries.exactJaccardPairs(toks, 0.8)
+      .select(col("lang").as("part"), col("a_id").as("a"), col("b_id").as("b"))
+    connectedComponents(pairs)
+  }
+
+  /** Declared query `cluster_keep_best` (full oracle) — the retention
+    * decision per near-dup cluster: keep the member with the most
+    * content (max n_chars, ties to the smaller doc_id), report how
+    * many the cluster sheds. This is the decision record a dedup
+    * pipeline actually emits — dedup_clusters says WHAT is duplicated,
+    * this says what SURVIVES.
+    *
+    * Determinism: the survivor argmax uses the exact composite key
+    * `n_chars * 1e6 − doc_id` (doc_id < 1e6 by the fixture bound, so
+    * the key is collision-free and identical in both engines —
+    * max_by in Spark, max_by in DuckDB).
+    *
+    * Scale: labels join the doc frame on doc_id (hash join, both
+    * sides component-output-sized), then a partial-aggregable
+    * max_by/count per cluster — no windows, no driver data.
+    */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    nearDupComponents(spark, dir)
+      .join(docs, col("node") === col("doc_id"))
+      .groupBy(col("part"), col("lbl"))
+      .agg(
+        max_by(col("node"), col("n_chars") * lit(1000000L) - col("node"))
+          .as("keep_doc_id"),
+        count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - lit(1L)).as("n_removed"))
+      .select(col("part").as("lang"), col("lbl").as("cluster_id"),
+        col("keep_doc_id"), col("cluster_size"), col("n_removed"))
+      .orderBy("lang", "cluster_id")
+  }
+}

@@ -371,4 +371,42 @@ object SliQueries {
         |       round(budget + 1e-7, 4) AS budget
         |FROM carry ORDER BY event_type, day""".stripMargin)
   }
+
+  /** Declared query `zscore_anomaly` (full oracle) — SLI anomaly
+    * detection: each (event_type, day) daily mean is scored against
+    * the trailing 7 COMPLETE prior days (ROWS BETWEEN 7 PRECEDING AND
+    * 1 PRECEDING — the current day never contaminates its own
+    * baseline), z = (v − μ)/σ, flagged at |z| > 2. This is the
+    * burn-rate alert's statistical sibling: burn_rate_alerts detects
+    * threshold breaches, this detects DISTRIBUTION shifts (a latency
+    * regression that stays inside the SLO window but is 3σ off its
+    * own history).
+    *
+    * Determinism: z is rounded (r4) BEFORE the |z| > 2 comparison in
+    * both engines, so the boolean can never disagree on a boundary
+    * ulp. σ > 0 guard keeps the division well-defined (σ is
+    * sample-stddev in both Spark and the oracle).
+    *
+    * Scale: scan → partial-agg'd daily rollup (events collapse
+    * map-side) → one window exchange on event_type. The window frame
+    * is 8 rows per partition key regardless of corpus size — the
+    * shuffled frame is days×types, not events. Survives 100 TB.
+    */
+  def zscoreAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("mu", avg("v").over(w))
+      .withColumn("sigma", stddev("v").over(w))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .filter(col("n_prior") === 7 && col("sigma") > 0)
+      .withColumn("z", r4((col("v") - col("mu")) / col("sigma")))
+      .select(col("event_type"), col("day"),
+        r4(col("v")).as("daily_avg"), col("z"),
+        (abs(col("z")) > 2.0).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
 }

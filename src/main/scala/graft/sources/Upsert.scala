@@ -39,9 +39,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * so two simultaneous merges into one sink (say a streaming ingest
   * plus an ad-hoc backfill) could interleave between the read and the
   * publish and lose one side's rows. [[upsertDatePartitioned]] guards
-  * the window with a per-sink LOCK FILE acquired by atomic
-  * create-exclusive — a primitive HDFS and local filesystems provide
-  * (object stores without atomic create need an external lock; a
+  * the window at two layers: same-JVM writers serialize on a
+  * process-local lock per sink, and cross-process writers on a
+  * per-sink LOCK FILE acquired by atomic create-exclusive — atomic on
+  * HDFS natively, and on local filesystems via NIO O_EXCL (Hadoop's
+  * own local `create(overwrite=false)` is check-then-create and NOT
+  * race-safe — see [[atomicCreate]]; object stores without atomic
+  * create need an external lock; a
   * production deployment on Iceberg/Delta gets this from the format's
   * own optimistic-concurrency commit and drops the lock entirely —
   * that swap is a writer-config change, not a code change). A waiter
@@ -56,6 +60,37 @@ object Upsert {
   /** A lock older than this is presumed crashed and is broken. */
   private val LockStaleMs = 600000L
 
+  /** Same-JVM writers (two threads of one driver, e.g. a streaming
+    * ingest plus an ad-hoc backfill) serialize on a process-local
+    * lock per sink path — polling a lock FILE against yourself is
+    * wasteful and, on the local filesystem, unsound (see
+    * [[atomicCreate]]). The file lock below remains the cross-process
+    * guard.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Create-exclusive of the lock file. On HDFS/object-store schemes
+    * `fs.create(overwrite = false)` is atomic (NameNode-arbitrated).
+    * On `file://`, Hadoop's RawLocalFileSystem implements it as
+    * check-THEN-create — two processes can both pass the check — so
+    * the local scheme goes through NIO `Files.createFile`, which is a
+    * real O_CREAT|O_EXCL and throws FileAlreadyExistsException (an
+    * IOException) when it loses the race.
+    */
+  private def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, holder: String): Unit = {
+    if (fs.getUri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(lock.toUri.getPath)
+      java.nio.file.Files.createFile(p)
+      java.nio.file.Files.write(p, holder.getBytes("UTF-8"))
+    } else {
+      val out = fs.create(lock, false)
+      out.write(holder.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
   /** Run `body` holding the sink's merge lock. The lock is a SIBLING
     * of the sink directory (not inside it) so the first-load
     * whole-path overwrite can never clobber a held lock.
@@ -64,15 +99,22 @@ object Upsert {
       fs: org.apache.hadoop.fs.FileSystem, path: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(
       s"${path.stripSuffix("/")}__merge_lock")
+    val jvmLock = jvmLocks.computeIfAbsent(lock.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    jvmLock.lock()
+    try withFileLock(fs, lock)(body)
+    finally jvmLock.unlock()
+  }
+
+  private def withFileLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path)(body: => T): T = {
     val holder =
       s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
     val deadline = System.currentTimeMillis() + LockWaitMs
     var acquired = false
     while (!acquired) {
       try {
-        val out = fs.create(lock, false) // atomic create-exclusive
-        out.write(holder.getBytes("UTF-8"))
-        out.close()
+        atomicCreate(fs, lock, holder)
         acquired = true
       } catch {
         case _: java.io.IOException =>
@@ -87,7 +129,7 @@ object Upsert {
                 fs.open(lock)), "UTF-8")
             } catch { case _: java.io.IOException => "<unknown>" }
             throw new IllegalStateException(
-              s"upsert into $path: merge lock held by $who for > ${LockWaitMs} ms; " +
+              s"upsert at $lock: merge lock held by $who for > ${LockWaitMs} ms; " +
                 "concurrent writer or crashed merge (stale locks break after " +
                 s"${LockStaleMs} ms)")
           } else Thread.sleep(200L)

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
+
+import graft.operators.GraphOps
+
+/** Connected components: functional laws against a driver-side
+  * union-find reference, plus the log-diameter convergence claim
+  * (the 100 TB argument) pinned on a worst-case chain.
+  */
+object GraphCcTestKit {
+
+  /** Reference union-find over the same edge list; min-id roots. */
+  def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // always parent the larger root, so roots stay component minima
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  def ccOf(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    GraphOps.connectedComponents(
+      edges.toDF("a", "b").withColumn("part", lit("g")).select("part", "a", "b"),
+      maxIter)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+  }
+}
+
+object GraphCcProps extends SparkProps("connected_components") {
+  import GraphCcTestKit._
+
+  private val edgeGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    m <- Gen.choose(1, 60)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield es.filter(e => e._1 != e._2).distinct
+
+  property("random graphs match union-find (labels = min id per component)") =
+    forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        ccOf(edges) == unionFind(nodes, edges)
+      }
+    }
+}
+
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  import GraphCcTestKit.ccOf
+
+  test("cc.worst-case 200-node chain converges (log-diameter rounds, maxIter 25)") {
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("cc.two components in one part keep distinct min-id labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val got = ccOf(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("cc.partition key isolates graphs (same node ids, different parts)") {
+    val df = Seq(
+      ("p1", 1L, 2L),
+      ("p2", 2L, 3L)).toDF("part", "a", "b")
+    val got = GraphOps.connectedComponents(df)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("p1", 1L) -> 1L, ("p1", 2L) -> 1L,
+      ("p2", 2L) -> 2L, ("p2", 3L) -> 2L))
+  }
+
+  test("cluster_keep_best: sizes agree with dedup_clusters; removed = size-1") {
+    val clusters = GraphOps.dedupClusters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val keep = GraphOps.clusterKeepBest(spark, sf).collect()
+    assert(keep.nonEmpty)
+    keep.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(clusters(key) == r.getLong(3), s"size mismatch for $key")
+      assert(r.getLong(4) == r.getLong(3) - 1)
+    }
+    assert(keep.length == clusters.size)
+  }
+
+  test("dedup_clusters: clusters are non-trivial and ids distinct per lang") {
+    val rows = GraphOps.dedupClusters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 2L), "singleton cluster leaked")
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length)
+    }
+  }
+}

@@ -148,13 +148,19 @@ class PlanAuditSpec extends SparkTestBase {
     "media_bytes_stats" -> 3, "lang_id" -> 2, "quality_score" -> 2,
     "token_count" -> 2, "doc_fingerprint" -> 3, "hash_split" -> 2,
     "regex_token_profile" -> 2, "curate_corpus" -> 3,
-    "distinct_hll" -> 2, "segment_dedup" -> 4, "near_dup_minhash" -> 9,
+    "distinct_hll" -> 2, "segment_dedup" -> 4,
+    // dedup_clusters: the driver loop's per-round exchanges run before
+    // the plan is printed; the FINAL plan is the checkpointed label
+    // frame -> groupBy(part,lbl) -> orderBy
+    "dedup_clusters" -> 2, "cluster_keep_best" -> 4,
+    "near_dup_minhash" -> 9,
     "simhash_dups" -> 7, "source_overlap" -> 4,
     "percentile_approx_value" -> 2, "ann_cosine_topk" -> 0,
     "sketch_rollup" -> 2, "srp_near_dup" -> 3, "salted_join" -> 2,
     "ann_knn_join" -> 4, "curate_corpus_neardup" -> 11,
     "slo_report_maintained" -> 1, "interval_join_views" -> 3,
-    "burn_rate_alerts" -> 4, "heavy_hitters" -> 4,
+    "burn_rate_alerts" -> 4, "zscore_anomaly" -> 3,
+    "heavy_hitters" -> 4,
     "pivot_day_type" -> 3, "unpivot_type_stats" -> 5,
     "stratified_sample" -> 2, "quantile_sketch_rollup" -> 2,
     "gap_fill_minutes" -> 3, "weekly_retention" -> 6,
