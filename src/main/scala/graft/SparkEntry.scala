@@ -95,6 +95,8 @@ object SparkEntry {
     "segment_dedup" -> (DedupOps.segmentDedup _),
     "dedup_clusters" -> (GraphOps.dedupClusters _),
     "cluster_keep_best" -> (GraphOps.clusterKeepBest _),
+    "semantic_dedup" -> (GraphOps.semanticDedup _),
+    "corpus_mix_sample" -> (TextOps.corpusMixSample _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -489,6 +491,43 @@ object SparkEntry {
         |       count(*) - 1 AS n_removed
         |FROM scored GROUP BY lang, cluster_id
         |ORDER BY lang, cluster_id""".stripMargin,
+    "semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM read_parquet('{dir}/embeddings.parquet') WHERE vec_id < 400),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION ALL
+        |  SELECT b_id AS s, a_id AS d FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e2.d, r.lbl FROM reach r JOIN edges e2 ON e2.s = r.node),
+        |comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+        |SELECT c.cluster_id, count(*) AS cluster_size,
+        |       count(*) - 1 AS n_dropped,
+        |       count(DISTINCT e.label) AS n_labels
+        |FROM comp c JOIN e ON e.vec_id = c.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_mix_sample" ->
+      """WITH d AS (
+        |  SELECT source, n_chars,
+        |         CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5 THEN 65536
+        |              WHEN CAST(substring(source, 4) AS INTEGER) < 10 THEN 32768
+        |              WHEN CAST(substring(source, 4) AS INTEGER) < 15 THEN 16384
+        |              ELSE 8192 END AS thr,
+        |         CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) AS u16
+        |  FROM read_parquet('{dir}/documents.parquet'))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN u16 < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       round(sum(CASE WHEN u16 < thr THEN 1 ELSE 0 END)
+        |             / CAST(count(*) AS DOUBLE) + 1e-7, 4) AS realized_rate,
+        |       CAST(sum(CASE WHEN u16 < thr THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

@@ -44,7 +44,7 @@ object AnnOps {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Vectors with FLOAT→DOUBLE cast (SURVEY App. B float32 trap). */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))

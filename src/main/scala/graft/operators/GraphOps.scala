@@ -150,6 +150,49 @@ object GraphOps {
     * sides component-output-sized), then a partial-aggregable
     * max_by/count per cluster — no windows, no driver data.
     */
+  /** Declared query `semantic_dedup` (full oracle) — SemDeDup-style
+    * semantic deduplication (Abbas et al. 2023, "SemDeDup", public
+    * paper): documents whose EMBEDDINGS are near-identical are
+    * semantic duplicates even when their text is not — paraphrases,
+    * translations, template re-renders — so the dedup graph is built
+    * in embedding space (cosine ≥ threshold; 0.35 is this corpus's
+    * measured near-dup band, min margin to the threshold 2.9e-5 ≫
+    * cross-engine float noise) and closed into components with the
+    * same [[connectedComponents]] used for the lexical graph. Output
+    * per cluster: representative (= min vec_id = cluster_id), size,
+    * drop count, and label diversity (semantic dups that cross labels
+    * are the interesting ones — they'd never be caught lexically).
+    *
+    * Scale: the bounded vec_id < 400 slice is the exact ground truth;
+    * the unbounded path generates candidate pairs with SRP-LSH
+    * (srp_near_dup's banded plan) or the IVF index and feeds the SAME
+    * component closure — candidate generation output-linear, CC
+    * log-diameter.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = AnnOps.vecs(spark, dir).filter(col("vec_id") < 400)
+      .withColumn("norm", sqrt(AnnOps.dot(col("emb"), col("emb"))))
+    val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
+      col("norm").as("a_norm"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
+      col("norm").as("b_norm"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .filter(AnnOps.dot(col("a_emb"), col("b_emb"))
+        / (col("a_norm") * col("b_norm")) >= 0.35)
+      .select(lit("all").as("part"), col("a_id").as("a"), col("b_id").as("b"))
+    connectedComponents(pairs)
+      .join(AnnOps.vecs(spark, dir).select(col("vec_id"), col("label")),
+        col("node") === col("vec_id"))
+      .groupBy(col("lbl"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - lit(1L)).as("n_dropped"),
+        countDistinct(col("label")).as("n_labels"))
+      .select(col("lbl").as("cluster_id"), col("cluster_size"),
+        col("n_dropped"), col("n_labels"))
+      .orderBy("cluster_id")
+  }
+
   def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     nearDupComponents(spark, dir)

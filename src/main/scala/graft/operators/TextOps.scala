@@ -305,6 +305,40 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Declared query `corpus_mix_sample` (full oracle) — deterministic
+    * corpus-mix subsampling, the "data mixing" step of a training
+    * pipeline: each source gets a target inclusion rate (here a
+    * quality-tiered policy over the source index: 1 / 0.5 / 0.25 /
+    * 0.125) and a doc is included iff its content-hash uniform falls
+    * under the rate. The uniform is the first 16 bits of md5 compared
+    * against an EXACT integer threshold (rate × 65536 is a whole
+    * number for all four tiers), so inclusion is a pure function of
+    * content — identical across engines, cluster sizes, re-runs, and
+    * appends, same discipline as [[hashSplit]] but rate-valued per
+    * source instead of fixed global quotas.
+    *
+    * Scale: pure codegen'd projection riding the scan + one rollup
+    * exchange; no RNG, no reservoir state, no per-group windows.
+    * Output per source: docs, sampled docs, realized rate, sampled
+    * char mass.
+    */
+  def corpusMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val thr = when(idx < 5, 65536L).when(idx < 10, 32768L)
+      .when(idx < 15, 16384L).otherwise(8192L)
+    val u16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("in_mix", u16 < thr)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("in_mix"), 1L).otherwise(0L)).as("n_sampled"),
+        r4(sum(when(col("in_mix"), 1L).otherwise(0L))
+          / count(lit(1)).cast("double")).as("realized_rate"),
+        sum(when(col("in_mix"), col("n_chars")).otherwise(0L)).as("sampled_chars"))
+      .orderBy("source")
+  }
+
   /** #67 `stratified_sample` — deterministic fixed-size per-stratum
     * sampling: the first 10 docs per language in content-hash order
     * (md5, tie-break doc_id). Hash-ordering makes the sample a pure

@@ -109,4 +109,47 @@ class CurationLawSpec extends SparkTestBase {
       assert(frac >= 0.0 && frac <= 1.0001, s"frac out of [0,1]: $r")
     }
   }
+
+  test("corpus_mix_sample: inclusion is a pure function of content (JVM md5 twin)") {
+    // recompute every doc's inclusion decision with java.security md5
+    // — a THIRD implementation besides Spark's and DuckDB's — and
+    // check the per-source sampled counts match exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u16(text: String): Long = {
+      val h = md.digest(text.getBytes("UTF-8"))
+      ((h(0).toLong & 0xffL) << 8) | (h(1).toLong & 0xffL)
+    }
+    def thr(source: String): Long = source.drop(3).toInt match {
+      case i if i < 5  => 65536L
+      case i if i < 10 => 32768L
+      case i if i < 15 => 16384L
+      case _           => 8192L
+    }
+    val expect = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(rs => rs.count(r => u16(r.getString(1)) < thr(r.getString(0))).toLong)
+      .toMap
+    val got = SparkEntry.queries("corpus_mix_sample")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("corpus_mix_sample: realized rates track the tier policy") {
+    SparkEntry.queries("corpus_mix_sample")(spark, sf).collect().foreach { r =>
+      val (source, n, rate) = (r.getString(0), r.getLong(1), r.getDouble(3))
+      val target = thrOf(source) / 65536.0
+      // binomial 4-sigma band — content hashes are uniform
+      val sigma = math.sqrt(target * (1 - target) / n)
+      assert(math.abs(rate - target) <= 4 * sigma + 1e-4,
+        s"$source: realized $rate vs target $target (n=$n)")
+    }
+  }
+
+  private def thrOf(source: String): Long = source.drop(3).toInt match {
+    case i if i < 5  => 65536L
+    case i if i < 10 => 32768L
+    case i if i < 15 => 16384L
+    case _           => 8192L
+  }
 }

@@ -100,6 +100,19 @@ class GraphOpsSpec extends SparkTestBase {
     assert(keep.length == clusters.size)
   }
 
+  test("semantic_dedup: clusters non-trivial, label diversity bounded by size") {
+    val rows = GraphOps.semanticDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L, s"singleton cluster: $r")
+      assert(r.getLong(2) == r.getLong(1) - 1)
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(1),
+        s"label diversity out of bounds: $r")
+    }
+    // representatives are distinct (cluster_id is the kept vec_id)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("dedup_clusters: clusters are non-trivial and ids distinct per lang") {
     val rows = GraphOps.dedupClusters(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -153,6 +153,7 @@ class PlanAuditSpec extends SparkTestBase {
     // the plan is printed; the FINAL plan is the checkpointed label
     // frame -> groupBy(part,lbl) -> orderBy
     "dedup_clusters" -> 2, "cluster_keep_best" -> 4,
+    "semantic_dedup" -> 4, "corpus_mix_sample" -> 2,
     "near_dup_minhash" -> 9,
     "simhash_dups" -> 7, "source_overlap" -> 4,
     "percentile_approx_value" -> 2, "ann_cosine_topk" -> 0,
