@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_clusters" -> (GraphOps.dedupClusters _),
     "cluster_keep_best" -> (GraphOps.clusterKeepBest _),
     "semantic_dedup" -> (GraphOps.semanticDedup _),
+    "bloom_prefilter_dedup" -> (BloomDedup.bloomPrefilterDedup _),
     "corpus_mix_sample" -> (TextOps.corpusMixSample _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
@@ -512,6 +513,22 @@ object SparkEntry {
         |       count(*) - 1 AS n_dropped,
         |       count(DISTINCT e.label) AS n_labels
         |FROM comp c JOIN e ON e.vec_id = c.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bloom_prefilter_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |base AS (
+        |  SELECT doc_id, lang, CAST(ceil(len(t) / 8.0) AS BIGINT) AS nseg, t FROM d),
+        |inst AS (
+        |  SELECT doc_id, lang, md5(array_to_string(t[((i - 1) * 8 + 1):(i * 8)], ' ')) AS h
+        |  FROM (SELECT doc_id, lang, t, unnest(range(1, nseg + 1)) AS i FROM base)),
+        |batch AS (SELECT lang, h FROM inst WHERE doc_id < 100),
+        |hist AS (SELECT DISTINCT h AS hh FROM inst WHERE doc_id >= 100)
+        |SELECT lang, count(*) AS n_batch_segs,
+        |       CAST(sum(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |       CAST(sum(CASE WHEN hh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM batch LEFT JOIN hist ON h = hh
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "corpus_mix_sample" ->
       """WITH d AS (

@@ -405,10 +405,10 @@ object DedupOps {
     * `sequence(1, 0)` DESCENDING surprise on token-less docs (same
     * guard class as doc_fingerprint's).
     */
-  def segmentedDocs(docs: DataFrame): DataFrame = {
+  def segmentedDocs(docs: DataFrame, keep: Seq[String] = Seq("source")): DataFrame = {
     val t = filter(split(col("text"), " "), x => x =!= "")
     docs
-      .select(col("doc_id"), col("source"), t.as("t"))
+      .select(col("doc_id") +: keep.map(col) :+ t.as("t"): _*)
       .withColumn("nseg",
         ceil(size(col("t")) / lit(SegLen.toDouble)).cast("long"))
       .withColumn("segs",

@@ -154,6 +154,7 @@ class PlanAuditSpec extends SparkTestBase {
     // frame -> groupBy(part,lbl) -> orderBy
     "dedup_clusters" -> 2, "cluster_keep_best" -> 4,
     "semantic_dedup" -> 4, "corpus_mix_sample" -> 2,
+    "bloom_prefilter_dedup" -> 5,
     "near_dup_minhash" -> 9,
     "simhash_dups" -> 7, "source_overlap" -> 4,
     "percentile_approx_value" -> 2, "ann_cosine_topk" -> 0,
