@@ -49,7 +49,13 @@ object BloomDedup {
     */
   def buildBloom(batch: DataFrame, colName: String,
       expectedItems: Long = 4096L, fpp: Double = 0.01): Array[Byte] = {
-    val bf = batch.stat.bloomFilter(colName, expectedItems, fpp)
+    // stat.bloomFilter NPEs on an empty frame (its internal aggregate
+    // yields a null buffer) — an empty batch legitimately means "an
+    // empty bloom that contains nothing"
+    val bf =
+      if (batch.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else batch.stat.bloomFilter(colName, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

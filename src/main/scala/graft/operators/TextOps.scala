@@ -323,7 +323,10 @@ object TextOps {
     * char mass.
     */
   def corpusMixSample(spark: SparkSession, dir: String): DataFrame = {
-    val idx = substring(col("source"), 4, 10).cast("int")
+    // try_cast, not cast: a source name outside the srcN scheme must
+    // fall to the conservative tier (null idx -> otherwise), not crash
+    // the batch under ANSI (DirtyInputSpec policy)
+    val idx = expr("try_cast(substring(source, 4, 10) AS INT)")
     val thr = when(idx < 5, 65536L).when(idx < 10, 32768L)
       .when(idx < 15, 16384L).otherwise(8192L)
     val u16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")

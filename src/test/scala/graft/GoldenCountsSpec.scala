@@ -95,6 +95,12 @@ class GoldenCountsSpec extends SparkTestBase {
     "contamination_check" -> 5L,
     "pii_scrub" -> 5L,
     "segment_dedup" -> 20L,
+    "dedup_clusters" -> 7L,
+    "cluster_keep_best" -> 7L,
+    "semantic_dedup" -> 51L,
+    "corpus_mix_sample" -> 20L,
+    "bloom_prefilter_dedup" -> 5L,
+    "zscore_anomaly" -> 115L,
     "above_brand_avg" -> 25L,
     "range_frame_daily" -> 150L,
     "pq_topk" -> 10L,
