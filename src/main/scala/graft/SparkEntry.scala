@@ -98,6 +98,17 @@ object SparkEntry {
     "semantic_dedup" -> (GraphOps.semanticDedup _),
     "bloom_prefilter_dedup" -> (BloomDedup.bloomPrefilterDedup _),
     "corpus_mix_sample" -> (TextOps.corpusMixSample _),
+    // corpus-statistics curation lane (all full oracle): unigram-LM
+    // perplexity-style scoring, per-source distribution drift,
+    // percentile length trimming
+    "unigram_logprob" -> (LlmQueries.unigramLogprob _),
+    "token_kl_sources" -> (LlmQueries.tokenKlSources _),
+    "length_trim_outliers" -> (TextOps.lengthTrimOutliers _),
+    // SLI time-series additions (full oracle): EWMA smoothing,
+    // rolling 7-day p95, value histogram
+    "ewma_smooth" -> (SliQueries.ewmaSmooth _),
+    "rolling_p95" -> (SliQueries.rollingP95 _),
+    "hist_buckets" -> (ScalarQueries.histBuckets _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -545,6 +556,82 @@ object SparkEntry {
         |             / CAST(count(*) AS DOUBLE) + 1e-7, 4) AS realized_rate,
         |       CAST(sum(CASE WHEN u16 < thr THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |tk AS (SELECT * FROM toks WHERE tok <> ''),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab),
+        |doc AS (
+        |  SELECT t.doc_id, t.source, avg(-ln(v.cnt / tot.n)) AS nll
+        |  FROM tk t JOIN vocab v USING (tok) CROSS JOIN tot
+        |  GROUP BY t.doc_id, t.source)
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(nll) + 1e-7, 4) AS avg_nll,
+        |       round(max(nll) + 1e-7, 4) AS max_nll,
+        |       CAST(sum(CASE WHEN round(nll + 1e-7, 4) > 3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_kl_sources" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |tk AS (SELECT * FROM toks WHERE tok <> ''),
+        |sc AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        |stot AS (SELECT source, CAST(sum(c) AS DOUBLE) AS n FROM sc GROUP BY 1),
+        |ctot AS (SELECT tok, CAST(sum(c) AS DOUBLE) AS cc FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM sc)
+        |SELECT s.source, CAST(stot.n AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |       round(sum((s.c / stot.n) * ln((s.c / stot.n) / (ctot.cc / tot.nn))) + 1e-7, 4) AS kl
+        |FROM sc s JOIN stot USING (source) JOIN ctot USING (tok) CROSS JOIN tot
+        |GROUP BY 1, stot.n ORDER BY 1""".stripMargin,
+    "length_trim_outliers" ->
+      """WITH pct AS (
+        |  SELECT source,
+        |         round(quantile_cont(n_chars, 0.05) + 1e-7, 4) AS p05,
+        |         round(quantile_cont(n_chars, 0.95) + 1e-7, 4) AS p95
+        |  FROM read_parquet('{dir}/documents.parquet') GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN d.n_chars < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_short,
+        |       CAST(sum(CASE WHEN d.n_chars > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_long,
+        |       CAST(sum(CASE WHEN d.n_chars >= p.p05 AND d.n_chars <= p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |       round((1.0 * sum(CASE WHEN d.n_chars >= p.p05 AND d.n_chars <= p.p95 THEN 1 ELSE 0 END) / count(*)) + 1e-7, 4) AS kept_frac
+        |FROM read_parquet('{dir}/documents.parquet') d JOIN pct p USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ewma_smooth" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INTEGER) AS rn
+        |  FROM daily)
+        |SELECT event_type, day, round(v + 1e-7, 4) AS avg_value,
+        |       round((sum(v * power(2.0, rn)) OVER w) / (sum(power(2.0, rn)) OVER w) + 1e-7, 4) AS ewma
+        |FROM seq
+        |WINDOW w AS (PARTITION BY event_type ORDER BY rn
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "rolling_p95" ->
+      """WITH per_min AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', m) AS DATE) AS day,
+        |         quantile_cont(v, 0.95) AS p95raw,
+        |         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', m) AS DATE)) AS day_num
+        |  FROM per_min GROUP BY 1, 2)
+        |SELECT event_type, day, round(p95raw + 1e-7, 4) AS p95,
+        |       round((avg(p95raw) OVER w) + 1e-7, 4) AS rolling_p95
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "hist_buckets" ->
+      """SELECT event_type,
+        |       CAST(least(greatest(floor(value / 10), 0), 19) AS BIGINT) AS bucket,
+        |       count(*) AS n, round(avg(value) + 1e-7, 4) AS avg_value
+        |FROM read_parquet('{dir}/events.parquet')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

@@ -220,6 +220,93 @@ object LlmQueries {
       .limit(10)
   }
 
+  /** `unigram_logprob` — unigram-LM document scoring (full oracle),
+    * the perplexity-filter stage of a CCNet/Data-juicer-style curation
+    * pipeline reduced to its exactly-computable core: corpus MLE
+    * `p(w) = cnt(w)/N`, per-doc NLL = `avg(-ln p(token))`, per-source
+    * report (n_docs, avg/max NLL, docs flagged above a threshold).
+    * A real pipeline swaps the unigram table for a KenLM scorer; the
+    * Spark shape — model as a broadcast side, scoring as a map-side
+    * join on the token stream — is identical.
+    *
+    * Scale shape: the vocabulary is `groupBy(token).count` (partial
+    * agg collapses Zipf-hot tokens map-side — the tfidf lesson), then
+    * BROADCAST back onto the exploded token stream, so scoring never
+    * shuffles the corpus. Word-level vocabularies cap around 10⁷
+    * entries (~hundreds of MB) — at the edge of broadcastability; past
+    * it the same plan degrades to a shuffle join whose build side is
+    * still partial-agg-collapsed, with AQE skew split on the hot-token
+    * probe. The flag threshold compares the ROUNDED score in both
+    * engines so the boolean can't flip on a summation-order ulp.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // vocabulary-sized: materialize once so the model side costs ONE
+    // corpus scan (tot derives from it without a rescan); the probe
+    // below is the second, inherent, scan of the corpus
+    val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = vocab.agg(sum("cnt").cast("double").as("n"))
+    val doc = tk
+      .join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "source")
+      .agg(avg(-log(col("cnt") / col("n"))).as("nll"))
+    doc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r4(avg("nll")).as("avg_nll"),
+        r4(max("nll")).as("max_nll"),
+        sum(when(r4(col("nll")) > 3.45, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("source")
+  }
+
+  /** `token_kl_sources` — per-source KL divergence vs the corpus
+    * unigram distribution (full oracle): `KL(p_src ‖ p_corpus) =
+    * Σ_w p_s(w)·ln(p_s(w)/p_c(w))`. The corpus-mix drift diagnostic —
+    * which source's token distribution deviates, feeding mix-weight
+    * decisions (`corpus_mix_sample`) and drift alerts. Every source
+    * token is in the corpus by construction, so no zero-probability
+    * guard is needed.
+    *
+    * Scale shape: one partial-agg'd `(source, token)` count is the
+    * only corpus-sized exchange; the marginals (per-source totals,
+    * per-token corpus counts, grand total) all derive from that
+    * rollup — the raw scan happens ONCE. Corpus token counts are
+    * vocabulary-sized → broadcast; per-source totals are
+    * source-count-sized → broadcast.
+    */
+  def tokenKlSources(spark: SparkSession, dir: String): DataFrame = {
+    // sources×vocabulary-sized: materialize so the corpus is scanned
+    // ONCE — all three marginals and the probe derive from this frame
+    // (without the checkpoint, Spark re-executes the scan subtree per
+    // branch: 4 corpus scans)
+    val sc = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stot = sc.groupBy("source").agg(sum("c").cast("double").as("n"))
+    val ctot = sc.groupBy("tok").agg(sum("c").cast("double").as("cc"))
+    val tot = sc.agg(sum("c").cast("double").as("nn"))
+    val ps = col("c") / col("n")
+    sc.join(broadcast(stot), Seq("source"))
+      .join(broadcast(ctot), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", ps * log(ps / (col("cc") / col("nn"))))
+      .groupBy(col("source"), col("n"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        r4(sum("term")).as("kl"))
+      .select(col("source"), col("n").cast("long").as("n_tokens"),
+        col("n_distinct"), col("kl"))
+      .orderBy("source")
+  }
+
   /** #34 — corpus profiling: chars, tokens, source cardinality per lang. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -330,4 +330,23 @@ object ScalarQueries {
       .agg(r4(max("mv")).as("max_moving_avg"), r4(min("mv")).as("min_moving_avg"))
       .orderBy("event_type")
   }
+
+  /** `hist_buckets` — equi-width value histogram per event_type (full
+    * oracle): fixed [0, 200) range, width-10 buckets with clamp
+    * (`least(greatest(floor(v/10), 0), 19)`), per-bucket count + mean.
+    * The distribution profile behind the percentile queries (#27/#50)
+    * — fixed bounds make it a single-scan GROUP BY with map-side
+    * partial agg and an O(types×20) result at any corpus size, where
+    * a data-dependent min/max width would cost a second pass.
+    * Bucketing arithmetic is identical IEEE ops in both engines, so
+    * edge values land deterministically.
+    */
+  def histBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        least(greatest(floor(col("value") / 10), lit(0)), lit(19))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .orderBy("event_type", "bucket")
 }

@@ -409,4 +409,67 @@ object SliQueries {
         (abs(col("z")) > 2.0).as("is_anomaly"))
       .orderBy("event_type", "day")
   }
+
+  /** `ewma_smooth` — exponentially-weighted moving average of the
+    * daily SLI series, α = 1/2 (full oracle). The adjusted-EWMA
+    * closed form `Σ (1−α)^(t−i)·v_i / Σ (1−α)^(t−i)` becomes a pair
+    * of running-sum windows after multiplying through by 2^t:
+    * `ewma_t = Σ_{i≤t} v_i·2^i / Σ_{i≤t} 2^i`. α = 1/2 is chosen so
+    * every weight is an EXACT power of two — `pow(2, rn)` is exact in
+    * IEEE-754 and `v·2^rn` only shifts the exponent, so the two
+    * engines' windows sum identical doubles and the cross-engine
+    * noise is summation order alone (covered by Det.r4), with no
+    * libm pow-ulp exposure.
+    *
+    * Scale: the windows run over the daily rollup (days×types rows,
+    * corpus-size-independent) after a partial-agg'd scan — same shape
+    * as zscore_anomaly. The 2^rn rescaling overflows past ~1000 rows
+    * per key; at that depth, segment the series (re-zero rn per year)
+    * or fall back to the recursive form (budget_carryover's shape).
+    */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+    val seq = daily.withColumn("rn",
+      row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("int"))
+    val w = Window.partitionBy("event_type").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq.select(
+      col("event_type"), col("day"), r4(col("v")).as("avg_value"),
+      r4(sum(col("v") * pow(lit(2.0), col("rn"))).over(w) /
+        sum(pow(lit(2.0), col("rn"))).over(w)).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** `rolling_p95` — rolling 7-day p95 latency per event_type (full
+    * oracle), THE canonical SLO latency metric: exact p95 of the
+    * per-minute averages within each day, smoothed over a 6-day-
+    * preceding RANGE frame. Percentile-of-rollup is intentional —
+    * p95-of-minutes is the SLO statistic (burst minutes count once),
+    * distinct from p95-of-raw-events.
+    *
+    * Scale: raw events collapse map-side into the minute rollup (one
+    * partial-agg'd exchange); the exact percentile then runs over
+    * bounded groups (≤1440 minutes/day/type — constant at any corpus
+    * size, so exact beats sketch here); the RANGE window runs over
+    * the days×types daily grain. Raw data is scanned once, shuffled
+    * never.
+    */
+  def rollingP95(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(avg("value").as("v"))
+    val daily = perMin
+      .groupBy(col("event_type"), to_date(col("m")).as("day"))
+      .agg(expr("percentile(v, 0.95)").as("p95raw"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(datediff(col("day"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, 0)
+    daily.select(
+      col("event_type"), col("day"), r4(col("p95raw")).as("p95"),
+      r4(avg("p95raw").over(w)).as("rolling_p95"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -502,4 +502,41 @@ object TextOps {
         sum("has_the").as("n_docs_with_the"))
       .orderBy("lang")
   }
+
+  /** `length_trim_outliers` — percentile-based length trimming per
+    * source (full oracle): docs outside the source's [p05, p95]
+    * n_chars band are dropped (too-short = fragments/boilerplate,
+    * too-long = concatenation artifacts — the standard length-outlier
+    * pass a curation pipeline runs before content filters). Output is
+    * the trim decision record: per source, docs / dropped_short /
+    * dropped_long / kept / kept_frac.
+    *
+    * Scale shape: pass 1 is a per-source exact `percentile` (group
+    * count = docs-per-source; at 100 TB swap for the GK sketch plane —
+    * `percentile_approx`/QuantileSketch — same two-pass shape); the
+    * source-count-sized cutoff table then BROADCASTS back onto the
+    * scan, so classification is map-side and the second exchange is
+    * the tiny per-source rollup. Cutoffs are compared at the ROUNDED
+    * 4-dp grid in both engines (Det.r4) so a boundary doc can't flip
+    * on an interpolation ulp.
+    */
+  def lengthTrimOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pct = docs.groupBy("source").agg(
+      r4(expr("percentile(n_chars, 0.05)")).as("p05"),
+      r4(expr("percentile(n_chars, 0.95)")).as("p95"))
+    docs.join(broadcast(pct), Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("p05"), 1L).otherwise(0L))
+          .as("dropped_short"),
+        sum(when(col("n_chars") > col("p95"), 1L).otherwise(0L))
+          .as("dropped_long"),
+        sum(when(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"), 1L)
+          .otherwise(0L)).as("kept"),
+        r4(sum(when(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"),
+          1).otherwise(0)) / count(lit(1))).as("kept_frac"))
+      .orderBy("source")
+  }
 }

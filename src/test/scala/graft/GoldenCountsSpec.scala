@@ -115,6 +115,12 @@ class GoldenCountsSpec extends SparkTestBase {
     "listagg_sources" -> 5L,
     "lateral_topn" -> 50L,
     "filtered_aggs" -> 5L,
+    "unigram_logprob" -> 20L,
+    "token_kl_sources" -> 20L,
+    "length_trim_outliers" -> 20L,
+    "ewma_smooth" -> 150L,
+    "rolling_p95" -> 150L,
+    "hist_buckets" -> 92L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -178,7 +178,14 @@ class PlanAuditSpec extends SparkTestBase {
     "props_variant_stats" -> 3, "sql_udf_slo" -> 2,
     "array_funcs" -> 2, "try_funcs" -> 2, "phash_dups" -> 8,
     "dist_moments" -> 2, "listagg_sources" -> 3,
-    "lateral_topn" -> 3, "filtered_aggs" -> 2)
+    "lateral_topn" -> 3, "filtered_aggs" -> 2,
+    // unigram/token_kl: the model/marginal side is localCheckpoint'd
+    // (vocab-sized), so the pre-exec plan scans the checkpointed RDD —
+    // the corpus-scan count (2 / 1) is the real audit, the exchanges
+    // here are the probe-side agg + sort
+    "unigram_logprob" -> 4, "token_kl_sources" -> 5,
+    "length_trim_outliers" -> 3, "ewma_smooth" -> 3,
+    "rolling_p95" -> 4, "hist_buckets" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
