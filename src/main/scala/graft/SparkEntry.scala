@@ -109,6 +109,16 @@ object SparkEntry {
     "ewma_smooth" -> (SliQueries.ewmaSmooth _),
     "rolling_p95" -> (SliQueries.rollingP95 _),
     "hist_buckets" -> (ScalarQueries.histBuckets _),
+    // statistics + calibration wave (all full oracle): OLS trend,
+    // argmax aggregates, robust dispersion (MAD/IQR), bit/bool
+    // aggregate planes, Zipf-exponent corpus quality, rank-based
+    // cross-source score calibration
+    "regr_value_trend" -> (SliQueries.regrValueTrend _),
+    "minmax_by_day" -> (SliQueries.minmaxByDay _),
+    "mad_robust" -> (ScalarQueries.madRobust _),
+    "bitbool_aggs" -> (ScalarQueries.bitboolAggs _),
+    "zipf_slope" -> (LlmQueries.zipfSlope _),
+    "quantile_norm_chars" -> (TextOps.quantileNormChars _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -632,6 +642,60 @@ object SparkEntry {
         |       count(*) AS n, round(avg(value) + 1e-7, 4) AS avg_value
         |FROM read_parquet('{dir}/events.parquet')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "regr_value_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2)
+        |SELECT event_type,
+        |       round((regr_slope(v, x)) + 1e-7, 4) AS slope,
+        |       round((regr_intercept(v, x)) + 1e-7, 4) AS intercept,
+        |       round((regr_r2(v, x)) + 1e-7, 4) AS r2,
+        |       CAST(regr_count(v, x) AS BIGINT) AS n_days
+        |FROM (SELECT event_type, v,
+        |             CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE) AS x
+        |      FROM daily)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "minmax_by_day" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2)
+        |SELECT event_type, arg_max(day, v) AS best_day, arg_min(day, v) AS worst_day,
+        |       round((max(v)) + 1e-7, 4) AS max_avg, round((min(v)) + 1e-7, 4) AS min_avg
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mad_robust" ->
+      """WITH wm AS (
+        |  SELECT event_type, value, median(value) OVER (PARTITION BY event_type) AS med
+        |  FROM read_parquet('{dir}/events.parquet'))
+        |SELECT event_type,
+        |       round((median(value)) + 1e-7, 4) AS median_value,
+        |       round((median(abs(value - med))) + 1e-7, 4) AS mad,
+        |       round((quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) + 1e-7, 4) AS iqr,
+        |       count(*) AS n
+        |FROM wm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bitbool_aggs" ->
+      """SELECT event_type,
+        |       bit_and(user_id) AS uid_bit_and, bit_or(user_id) AS uid_bit_or,
+        |       bit_xor(user_id) AS uid_bit_xor,
+        |       bool_and(value >= 0.0) AS all_nonneg, bool_or(value > 99.0) AS any_over_99,
+        |       count(*) AS n
+        |FROM read_parquet('{dir}/events.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zipf_slope" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |              FROM read_parquet('{dir}/documents.parquet')),
+        |freq AS (SELECT source, word, count(*) AS cnt FROM toks WHERE word <> '' GROUP BY 1, 2),
+        |ranked AS (SELECT source, cnt,
+        |                  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rk
+        |           FROM freq)
+        |SELECT source, round((regr_slope(ln(cnt), ln(rk))) + 1e-7, 4) AS zipf_slope,
+        |       round((regr_r2(ln(cnt), ln(rk))) + 1e-7, 4) AS fit_r2, count(*) AS n_terms
+        |FROM ranked WHERE rk <= 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quantile_norm_chars" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         round((percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)) + 1e-7, 4) AS pct_rank,
+        |         round((cume_dist() OVER (PARTITION BY source ORDER BY n_chars, doc_id)) + 1e-7, 4) AS cume
+        |  FROM read_parquet('{dir}/documents.parquet'))
+        |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

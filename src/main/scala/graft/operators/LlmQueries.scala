@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.r4
@@ -304,6 +305,42 @@ object LlmQueries {
         r4(sum("term")).as("kl"))
       .select(col("source"), col("n").cast("long").as("n_tokens"),
         col("n_distinct"), col("kl"))
+      .orderBy("source")
+  }
+
+  /** `zipf_slope` — Zipf-law exponent fit per source (full oracle):
+    * OLS slope of ln(freq) against ln(rank) over each source's top-100
+    * word frequencies, with the fit R². A natural-text corpus obeys
+    * freq ∝ rank^(−s) with s ≈ 1; a source whose slope is far off (or
+    * whose R² collapses) is boilerplate, spam, or machine-generated —
+    * this is the distribution-shape quality gate complementing
+    * `unigram_logprob` (per-doc) and `token_kl_sources` (cross-source).
+    *
+    * Determinism: rank is `row_number` ordered by (freq DESC, word) —
+    * total order, so tied frequencies rank identically in both
+    * engines; ln of exact integer counts/ranks agrees to the ulp and
+    * the regression passes through Det.r4.
+    *
+    * Scale: the (source, word) rollup collapses map-side; the top-100
+    * window is rank-limited, so Spark 4's WindowGroupLimit prunes to
+    * ≤100 rows per source per map partition BEFORE the exchange —
+    * the shuffle carries O(sources×100×partitions-touched), never the
+    * vocabulary. The regression then runs on O(sources×100) rows.
+    * Survives 100 TB.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("word"))))
+      .filter(col("rk") <= 100)
+    ranked.groupBy("source").agg(
+      r4(regr_slope(log(col("cnt")), log(col("rk")))).as("zipf_slope"),
+      r4(regr_r2(log(col("cnt")), log(col("rk")))).as("fit_r2"),
+      count(lit(1)).as("n_terms"))
       .orderBy("source")
   }
 

@@ -349,4 +349,69 @@ object ScalarQueries {
           .cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
       .orderBy("event_type", "bucket")
+
+  /** `mad_robust` — robust dispersion statistics per event_type (full
+    * oracle): exact median, MAD (median absolute deviation from the
+    * median), and IQR over raw values. The outlier-resistant
+    * complement of `dist_moments` — stddev/skewness are dominated by
+    * tail events; a latency SLO dashboard wants MAD/IQR, which a
+    * single corrupted batch cannot move.
+    *
+    * Two-pass by necessity (MAD nests a median inside a median):
+    * per-type medians → O(types) table broadcast back → deviations
+    * aggregated in one more pass. Parity: Spark `percentile` and
+    * DuckDB `median`/`quantile_cont` both linearly interpolate
+    * (established at #27); the oracle computes the inner median with
+    * a window to stay single-statement.
+    *
+    * Scale: exact per-group percentiles buffer the group's values
+    * (ObjectHashAggregate) — the honest cost of EXACT order
+    * statistics. This is the bounded-cardinality exact lane (5 types
+    * here); at 100 TB per-group sizes, swap both medians for the GK
+    * plane (`percentile_approx_value` / QuantileRollup) — MAD's
+    * structure (center broadcast + one deviation pass) is unchanged.
+    */
+  def madRobust(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    events.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        r4(first("med")).as("median_value"),
+        r4(expr("percentile(abs(value - med), 0.5)")).as("mad"),
+        r4(expr("percentile(value, 0.75) - percentile(value, 0.25)"))
+          .as("iqr"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** `bitbool_aggs` — bitwise + boolean aggregate surface per
+    * event_type (full oracle): `bit_and`/`bit_or`/`bit_xor` over
+    * user_id and `bool_and`/`bool_or` over value predicates. The
+    * bit-plane fold is how compact permission masks / feature flags /
+    * bitmap shards aggregate without exploding to booleans; bool_*
+    * is the ALL/ANY quantifier as an aggregate.
+    *
+    * Determinism: bitwise AND/OR/XOR and boolean AND/OR are
+    * commutative+associative on integers — NO floating-point anywhere,
+    * so results are bit-identical under any partitioning and need no
+    * Det rounding. The value predicates compare against exact decimal
+    * literals on the fixture's 2-dp grid.
+    *
+    * Scale: all five are algebraic single-word accumulators with
+    * map-side partial agg — the cheapest aggregate shape there is;
+    * O(types) output at any corpus size.
+    */
+  def bitboolAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        bit_and(col("user_id")).as("uid_bit_and"),
+        bit_or(col("user_id")).as("uid_bit_or"),
+        bit_xor(col("user_id")).as("uid_bit_xor"),
+        bool_and(col("value") >= 0.0).as("all_nonneg"),
+        bool_or(col("value") > 99.0).as("any_over_99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
 }

@@ -472,4 +472,69 @@ object SliQueries {
       r4(avg("p95raw").over(w)).as("rolling_p95"))
       .orderBy("event_type", "day")
   }
+
+  /** `regr_value_trend` — per-type linear trend of the daily SLI
+    * series (full oracle): OLS slope / intercept / R² / n of daily
+    * avg value against integer day number, via the declarative
+    * `regr_*` aggregate family. The capacity-planning complement of
+    * `zscore_anomaly`: that flags point shifts, this quantifies the
+    * secular drift ("latency grows 0.06/day, R² 0.01 — noise, not
+    * trend").
+    *
+    * Determinism: regr_* are moment accumulators (Σx, Σy, Σxy, Σx²)
+    * in both engines; inputs are the daily rollup's doubles and exact
+    * small-integer day numbers, outputs pass through Det.r4 so the
+    * only cross-engine exposure is summation order on 30 values.
+    *
+    * Scale: the regression runs on the days×types rollup (corpus-
+    * size-independent), which itself collapses map-side. regr_* are
+    * algebraic aggregates — partial-aggregable, so even regressing
+    * RAW events (bypassing the rollup) would shuffle only constant-
+    * size moment tuples per type. Survives 100 TB.
+    */
+  def regrValueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+      .withColumn("x",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("double"))
+    daily.groupBy("event_type").agg(
+      r4(regr_slope(col("v"), col("x"))).as("slope"),
+      r4(regr_intercept(col("v"), col("x"))).as("intercept"),
+      r4(regr_r2(col("v"), col("x"))).as("r2"),
+      regr_count(col("v"), col("x")).cast("long").as("n_days"))
+      .orderBy("event_type")
+  }
+
+  /** `minmax_by_day` — best/worst day per event_type via the argmax
+    * aggregate surface (full oracle): `max_by`/`min_by` (DuckDB
+    * `arg_max`/`arg_min`) pick the DAY whose daily avg is extreme,
+    * alongside the extreme values themselves. The one-row-per-group
+    * sibling of `sli_latest_per_user`'s window argmax — when only the
+    * maximizer is wanted, the aggregate form shuffles one (day, v)
+    * pair per type instead of ranking whole partitions.
+    *
+    * Determinism: argmax is underspecified under comparand ties;
+    * here the comparand is a 30-day avg of ~400 raw doubles per cell,
+    * and StatsLawSpec pins that no (type, v) pair repeats at the
+    * fixture SFs, so both engines' choices coincide. (A tie-hostile
+    * deployment would compare on struct(v, day) — Spark supports
+    * orderable structs; DuckDB's arg_max is scalar-only, which is
+    * why the declared query keeps the scalar comparand.)
+    *
+    * Scale: max_by/min_by are algebraic (carry current (cmp, val)
+    * pair through partial agg) — map-side collapse, O(types) output
+    * at any corpus size.
+    */
+  def minmaxByDay(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+    daily.groupBy("event_type").agg(
+      max_by(col("day"), col("v")).as("best_day"),
+      min_by(col("day"), col("v")).as("worst_day"),
+      r4(max("v")).as("max_avg"),
+      r4(min("v")).as("min_avg"))
+      .orderBy("event_type")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.r4
@@ -538,5 +539,37 @@ object TextOps {
         r4(sum(when(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"),
           1).otherwise(0)) / count(lit(1))).as("kept_frac"))
       .orderBy("source")
+  }
+
+  /** `quantile_norm_chars` — cross-source quantile normalization of
+    * doc length (full oracle): percent_rank and cume_dist of n_chars
+    * WITHIN each source, reported for a bounded doc slice. Raw
+    * per-source score scales are incomparable (one crawler truncates
+    * at 4 KB, another doesn't); rank-normalizing to [0,1] within
+    * source is how curation pipelines make a single global keep
+    * threshold meaningful — the calibration step in front of
+    * `corpus_mix_sample`'s per-source quotas.
+    *
+    * Determinism: the window orders by (n_chars, doc_id) — a total
+    * order, so duplicate lengths get identical ranks in both engines;
+    * rank ratios are exact small-integer divisions under Det.r4.
+    * cume_dist under a total order is rank/n (each "tie group" is one
+    * row) — the intended normalized-rank statistic.
+    *
+    * Scale: one window exchange partitioned by source. Source
+    * cardinality is small-and-bounded here (the SLO-report shape); a
+    * hot source at 100 TB swaps in the two-pass rank form — per-source
+    * sorted rank via zipWithIndex-style windows over pre-aggregated
+    * (n_chars, count) — or the GK plane for approximate ranks; the
+    * [0,1] calibration contract downstream is unchanged.
+    */
+  def quantileNormChars(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+      .filter(col("doc_id") < 200)
+      .orderBy("doc_id")
   }
 }

@@ -121,6 +121,12 @@ class GoldenCountsSpec extends SparkTestBase {
     "ewma_smooth" -> 150L,
     "rolling_p95" -> 150L,
     "hist_buckets" -> 92L,
+    "regr_value_trend" -> 5L,
+    "minmax_by_day" -> 5L,
+    "mad_robust" -> 5L,
+    "bitbool_aggs" -> 5L,
+    "zipf_slope" -> 20L,
+    "quantile_norm_chars" -> 200L,
   )
 
   test("golden map covers exactly the declared query set") {

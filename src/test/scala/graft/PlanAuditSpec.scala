@@ -185,7 +185,15 @@ class PlanAuditSpec extends SparkTestBase {
     // here are the probe-side agg + sort
     "unigram_logprob" -> 4, "token_kl_sources" -> 5,
     "length_trim_outliers" -> 3, "ewma_smooth" -> 3,
-    "rolling_p95" -> 4, "hist_buckets" -> 2)
+    "rolling_p95" -> 4, "hist_buckets" -> 2,
+    // §2.5h statistics + calibration wave: regr/minmax run on the
+    // daily rollup (agg + re-agg + sort); mad is two ObjectHashAgg
+    // passes bridged by a broadcast; bitbool is the minimal
+    // agg+sort; zipf adds the rank-limited window; quantile_norm is
+    // one window exchange + sort
+    "regr_value_trend" -> 3, "minmax_by_day" -> 3,
+    "mad_robust" -> 3, "bitbool_aggs" -> 2,
+    "zipf_slope" -> 4, "quantile_norm_chars" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
