@@ -102,6 +102,33 @@ object StreamingQueries {
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("avg_value"))
 
+  /** Ingest dedup with BOUNDED state — the production form of the
+    * contract `dedupedDocs` documents: `dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes one delay
+    * beyond its event time, so a re-delivered event (at-least-once
+    * source, upstream retry, replayed batch) inside the horizon is
+    * dropped while state stays O(keys-per-horizon) — NEVER O(stream
+    * history), which is what plain `dropDuplicates` on a stream
+    * degrades to (every key ever seen, forever, an OOM at 100 TB/day).
+    *
+    * Semantics: exactly-once WITHIN the horizon, at-least-once across
+    * it (a duplicate arriving later than watermark-delay after the
+    * original may re-emit — the standard contract; downstream
+    * idempotent sinks absorb it, see sources/Upsert). Keyed on
+    * event_id; the watermark column need NOT be in the key, which is
+    * precisely what distinguishes this operator from
+    * `dropDuplicates(event_id, ts)`.
+    *
+    * StreamDedupSpec pins: replayed batches emit once, state rows
+    * stay bounded across 10× history under RocksDB, and the emitted
+    * set equals the batch `dropDuplicates` ground truth.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+                           delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming twin of #9 `sli_sessionize`: `session_window` with a
     * gap of 1800001 ms — session_window splits at gap >= gapDuration,
     * the batch logic at gap > 1800000 ms, so +1 ms makes the two
