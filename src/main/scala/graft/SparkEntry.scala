@@ -119,6 +119,12 @@ object SparkEntry {
     "bitbool_aggs" -> (ScalarQueries.bitboolAggs _),
     "zipf_slope" -> (LlmQueries.zipfSlope _),
     "quantile_norm_chars" -> (TextOps.quantileNormChars _),
+    // engagement/incident/co-occurrence wave (all full oracle):
+    // exact trailing-7d distinct actives (HLL twin's ground truth),
+    // gaps-and-islands breach streaks, market-basket pair counts
+    "rolling_active_users" -> (SliQueries.rollingActiveUsers _),
+    "breach_streaks" -> (SliQueries.breachStreaks _),
+    "copurchase_pairs" -> (RelationalQueries.copurchasePairs _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -696,6 +702,35 @@ object SparkEntry {
         |         round((cume_dist() OVER (PARTITION BY source ORDER BY n_chars, doc_id)) + 1e-7, 4) AS cume
         |  FROM read_parquet('{dir}/documents.parquet'))
         |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "rolling_active_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |            FROM read_parquet('{dir}/events.parquet')),
+        |days AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT d AS day, count(DISTINCT user_id) AS active_7d, count(*) AS user_days
+        |FROM days JOIN du ON du.day BETWEEN d - 6 AND d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "breach_streaks" ->
+      """WITH per_min AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', m) AS DATE) AS day,
+        |         count(*) AS minutes,
+        |         sum(CASE WHEN v < 50 OR v > 150 THEN 1 ELSE 0 END) AS breaches
+        |  FROM per_min GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT event_type, day,
+        |         datediff('day', DATE '1970-01-01', day)
+        |           - row_number() OVER (PARTITION BY event_type ORDER BY day) AS grp
+        |  FROM daily WHERE breaches * 1.0 / minutes > 0.68)
+        |SELECT event_type, min(day) AS streak_start, max(day) AS streak_end, count(*) AS len
+        |FROM flagged GROUP BY event_type, grp
+        |ORDER BY event_type, streak_start""".stripMargin,
+    "copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{dir}/lineitem.parquet'))
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

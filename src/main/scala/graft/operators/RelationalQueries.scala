@@ -373,4 +373,34 @@ object RelationalQueries {
         |       round(max(value) FILTER (WHERE user_id % 2 = 0) + 1e-7, 2) AS max_even_users
         |FROM graft_events GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  /** `copurchase_pairs` — part co-occurrence within orders (full
+    * oracle): the top-20 pairs of parts appearing in the same order,
+    * the market-basket / co-occurrence-matrix primitive (identical in
+    * shape to term co-occurrence in LLM corpus analysis: replace
+    * orders with documents and parts with vocabulary). Self-join of
+    * the distinct (order, part) frame on the order key with `a < b`
+    * to canonicalize the unordered pair.
+    *
+    * Scale: the pair explosion is bounded by basket size — ≤ C(k,2)
+    * pairs per order for k lines (k ≤ 7 here), LINEAR in orders, not
+    * quadratic in anything. Both join sides shuffle once on the
+    * SAME key (l_orderkey) and the pair counts collapse map-side
+    * (hot pairs partial-agg); top-20 lowers to TakeOrderedAndProject
+    * — no global sort. A vocabulary-scale co-occurrence (huge k)
+    * would cap or sample per-basket items first; the plan is
+    * otherwise unchanged at 100 TB.
+    */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
 }

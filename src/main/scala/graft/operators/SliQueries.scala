@@ -506,6 +506,82 @@ object SliQueries {
       .orderBy("event_type")
   }
 
+  /** `rolling_active_users` — trailing-7-day distinct active users
+    * per day (full oracle): the canonical WAU engagement metric, and
+    * deliberately the EXACT twin of what `sketch_rollup`'s HLL merge
+    * answers approximately. Windowed DISTINCT does not decompose
+    * (neither engine allows count(distinct) in a window frame), so
+    * the exact form is: per-day distinct (day, user) pairs, then a
+    * 7-day range join against the day spine, re-distinct-counted per
+    * anchor day.
+    *
+    * Scale: the (day, user) dedup collapses map-side (days×users
+    * output, corpus-size-independent). The range join broadcasts the
+    * DAY SPINE (calendar-bounded — dozens of rows at any corpus
+    * size), so each (day, user) row fans out to ≤7 anchors with NO
+    * shuffle of the pair frame beyond the final distinct-agg. At
+    * 100 TB the same query swaps the exact distinct for the per-day
+    * HLL sketch table + 7-way merge (QuantileRollup/SketchRollup
+    * pattern) — the report contract is unchanged.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("d")).distinct()
+    du.join(broadcast(days), datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d").as("day"))
+      .agg(
+        countDistinct("user_id").as("active_7d"),
+        count(lit(1)).as("user_days"))
+      .orderBy("day")
+  }
+
+  /** `breach_streaks` — gaps-and-islands over daily SLO state (full
+    * oracle): consecutive runs of "bad days" (daily breach-minute
+    * share > 0.68) per event_type, reported as (streak_start,
+    * streak_end, len). THE islands idiom: group key = dayNum −
+    * row_number() within the breached subset — constant along each
+    * consecutive run, strictly decreasing across gaps. Streak length
+    * is what pages a human (one bad day is noise; five consecutive
+    * is an incident) — `burn_rate_alerts` detects it live, this is
+    * the retrospective form.
+    *
+    * Determinism: share = breaches/minutes is one exact IEEE division
+    * of two integers in both engines, so the 0.68 comparison can
+    * never disagree; day arithmetic is integer; row_number runs under
+    * a total order (one row per (type, day)).
+    *
+    * Scale: events collapse map-side into the minute rollup; the
+    * islands window runs on the days×types grain (corpus-size-
+    * independent). One corpus-sized exchange (the minute agg), then
+    * bounded frames. Survives 100 TB.
+    */
+  def breachStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(avg("value").as("v"))
+    val daily = perMin
+      .groupBy(col("event_type"), to_date(col("m")).as("day"))
+      .agg(
+        count(lit(1)).as("minutes"),
+        sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L))
+          .as("breaches"))
+      .withColumn("share", col("breaches") * lit(1.0) / col("minutes"))
+      .filter(col("share") > 0.68)
+    val dayNum = datediff(col("day"), lit("1970-01-01").cast("date"))
+    daily
+      .withColumn("grp",
+        dayNum - row_number().over(
+          Window.partitionBy("event_type").orderBy("day")))
+      .groupBy("event_type", "grp")
+      .agg(
+        min("day").as("streak_start"),
+        max("day").as("streak_end"),
+        count(lit(1)).as("len"))
+      .select(col("event_type"), col("streak_start"), col("streak_end"), col("len"))
+      .orderBy("event_type", "streak_start")
+  }
+
   /** `minmax_by_day` — best/worst day per event_type via the argmax
     * aggregate surface (full oracle): `max_by`/`min_by` (DuckDB
     * `arg_max`/`arg_min`) pick the DAY whose daily avg is extreme,

@@ -127,6 +127,9 @@ class GoldenCountsSpec extends SparkTestBase {
     "bitbool_aggs" -> 5L,
     "zipf_slope" -> 20L,
     "quantile_norm_chars" -> 200L,
+    "rolling_active_users" -> 30L,
+    "breach_streaks" -> 44L,
+    "copurchase_pairs" -> 20L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -193,7 +193,16 @@ class PlanAuditSpec extends SparkTestBase {
     // one window exchange + sort
     "regr_value_trend" -> 3, "minmax_by_day" -> 3,
     "mad_robust" -> 3, "bitbool_aggs" -> 2,
-    "zipf_slope" -> 4, "quantile_norm_chars" -> 2)
+    "zipf_slope" -> 4, "quantile_norm_chars" -> 2,
+    // engagement/incident/co-occurrence wave: rolling actives =
+    // (day,user) dedup [the ONE corpus-sized exchange] + day-spine
+    // re-agg + two-phase distinct re-agg (2) + sort, all on the
+    // days×users grain; streaks = minute agg + daily agg + islands
+    // window + streak agg + sort; copurchase = one orderkey
+    // exchange shared by both join sides + pair partial-agg +
+    // TakeOrdered (no sort exchange)
+    "rolling_active_users" -> 5, "breach_streaks" -> 5,
+    "copurchase_pairs" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LlmQueries, ScalarQueries, SliQueries, TextOps}
+import graft.operators.{LlmQueries, RelationalQueries, ScalarQueries, SliQueries, TextOps}
 import graft.sources.Tables
 
 /** Functional laws for the statistics + calibration wave
@@ -136,6 +136,58 @@ class StatsLawSpec extends SparkTestBase {
       assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0 + 1e-9, row.toString)
       assert(row.getLong(3) <= 100L, row.toString)
     }
+  }
+
+  test("rolling_active_users: dominates daily actives; day-1 identity; ≤ total users") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("d_active"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    val total = Tables.events(spark, sf).select("user_id").distinct().count()
+    val out = SliQueries.rollingActiveUsers(spark, sf).collect()
+    assert(out.nonEmpty)
+    val firstDay = daily.keys.minBy(_.getTime)
+    out.foreach { r =>
+      val (day, a7, ud) = (r.getDate(0), r.getLong(1), r.getLong(2))
+      assert(a7 >= daily(day), s"$day: 7d actives < same-day actives")
+      assert(a7 <= total, s"$day: 7d actives exceed the user universe")
+      assert(ud >= a7, s"$day: user_days < distinct actives")
+      if (day == firstDay)
+        assert(a7 == daily(day), "day-1 window must equal day-1 actives")
+    }
+  }
+
+  test("breach_streaks: disjoint per type, end ≥ start, len == span in days") {
+    val out = SliQueries.breachStreaks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDate(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, s0, s1, len) =>
+      assert(!s1.before(s0), s"$t: end before start")
+      val span = (s1.toLocalDate.toEpochDay - s0.toLocalDate.toEpochDay) + 1
+      assert(span == len, s"$t: len $len != day span $span (streak not consecutive)")
+    }
+    out.groupBy(_._1).foreach { case (t, streaks) =>
+      val sorted = streaks.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          // a gap of ≥1 non-breach day must separate consecutive islands
+          assert(s2.toLocalDate.toEpochDay > e1.toLocalDate.toEpochDay + 1,
+            s"$t: adjacent streaks touch — islands grouping broke")
+        case _ =>
+      }
+    }
+  }
+
+  test("copurchase_pairs: canonical pairs, descending counts, ≤20 rows") {
+    val out = RelationalQueries.copurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { case (a, b, n) =>
+      assert(a < b, s"pair ($a,$b) not canonicalized")
+      assert(n >= 1L)
+    }
+    val counts = out.map(_._3)
+    assert(counts.sameElements(counts.sortBy(-_)), "top-k not count-descending")
   }
 
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
