@@ -125,6 +125,18 @@ object SparkEntry {
     "rolling_active_users" -> (SliQueries.rollingActiveUsers _),
     "breach_streaks" -> (SliQueries.breachStreaks _),
     "copurchase_pairs" -> (RelationalQueries.copurchasePairs _),
+    // product/revenue analytics (both full oracle): time-bounded
+    // ordered funnel via stacked running-min windows, Pareto/Gini
+    // revenue-concentration report
+    "funnel_steps" -> (SliQueries.funnelSteps _),
+    "pareto_share" -> (RelationalQueries.paretoShare _),
+    // temporal/graph analytics wave (all full oracle): conversion
+    // latency distribution, sweep-line session concurrency,
+    // histogram-exact fulfillment percentiles, iterative PageRank
+    "time_to_convert" -> (SliQueries.timeToConvert _),
+    "peak_concurrency" -> (SliQueries.peakConcurrency _),
+    "ship_latency" -> (RelationalQueries.shipLatency _),
+    "copurchase_pagerank" -> (RelationalQueries.copurchasePagerank _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -731,6 +743,118 @@ object SparkEntry {
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
         |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "funnel_steps" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS tv
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv AND ts <= tv + INTERVAL 24 HOUR THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS tc
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc AND ts <= tc + INTERVAL 24 HOUR THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS tp
+        |  FROM w2),
+        |per_user AS (SELECT user_id, min(tv) AS tv, min(tc) AS tc, min(tp) AS tp FROM w3 GROUP BY 1)
+        |SELECT count(tv) AS n_viewed, count(tc) AS n_clicked_after, count(tp) AS n_purchased_after,
+        |       round(count(tc)*1.0/count(tv) + 1e-7, 4) AS view_to_click,
+        |       round(count(tp)*1.0/count(tc) + 1e-7, 4) AS click_to_purchase
+        |FROM per_user""".stripMargin,
+    "pareto_share" ->
+      """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev
+        |             FROM read_parquet('{dir}/orders.parquet') GROUP BY 1),
+        |ranked AS (
+        |  SELECT o_custkey, rev,
+        |         row_number() OVER (ORDER BY rev DESC, o_custkey) AS i_desc,
+        |         sum(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum_rev,
+        |         count(*) OVER () AS n, sum(rev) OVER () AS tot
+        |  FROM rev)
+        |SELECT max(n) AS n_customers,
+        |       CAST(sum(CASE WHEN round(cum_rev/tot + 1e-7, 4) < 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_to_80pct,
+        |       round(sum(CASE WHEN i_desc <= ceil(n/10.0) THEN rev ELSE 0 END)/max(tot) + 1e-7, 4) AS top_decile_share,
+        |       round(sum((2*(n+1-i_desc) - n - 1)*rev)/(max(n)*max(tot)) + 1e-7, 4) AS gini
+        |FROM ranked""".stripMargin,
+    "time_to_convert" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS tv
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv AND ts <= tv + INTERVAL 24 HOUR THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS tc
+        |  FROM w1),
+        |per_user AS (SELECT user_id, min(tv) AS tv, min(tc) AS tc FROM w2 GROUP BY 1),
+        |lat AS (SELECT date_diff('microsecond', tv, tc)/60000000.0 AS lat_min
+        |        FROM per_user WHERE tc IS NOT NULL)
+        |SELECT count(*) AS n_converted,
+        |       round(avg(lat_min) + 1e-7, 4) AS avg_min,
+        |       round(CAST(quantile_cont(lat_min, 0.5) AS DOUBLE) + 1e-7, 4) AS med_min,
+        |       round(CAST(quantile_cont(lat_min, 0.9) AS DOUBLE) + 1e-7, 4) AS p90_min
+        |FROM lat""".stripMargin,
+    "peak_concurrency" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR date_diff('millisecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM pts)
+        |  GROUP BY user_id, sid),
+        |sdays AS (
+        |  SELECT s_start, s_end,
+        |         CAST(unnest(generate_series(date_trunc('day', s_start), date_trunc('day', s_end), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM sess),
+        |split AS (
+        |  SELECT day, greatest(s_start, CAST(day AS TIMESTAMP)) AS t0,
+        |         least(s_end, CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) AS t1
+        |  FROM sdays),
+        |edges AS (
+        |  SELECT day, t0 AS t, 1 AS delta FROM split
+        |  UNION ALL SELECT day, t1, -1 FROM split),
+        |swept AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS concurrent
+        |  FROM edges)
+        |SELECT day, CAST(max(concurrent) AS BIGINT) AS peak
+        |FROM swept GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ship_latency" ->
+      """WITH lat AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS d
+        |  FROM read_parquet('{dir}/orders.parquet') o
+        |  JOIN read_parquet('{dir}/lineitem.parquet') l ON o.o_orderkey = l.l_orderkey)
+        |SELECT priority, count(*) AS n_lines,
+        |       round(avg(d) + 1e-7, 4) AS avg_days,
+        |       round(CAST(quantile_cont(d, 0.5) AS DOUBLE) + 1e-7, 4) AS med_days,
+        |       round(CAST(quantile_cont(d, 0.95) AS DOUBLE) + 1e-7, 4) AS p95_days
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
+    "copurchase_pagerank" ->
+      ("""WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{dir}/lineitem.parquet')) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{dir}/lineitem.parquet')) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM deg)""" +
+        (1 to 10).map { i =>
+          s""",
+        |pr$i AS (
+        |  SELECT d.node, 0.15/(SELECT n FROM nn) + 0.85*coalesce(sum(p.rank/pd.deg), 0) AS rank
+        |  FROM deg d
+        |  LEFT JOIN edges e ON e.dst = d.node
+        |  LEFT JOIN pr${i - 1} p ON p.node = e.src
+        |  LEFT JOIN deg pd ON pd.node = e.src
+        |  GROUP BY d.node)"""
+        }.mkString +
+        """
+        |SELECT node AS part, round(rank*1000 + 1e-7, 4) AS rank_pm
+        |FROM pr10 ORDER BY round(rank*1000 + 1e-7, 4) DESC, node LIMIT 20""").stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

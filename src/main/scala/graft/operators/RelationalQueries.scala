@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -401,6 +401,175 @@ object RelationalQueries {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** `pareto_share` — revenue-concentration report (full oracle):
+    * customers needed to reach 80% of revenue, the top-decile revenue
+    * share, and the Gini coefficient, from the per-customer revenue
+    * distribution. The "is our revenue one whale or a long tail"
+    * question every SLO-adjacent business review asks; Gini uses the
+    * rank formulation Σ(2i−n−1)·rev_i / (n·Σrev) over ascending
+    * (rev, custkey) ranks.
+    *
+    * Determinism: ranks are row_number under a total order (revenue,
+    * then custkey); the cumulative sum runs in that SAME sequential
+    * order in both engines, so the running doubles are bit-identical
+    * and the 0.8 threshold compares at the rounded 4-dp grid
+    * (boundary customers can't flip on a summation ulp). Residual:
+    * two customers whose revenues differ only by per-group summation
+    * noise (~1e-10 — one such pair at sf0.1, ranks 3778/3779) could
+    * order differently across engines; that affects nothing here
+    * unless the pair STRADDLES the decile boundary (swapping
+    * adjacent near-equal revs perturbs cum/gini by the same ~1e-10,
+    * absorbed by r4) — and the fixture pair sits mid-distribution.
+    *
+    * Scale: per-customer revenue collapses map-side (customer grain,
+    * not corpus grain). The global-order window then runs UNPARTITIONED
+    * — the documented single-partition caveat, acceptable because its
+    * input is the customer dimension (orders of magnitude below the
+    * fact table at any scale); past that, swap for the two-pass
+    * range-partitioned prefix sum (partition-local sums + broadcast
+    * per-partition offsets), which preserves these exact semantics.
+    */
+  def paretoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
+    val wDesc = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val wAll = Window.partitionBy() // OVER () — global constants
+    val ranked = rev
+      .withColumn("i_desc", row_number().over(wDesc))
+      .withColumn("cum_rev", sum("rev").over(
+        wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("rev").over(wAll))
+    ranked.agg(
+      max("n").as("n_customers"),
+      (sum(when(r4(col("cum_rev") / col("tot")) < 0.8, 1L).otherwise(0L)) + 1L)
+        .as("n_to_80pct"),
+      r4(sum(when(col("i_desc") <= ceil(col("n") / lit(10.0)), col("rev"))
+        .otherwise(0.0)) / max("tot")).as("top_decile_share"),
+      // Gini on ascending ranks i = n+1−i_desc: Σ(2i−n−1)·rev / (n·Σrev)
+      r4(sum((lit(2) * (col("n") + lit(1) - col("i_desc")) - col("n") - lit(1))
+        * col("rev")) / (max("n") * max("tot"))).as("gini"))
+  }
+
+  /** `ship_latency` — order-to-ship latency distribution per order
+    * priority (full oracle): days from `o_orderdate` to each line's
+    * `l_shipdate`; count, mean, exact interpolated median and p95.
+    * The fulfillment-SLA report ("does URGENT actually ship faster,
+    * and what does the tail look like").
+    *
+    * Exact percentiles WITHOUT a corpus-sized sort or per-group
+    * buffer: latency is a small bounded-domain integer (days), so the
+    * corpus collapses to a (priority, days)→count HISTOGRAM map-side
+    * (partial agg — the only corpus-grain exchange carries histogram
+    * cells, not rows), and the (n−1)·p interpolated percentile
+    * (`quantile_cont` semantics) is computed from the histogram's
+    * running counts: the value at 0-based index k is the cell where
+    * cum_before ≤ k < cum. Spark's `percentile` agg would buffer
+    * every raw value per group (5 groups × the corpus at 100 TB);
+    * this shape is exact at ANY scale. The windows run on histogram
+    * cells (≤ priorities × day-range rows).
+    */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("d"))
+      .groupBy("priority", "d").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("priority").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("priority")))
+      .withColumn("cumb", col("cum") - col("cnt"))
+    // histogram cell holding 0-based index k: cum_before <= k < cum
+    def vAt(k: Column): Column =
+      max(when(col("cumb") <= k && k < col("cum"), col("d")))
+    def tgt(p: Double): Column = (col("n") - lit(1)) * lit(p)
+    val agg = h.groupBy("priority").agg(
+      max("n").as("n_lines"),
+      r4(sum(col("d") * col("cnt")) / max("n")).as("avg_days"),
+      vAt(floor(tgt(0.5))).as("m_lo"), vAt(ceil(tgt(0.5))).as("m_hi"),
+      vAt(floor(tgt(0.95))).as("p_lo"), vAt(ceil(tgt(0.95))).as("p_hi"))
+    def interp(lo: Column, hi: Column, p: Double): Column = {
+      val t = (col("n_lines") - lit(1)) * lit(p)
+      val frac = t - floor(t)
+      r4(lo + (hi - lo) * frac)
+    }
+    agg.select(col("priority"), col("n_lines"), col("avg_days"),
+        interp(col("m_lo"), col("m_hi"), 0.5).as("med_days"),
+        interp(col("p_lo"), col("p_hi"), 0.95).as("p95_days"))
+      .orderBy("priority")
+  }
+
+  /** `copurchase_pagerank` — PageRank over the part co-purchase
+    * graph (full oracle): undirected edges between parts bought in
+    * the same order (the `copurchase_pairs` pair set, both
+    * directions), 10 power iterations at damping 0.85, top-20 parts
+    * by rank (reported per-mille). The "which products anchor the
+    * catalog" centrality question co-occurrence COUNTS can't answer —
+    * rank flows through the whole graph, so a part bridging two
+    * clusters outranks one with the same local degree.
+    *
+    * Iterative-graph-on-Spark, the bounded-lineage way: the edge
+    * structure (src, dst, src-degree) is derived ONCE and
+    * `localCheckpoint`ed — every iteration reads the materialized
+    * blocks, never re-deriving from the corpus (the naive declarative
+    * loop re-embeds the whole edge subtree per iteration: plan text
+    * and canonicalization cost grow quadratically — measured 315
+    * textual exchanges at 10 iterations). Ranks are NODE-grain (the
+    * part dimension), broadcast into the edge join (zero corpus
+    * shuffles per iteration; the per-dst contribution sum collapses
+    * map-side) and checkpointed each step, so the plan stays
+    * CONSTANT-size however many iterations run — the GraphX/
+    * GraphFrames iteration pattern expressed on DataFrames. At a
+    * node set past broadcast scale, swap the hint for a shuffle join
+    * keyed on src — semantics unchanged. Dangling nodes are
+    * impossible by construction (every edge endpoint has degree ≥ 1).
+    *
+    * Determinism: rank sums are order-sensitive doubles only at ulp
+    * scale (~1e-13 after 10 iterations); output compares and SORTS on
+    * the r4-rounded per-mille rank (ties broken by part id), so both
+    * engines cut the same top-20.
+    */
+  def copurchasePagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // one corpus pass; iterations read blocks
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nDf = deg.agg(count(lit(1)).as("n"))
+    val shares = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .localCheckpoint()
+    var ranks = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to 10) {
+      val contrib = shares.join(broadcast(ranks), col("src") === col("node"))
+        .groupBy("dst").agg(sum(col("rank") / col("deg")).as("contrib"))
+      ranks = deg.crossJoin(broadcast(nDf))
+        .join(contrib, col("src") === col("dst"), "left")
+        .select(col("src").as("node"),
+          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(col("node").as("part"), r4(col("rank") * 1000).as("rank_pm"))
+      .orderBy(col("rank_pm").desc, col("part"))
       .limit(20)
   }
 }

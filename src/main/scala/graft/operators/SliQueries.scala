@@ -582,6 +582,144 @@ object SliQueries {
       .orderBy("event_type", "streak_start")
   }
 
+  /** `funnel_steps` — time-bounded conversion funnel view → click →
+    * purchase (full oracle): users who viewed, users whose first
+    * qualifying click came STRICTLY AFTER their first view and within
+    * 24 h of it, users whose first qualifying purchase followed that
+    * click under the same 24 h bound, with step conversion rates. The
+    * product-analytics op plain per-type counts cannot answer: ORDER
+    * and PROXIMITY between events both matter (without the time bound
+    * this fixture converts 100% at every step — every user eventually
+    * does everything; the bound is what makes the funnel a funnel).
+    *
+    * One pass, three stacked running-min windows over the same
+    * (user_id) partitioning ordered by (ts, event_id) — a TOTAL
+    * order, so same-timestamp ties resolve identically in both
+    * engines; the strictly-after comparisons are on VALUES, so the
+    * chain `tv → tc → tp` is deterministic. Stacked windows share
+    * ONE exchange (same partition spec), and the per-user collapse
+    * that follows reuses that partitioning — the whole funnel costs
+    * one user-keyed shuffle plus the single-row final agg.
+    *
+    * Scale: state per window frame is one running min — O(1) per
+    * row; no joins, no per-step rescans (the naive form is 3 joins =
+    * 3 corpus shuffles). Survives 100 TB; a longer funnel adds
+    * window STAGES, not exchanges.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = funnelPerUser(spark, dir)
+    perUser.agg(
+      count("tv").as("n_viewed"),
+      count("tc").as("n_clicked_after"),
+      count("tp").as("n_purchased_after"),
+      r4(count("tc").cast("double") / count("tv")).as("view_to_click"),
+      r4(count("tp").cast("double") / count("tc")).as("click_to_purchase"))
+  }
+
+  /** Shared funnel stage frame: per user, first view `tv`, first
+    * qualifying click `tc` (strictly after `tv`, within 24 h), first
+    * qualifying purchase `tp` (same rule vs `tc`), via three stacked
+    * running-min windows over ONE (user_id) exchange ordered by the
+    * (ts, event_id) total order. Consumed by [[funnelSteps]] (step
+    * counts/rates) and [[timeToConvert]] (latency distribution) — the
+    * two reports MUST agree on what "converted" means, so they share
+    * this frame by construction (pinned in StatsLawSpec).
+    */
+  private def funnelPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv")
+          && col("ts") <= col("tv") + expr("INTERVAL 24 HOURS"),
+          col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc")
+          && col("ts") <= col("tc") + expr("INTERVAL 24 HOURS"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("tv").as("tv"), min("tc").as("tc"), min("tp").as("tp"))
+  }
+
+  /** `time_to_convert` — latency distribution of the funnel's first
+    * conversion (full oracle): for users whose first qualifying click
+    * followed their first view (the `funnel_steps` definition, shared
+    * via [[funnelPerUser]]), minutes from view to click: count, mean,
+    * median, p90. The "HOW FAST do converters convert" companion to
+    * `funnel_steps`' "how many convert" — the histogram product teams
+    * actually put on dashboards.
+    *
+    * Determinism: the latency is an exact integer µs difference
+    * divided by a constant (6e7) — bit-identical doubles in both
+    * engines; median/p90 interpolate with the same (n−1)·p index
+    * arithmetic on those doubles (`percentile` here ≡ DuckDB
+    * `quantile_cont`); r4 absorbs the shared-formula ulps.
+    *
+    * Scale: converter grain (≤ users). Exact `percentile` over the
+    * single global group is the documented bounded-cardinality
+    * choice — one value per CONVERTER, orders below the event corpus;
+    * past user-dimension scale swap for the GK sketch plane
+    * (`percentile_approx_value` twin) with the same report contract.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val lat = funnelPerUser(spark, dir)
+      .where(col("tc").isNotNull)
+      .select(((unix_micros(col("tc")) - unix_micros(col("tv")))
+        / lit(6e7)).as("lat_min"))
+    lat.agg(
+      count(lit(1)).as("n_converted"),
+      r4(avg("lat_min")).as("avg_min"),
+      r4(percentile(col("lat_min"), lit(0.5))).as("med_min"),
+      r4(percentile(col("lat_min"), lit(0.9))).as("p90_min"))
+  }
+
+  /** `peak_concurrency` — per-day peak of simultaneously-open user
+    * sessions (full oracle): sessionize with the 30-minute gap rule
+    * (the [[sessionized]] idiom #9 uses), split each session interval
+    * at UTC midnight (so the sweep partitions by day), then the
+    * classic sweep line: +1 at each clipped start, −1 at each clipped
+    * end, running sum ordered by (t, delta DESC), max per day. The
+    * capacity-planning number ("how many concurrent users must we
+    * serve") that per-day event counts cannot give — overlap, not
+    * volume.
+    *
+    * Determinism: ties at the same instant process all +1 before any
+    * −1 (delta DESC — touching sessions count as concurrent, both
+    * engines); equal (t, delta) rows commute (each prefix max is
+    * order-free across permutations of identical deltas), so the
+    * per-day max is unique despite the non-total sort.
+    *
+    * Scale: the window partitions by DAY over session-grain edges
+    * (2 rows per session-day, not per event) — the corpus-sized work
+    * is the sessionize exchange, already keyed by user; midnight
+    * splitting is what keeps the sweep partitioned (an unpartitioned
+    * global sweep is the naive form). Calendar-bounded explode:
+    * sessions span 1-2 days under the 30-min gap rule.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionized(Tables.events(spark, dir))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+    val split = sess
+      .withColumn("day",
+        explode(sequence(to_date(col("s_start")), to_date(col("s_end")))))
+      .select(col("day"),
+        greatest(col("s_start"), col("day").cast("timestamp")).as("t0"),
+        least(col("s_end"), date_add(col("day"), 1).cast("timestamp")).as("t1"))
+    val edges = split.select(col("day"), explode(array(
+        struct(col("t0").as("t"), lit(1L).as("delta")),
+        struct(col("t1").as("t"), lit(-1L).as("delta")))).as("e"))
+      .select(col("day"), col("e.t").as("t"), col("e.delta").as("delta"))
+    val w = Window.partitionBy("day").orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    edges.withColumn("concurrent", sum("delta").over(w))
+      .groupBy("day").agg(max("concurrent").as("peak"))
+      .orderBy("day")
+  }
+
   /** `minmax_by_day` — best/worst day per event_type via the argmax
     * aggregate surface (full oracle): `max_by`/`min_by` (DuckDB
     * `arg_max`/`arg_min`) pick the DAY whose daily avg is extreme,

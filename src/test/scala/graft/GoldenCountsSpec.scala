@@ -130,6 +130,12 @@ class GoldenCountsSpec extends SparkTestBase {
     "rolling_active_users" -> 30L,
     "breach_streaks" -> 44L,
     "copurchase_pairs" -> 20L,
+    "funnel_steps" -> 1L,
+    "pareto_share" -> 1L,
+    "time_to_convert" -> 1L,
+    "peak_concurrency" -> 30L,
+    "ship_latency" -> 5L,
+    "copurchase_pagerank" -> 20L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -202,7 +202,21 @@ class PlanAuditSpec extends SparkTestBase {
     // exchange shared by both join sides + pair partial-agg +
     // TakeOrdered (no sort exchange)
     "rolling_active_users" -> 5, "breach_streaks" -> 5,
-    "copurchase_pairs" -> 3)
+    "copurchase_pairs" -> 3,
+    // funnel = ONE user-keyed window exchange (3 stacked windows
+    // share it) + reused-partitioning per-user agg + single-row
+    // final; pareto = customer-grain agg + the documented
+    // single-partition global window + single-row final
+    "funnel_steps" -> 3, "pareto_share" -> 4,
+    // t2c shares funnel's single user-window exchange + final agg;
+    // peak = sessionize user exchange + day-partitioned sweep window
+    // + day agg/sort; ship = histogram agg + priority window + sort
+    // (join is broadcast at audit SF); pagerank's pre-exec plan scans
+    // the checkpointed final ranks — top-20 lowers to TakeOrdered,
+    // zero exchanges (iteration shuffles run at construction, each
+    // bounded to node/edge grain)
+    "time_to_convert" -> 2, "peak_concurrency" -> 3,
+    "ship_latency" -> 3, "copurchase_pagerank" -> 0)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -190,6 +190,149 @@ class StatsLawSpec extends SparkTestBase {
     assert(counts.sameElements(counts.sortBy(-_)), "top-k not count-descending")
   }
 
+  private def tmpOrders(rows: Seq[(Long, Long, String, Double, Timestamp, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_orders").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("funnel_steps: order + 24h bound enforced on a constructed user set") {
+    // u1 converts fully; u2's click PRECEDES its view (order violated);
+    // u3's click is 25h after its view (bound violated); u4 never views.
+    val d = tmpEvents(Seq(
+      (1L, ts(1, 6), 1L, "view", 1.0, "{}"),
+      (2L, ts(1, 7), 1L, "click", 1.0, "{}"),
+      (3L, ts(1, 8), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(2, 6), 2L, "click", 1.0, "{}"),
+      (5L, ts(2, 7), 2L, "view", 1.0, "{}"),
+      (6L, ts(3, 6), 3L, "view", 1.0, "{}"),
+      (7L, ts(4, 7), 3L, "click", 1.0, "{}"), // 25 h later
+      (8L, ts(5, 6), 4L, "purchase", 1.0, "{}")))
+    val r = SliQueries.funnelSteps(spark, d).collect()(0)
+    assert(r.getLong(0) == 3L, s"n_viewed ${r.getLong(0)}")
+    assert(r.getLong(1) == 1L, s"n_clicked_after ${r.getLong(1)}")
+    assert(r.getLong(2) == 1L, s"n_purchased_after ${r.getLong(2)}")
+    assert(r.getDouble(3) == 0.3333, s"view_to_click ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"click_to_purchase ${r.getDouble(4)}")
+  }
+
+  test("funnel_steps: step counts are monotone and rates in [0,1] on the fixture") {
+    val r = SliQueries.funnelSteps(spark, sf).collect()(0)
+    assert(r.getLong(0) >= r.getLong(1) && r.getLong(1) >= r.getLong(2),
+      s"funnel widened downstream: $r")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9, r.toString)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9, r.toString)
+  }
+
+  test("pareto_share: uniform revenue ⇒ gini 0, decile share 1/10, 8 of 10 to reach 80%") {
+    val d = tmpOrders((1L to 10L).map { k =>
+      (k, k, "O", 100.0, ts(1), "1-URGENT")
+    })
+    val r = RelationalQueries.paretoShare(spark, d).collect()(0)
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(1) == 8L, s"n_to_80pct ${r.getLong(1)}")
+    assert(r.getDouble(2) == 0.1, s"top_decile_share ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.0, s"gini ${r.getDouble(3)}")
+  }
+
+  test("pareto_share: gini ∈ [0,1), decile share ≥ 1/10, 80%-count ≤ n on the fixture") {
+    val r = RelationalQueries.paretoShare(spark, sf).collect()(0)
+    val n = r.getLong(0)
+    assert(r.getLong(1) >= 1L && r.getLong(1) <= n)
+    // the top decile holds AT LEAST a proportional share by definition
+    assert(r.getDouble(2) >= 0.1 - 1e-9, s"top decile under-proportional: $r")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0, s"gini out of range: $r")
+  }
+
+  test("time_to_convert: converter count equals funnel_steps' click stage (shared frame)") {
+    val t2c = SliQueries.timeToConvert(spark, sf).collect()(0)
+    val fun = SliQueries.funnelSteps(spark, sf).collect()(0)
+    assert(t2c.getLong(0) == fun.getLong(1),
+      s"n_converted ${t2c.getLong(0)} != n_clicked_after ${fun.getLong(1)}")
+    assert(t2c.getDouble(1) > 0.0 && t2c.getDouble(1) <= 24 * 60 + 1e-9,
+      s"avg outside (0, 24h]: $t2c")
+    assert(t2c.getDouble(2) <= t2c.getDouble(3) + 1e-9, s"med > p90: $t2c")
+  }
+
+  test("peak_concurrency: overlap counts, disjoint doesn't, midnight span hits both days") {
+    // u1/u2 overlap 12:00-13:00 on day 1 (peak 2); day 2 has two
+    // DISJOINT sessions (peak 1); u3 spans midnight day 3→4 and must
+    // appear in both days' sweeps.
+    val d = tmpEvents(Seq(
+      (1L, ts(1, 12), 1L, "view", 1.0, "{}"),
+      (2L, ts(1, 13), 1L, "view", 1.0, "{}"),
+      (3L, ts(1, 12), 2L, "view", 1.0, "{}"),
+      (4L, ts(2, 6), 1L, "view", 1.0, "{}"),
+      (5L, ts(2, 12), 2L, "view", 1.0, "{}"),
+      (6L, Timestamp.valueOf("2024-01-03 23:50:00"), 3L, "view", 1.0, "{}"),
+      (7L, Timestamp.valueOf("2024-01-04 00:10:00"), 3L, "view", 1.0, "{}")))
+    val out = SliQueries.peakConcurrency(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(out == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L,
+      "2024-01-03" -> 1L, "2024-01-04" -> 1L), s"got $out")
+  }
+
+  private def tmpShip(orders: Seq[(Long, Timestamp, String)],
+                      lines: Seq[(Long, Long, Timestamp)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ship").toString
+    orders.toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    lines.toDF("l_orderkey", "l_partkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("ship_latency: histogram interpolation reproduces exact quantile_cont values") {
+    // latencies 0,10,20,30,100 → med = 20, p95 = 30+(100-30)*0.8 = 86, avg = 32
+    val base = ts(1).toLocalDateTime.toLocalDate
+    val d = tmpShip(
+      orders = Seq((1L, ts(1), "1-URGENT")),
+      lines = Seq(0, 10, 20, 30, 100).zipWithIndex.map { case (days, i) =>
+        (1L, i.toLong, Timestamp.valueOf(base.plusDays(days.toLong).atStartOfDay))
+      })
+    val r = RelationalQueries.shipLatency(spark, d).collect()(0)
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 32.0, s"avg ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 20.0, s"med ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 86.0, s"p95 ${r.getDouble(4)}")
+  }
+
+  test("ship_latency: tails ordered (med ≤ p95) and counts positive on the fixture") {
+    val out = RelationalQueries.shipLatency(spark, sf).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9, s"med > p95: $r")
+    }
+  }
+
+  private def tmpBaskets(baskets: Seq[Seq[Long]]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    baskets.zipWithIndex
+      .flatMap { case (parts, ok) => parts.map(p => (ok.toLong, p)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("copurchase_pagerank: regular graph ⇒ uniform rank; star center dominates") {
+    // 4-cycle (2-regular): stationary rank is exactly uniform = 250‰/node
+    val cyc = tmpBaskets(Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(1L, 4L)))
+    val cr = RelationalQueries.copurchasePagerank(spark, cyc).collect()
+    assert(cr.length == 4)
+    cr.foreach(r => assert(r.getDouble(1) == 250.0, s"non-uniform on cycle: $r"))
+    // star K1,3: center (part 9) must rank strictly above every leaf
+    val star = tmpBaskets(Seq(Seq(9L, 1L), Seq(9L, 2L), Seq(9L, 3L)))
+    val sr = RelationalQueries.copurchasePagerank(spark, star).collect()
+    assert(sr.head.getLong(0) == 9L, s"star center not top: ${sr.toSeq}")
+    assert(sr.head.getDouble(1) > sr(1).getDouble(1), s"center not strict: ${sr.toSeq}")
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
