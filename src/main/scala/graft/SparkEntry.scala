@@ -137,6 +137,13 @@ object SparkEntry {
     "peak_concurrency" -> (SliQueries.peakConcurrency _),
     "ship_latency" -> (RelationalQueries.shipLatency _),
     "copurchase_pagerank" -> (RelationalQueries.copurchasePagerank _),
+    // growth/engagement reporting wave (all full oracle): retention
+    // triangle, DAU acquisition split, weekday seasonality index,
+    // repeat-purchase cadence
+    "cohort_retention" -> (SliQueries.cohortRetention _),
+    "new_vs_returning" -> (SliQueries.newVsReturning _),
+    "seasonal_dow_index" -> (SliQueries.seasonalDowIndex _),
+    "repeat_cadence" -> (RelationalQueries.repeatCadence _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -855,6 +862,53 @@ object SparkEntry {
         """
         |SELECT node AS part, round(rank*1000 + 1e-7, 4) AS rank_pm
         |FROM pr10 ORDER BY round(rank*1000 + 1e-7, 4) DESC, node LIMIT 20""").stripMargin,
+    "cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |firstd AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY 1),
+        |coh AS (SELECT d0, count(*) AS n_users FROM firstd GROUP BY 1),
+        |ret AS (
+        |  SELECT f.d0 AS cohort_day, date_diff('day', f.d0, a.day) AS k,
+        |         count(DISTINCT a.user_id) AS active
+        |  FROM act a JOIN firstd f USING (user_id)
+        |  WHERE date_diff('day', f.d0, a.day) BETWEEN 0 AND 6
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_day, CAST(r.k AS BIGINT) AS k, r.active,
+        |       round(r.active*1.0/c.n_users + 1e-7, 4) AS pct
+        |FROM ret r JOIN coh c ON r.cohort_day = c.d0
+        |ORDER BY 1, 2""".stripMargin,
+    "new_vs_returning" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |firstd AS (SELECT user_id, min(day) AS d0 FROM daily GROUP BY 1)
+        |SELECT day,
+        |       CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |       CAST(sum(CASE WHEN day > d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM daily JOIN firstd USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "seasonal_dow_index" ->
+      """WITH base AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow, value
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |tot AS (SELECT event_type, avg(value) AS oavg FROM base GROUP BY 1)
+        |SELECT b.event_type, CAST(b.dow AS BIGINT) AS dow, count(*) AS n,
+        |       round(avg(b.value)/max(t.oavg) + 1e-7, 4) AS idx
+        |FROM base b JOIN tot t USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "repeat_cadence" ->
+      """WITH gaps AS (
+        |  SELECT o_custkey,
+        |         date_diff('day',
+        |           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |           CAST(o_orderdate AS DATE)) AS gap
+        |  FROM read_parquet('{dir}/orders.parquet')),
+        |per_cust AS (SELECT o_custkey, avg(gap) AS avg_gap FROM gaps WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT count(*) AS n_repeat_customers,
+        |       round(avg(avg_gap) + 1e-7, 4) AS avg_gap_days,
+        |       round(CAST(quantile_cont(avg_gap, 0.5) AS DOUBLE) + 1e-7, 4) AS med_gap_days
+        |FROM per_cust""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

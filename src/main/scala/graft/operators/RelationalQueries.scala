@@ -507,6 +507,40 @@ object RelationalQueries {
       .orderBy("priority")
   }
 
+  /** `repeat_cadence` — repeat-purchase cadence (full oracle): per
+    * customer, the mean gap in days between consecutive orders (lag
+    * window under the (o_orderdate, o_orderkey) total order); then
+    * across repeat customers, the count, mean and exact median of
+    * those per-customer cadences. The replenishment-cycle number
+    * ("customers reorder every ~N days") that order counts alone
+    * can't give.
+    *
+    * Determinism: per-customer gaps are exact int day-diffs, their
+    * mean is one division — bit-identical in both engines; the
+    * median interpolates customer-grain doubles with the shared
+    * (n−1)·p formula; r4 absorbs cross-engine summation ulps in the
+    * final mean-of-means.
+    *
+    * Scale: ONE customer-keyed window exchange, collapsed to customer
+    * grain in the same partitioning; exact `percentile` runs on the
+    * customer dimension (documented bounded-cardinality choice — the
+    * GK sketch plane is the past-dimension-scale swap).
+    */
+  def repeatCadence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap",
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))))
+      .where(col("gap").isNotNull)
+      .groupBy("o_custkey").agg(avg("gap").as("avg_gap"))
+    perCust.agg(
+      count(lit(1)).as("n_repeat_customers"),
+      r4(avg("avg_gap")).as("avg_gap_days"),
+      r4(percentile(col("avg_gap"), lit(0.5))).as("med_gap_days"))
+  }
+
   /** `copurchase_pagerank` — PageRank over the part co-purchase
     * graph (full oracle): undirected edges between parts bought in
     * the same order (the `copurchase_pairs` pair set, both

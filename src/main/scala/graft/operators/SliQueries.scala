@@ -720,6 +720,74 @@ object SliQueries {
       .orderBy("day")
   }
 
+  /** `cohort_retention` — D0–D6 retention triangle (full oracle):
+    * users cohorted by FIRST-SEEN day; for each cohort and each day
+    * offset k ∈ [0, 6], how many came back and what share of the
+    * cohort that is. The product-growth report (D1/D7 retention) that
+    * daily-active counts can't answer — it needs each user's personal
+    * day-zero, not the calendar.
+    *
+    * Scale: ONE corpus-grain exchange — the (user, day) dedup (two-
+    * phase, collapses map-side); first-seen derives from the SAME
+    * deduped frame re-keyed by user, and the activity⋈first-seen join
+    * is user-co-keyed. Cohort sizes are calendar-grain and broadcast
+    * back; the triangle is days×7 rows at any corpus size.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstd = act.groupBy("user_id").agg(min("day").as("d0"))
+    val coh = firstd.groupBy("d0").agg(count(lit(1)).as("n_users"))
+    act.join(firstd, "user_id")
+      .withColumn("k", datediff(col("day"), col("d0")))
+      .where(col("k").between(0, 6))
+      .groupBy(col("d0").as("cohort_day"), col("k"))
+      .agg(countDistinct("user_id").as("active"))
+      .join(broadcast(coh), col("cohort_day") === col("d0"))
+      .select(col("cohort_day"), col("k").cast("long").as("k"), col("active"),
+        r4(col("active") * lit(1.0) / col("n_users")).as("pct"))
+      .orderBy("cohort_day", "k")
+  }
+
+  /** `new_vs_returning` — daily active users split into first-ever-
+    * seen vs returning (full oracle). The acquisition-vs-engagement
+    * split every DAU chart needs; shares the (user, day) dedup +
+    * first-seen frames with [[cohortRetention]]'s design (one corpus
+    * exchange, user-co-keyed join, day-grain output).
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstd = daily.groupBy("user_id").agg(min("day").as("d0"))
+    daily.join(firstd, "user_id")
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") > col("d0"), 1L).otherwise(0L)).as("returning_users"))
+      .orderBy("day")
+  }
+
+  /** `seasonal_dow_index` — day-of-week seasonal index per event
+    * type (full oracle): avg(value) on each weekday ÷ the type's
+    * overall avg. The seasonality profile `zscore_anomaly`'s flat
+    * baseline ignores — an index of 1.09 on Thursdays says "don't
+    * page on Thursday's 9% bump". Two-phase agg both levels (map-side
+    * collapse); the per-type overall avg is a types-grain broadcast;
+    * 7×types output rows. dow is 1=Sunday..7=Saturday in both engines
+    * (DuckDB's 0-based dayofweek is shifted in the oracle).
+    */
+  def seasonalDowIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"), col("value"))
+    val tot = base.groupBy("event_type").agg(avg("value").as("oavg"))
+    base.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"), col("dow").cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"), r4(avg("value") / max("oavg")).as("idx"))
+      .orderBy("event_type", "dow")
+  }
+
   /** `minmax_by_day` — best/worst day per event_type via the argmax
     * aggregate surface (full oracle): `max_by`/`min_by` (DuckDB
     * `arg_max`/`arg_min`) pick the DAY whose daily avg is extreme,

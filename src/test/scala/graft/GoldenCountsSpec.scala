@@ -136,6 +136,10 @@ class GoldenCountsSpec extends SparkTestBase {
     "peak_concurrency" -> 30L,
     "ship_latency" -> 5L,
     "copurchase_pagerank" -> 20L,
+    "cohort_retention" -> 7L,
+    "new_vs_returning" -> 30L,
+    "seasonal_dow_index" -> 35L,
+    "repeat_cadence" -> 1L,
   )
 
   test("golden map covers exactly the declared query set") {

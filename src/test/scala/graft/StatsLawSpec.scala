@@ -333,6 +333,56 @@ class StatsLawSpec extends SparkTestBase {
     assert(sr.head.getDouble(1) > sr(1).getDouble(1), s"center not strict: ${sr.toSeq}")
   }
 
+  test("cohort_retention: day-0 identity (pct 1.0) and constructed dropout at k=1") {
+    // u1,u2 first seen day 1; only u1 returns day 2 → cohort day1:
+    // k0 pct 1.0 (2 active), k1 pct 0.5 (1 active)
+    val d = tmpEvents(Seq(
+      (1L, ts(1, 6), 1L, "view", 1.0, "{}"),
+      (2L, ts(1, 7), 2L, "view", 1.0, "{}"),
+      (3L, ts(2, 6), 1L, "view", 1.0, "{}")))
+    val rows = SliQueries.cohortRetention(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((0L, 2L, 1.0), (1L, 1L, 0.5)), rows.toSeq.toString)
+    // fixture-wide: every cohort's k=0 share is exactly 1.0
+    val day0 = SliQueries.cohortRetention(spark, sf).collect()
+      .filter(_.getLong(1) == 0L)
+    assert(day0.nonEmpty && day0.forall(_.getDouble(3) == 1.0),
+      "a cohort missed its own day 0")
+  }
+
+  test("new_vs_returning: new-user mass equals distinct users; first day all new") {
+    val out = SliQueries.newVsReturning(spark, sf).collect()
+    val totalNew = out.map(_.getLong(1)).sum
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(totalNew == users, s"new mass $totalNew != distinct users $users")
+    assert(out.head.getLong(2) == 0L, s"day 1 has returning users: ${out.head}")
+  }
+
+  test("seasonal_dow_index: n-weighted mean of the index is 1 per type") {
+    val byType = SliQueries.seasonalDowIndex(spark, sf).collect()
+      .groupBy(_.getString(0))
+    byType.foreach { case (t, rows) =>
+      val n = rows.map(_.getLong(2)).sum.toDouble
+      val wm = rows.map(r => r.getLong(2) * r.getDouble(3)).sum / n
+      assert(math.abs(wm - 1.0) < 1e-3, s"$t: weighted index mean $wm != 1")
+    }
+  }
+
+  test("repeat_cadence: constructed gaps average exactly; single-order customers excluded") {
+    // cust 1 orders day 1/11/31 → gaps 10, 20 → cadence 15;
+    // cust 2 has one order → not a repeat customer
+    val d = tmpOrders(Seq(
+      (1L, 1L, "O", 10.0, ts(1), "1-URGENT"),
+      (2L, 1L, "O", 10.0, ts(11), "1-URGENT"),
+      (3L, 1L, "O", 10.0, ts(31), "1-URGENT"),
+      (4L, 2L, "O", 10.0, ts(5), "1-URGENT")))
+    val r = RelationalQueries.repeatCadence(spark, d).collect()(0)
+    assert(r.getLong(0) == 1L, s"n_repeat ${r.getLong(0)}")
+    assert(r.getDouble(1) == 15.0, s"avg ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 15.0, s"med ${r.getDouble(2)}")
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
