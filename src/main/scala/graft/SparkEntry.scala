@@ -144,6 +144,13 @@ object SparkEntry {
     "new_vs_returning" -> (SliQueries.newVsReturning _),
     "seasonal_dow_index" -> (SliQueries.seasonalDowIndex _),
     "repeat_cadence" -> (RelationalQueries.repeatCadence _),
+    // behavioral-sequence + experimentation wave (all full oracle):
+    // Markov transition matrix, top session journeys, A/B
+    // two-proportion z readout, lexical-diversity entropy profile
+    "event_transitions" -> (SliQueries.eventTransitions _),
+    "session_paths" -> (SliQueries.sessionPaths _),
+    "ab_test_conversion" -> (SliQueries.abTestConversion _),
+    "entropy_ttr" -> (LlmQueries.entropyTtr _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -909,6 +916,67 @@ object SparkEntry {
         |       round(avg(avg_gap) + 1e-7, 4) AS avg_gap_days,
         |       round(CAST(quantile_cont(avg_gap, 0.5) AS DOUBLE) + 1e-7, 4) AS med_gap_days
         |FROM per_cust""".stripMargin,
+    "event_transitions" ->
+      """WITH tr AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |         event_type AS next
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |cnt AS (SELECT prev, next, count(*) AS n FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |       round(n*1.0/sum(n) OVER (PARTITION BY prev) + 1e-7, 4) AS prob
+        |FROM cnt ORDER BY 1, 2""".stripMargin,
+    "session_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM read_parquet('{dir}/events.parquet') WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+        |  FROM sess),
+        |p AS (
+        |  SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM rn WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""".stripMargin,
+    "ab_test_conversion" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv,
+        |         CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |              THEN 'A' ELSE 'B' END AS grp
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY user_id),
+        |g AS (
+        |  SELECT sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS n_a,
+        |         sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS n_b,
+        |         sum(CASE WHEN grp = 'A' THEN conv ELSE 0 END) AS conv_a,
+        |         sum(CASE WHEN grp = 'B' THEN conv ELSE 0 END) AS conv_b
+        |  FROM pu)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       round(conv_a*1.0/n_a + 1e-7, 4) AS rate_a,
+        |       round(conv_b*1.0/n_b + 1e-7, 4) AS rate_b,
+        |       round((conv_a*1.0/n_a - conv_b*1.0/n_b)
+        |             / sqrt(((conv_a+conv_b)*1.0/(n_a+n_b)) * (1 - (conv_a+conv_b)*1.0/(n_a+n_b))
+        |                    * (1.0/n_a + 1.0/n_b)) + 1e-7, 4) AS z_stat,
+        |       abs(round((conv_a*1.0/n_a - conv_b*1.0/n_b)
+        |             / sqrt(((conv_a+conv_b)*1.0/(n_a+n_b)) * (1 - (conv_a+conv_b)*1.0/(n_a+n_b))
+        |                    * (1.0/n_a + 1.0/n_b)) + 1e-7, 4)) > 1.96 AS significant
+        |FROM g""".stripMargin,
+    "entropy_ttr" ->
+      """WITH v AS (
+        |  SELECT source, tok, count(*) AS cnt
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM read_parquet('{dir}/documents.parquet')) t
+        |  WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |       round(count(*)*1.0/sum(cnt) + 1e-7, 4) AS ttr,
+        |       round(ln(sum(cnt)) - sum(cnt*ln(cnt))/sum(cnt) + 1e-7, 4) AS entropy,
+        |       round(sum(cnt*length(tok))*1.0/sum(cnt) + 1e-7, 4) AS avg_tok_len
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "near_dup_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws

@@ -344,6 +344,41 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** `entropy_ttr` — per-source lexical-diversity profile (full
+    * oracle): token count N, vocabulary size V, type-token ratio
+    * V/N, Shannon entropy of the unigram distribution, and mean
+    * token length. Entropy is the distribution-WIDTH complement of
+    * [[zipfSlope]]'s shape fit and [[tokenKlSources]]'s cross-source
+    * drift: collapsed entropy (≪ ln V) = template/spam text even
+    * when the Zipf fit looks plausible.
+    *
+    * Numerics: H = −Σ p ln p is computed as `ln N − Σ(c·ln c)/N`
+    * from the (source, token) count rollup — counts are exact longs,
+    * so the only float exposure is the one summation order (rounded
+    * r4), identical formula in the oracle.
+    *
+    * Scale: the (source, token) rollup partial-aggregates map-side
+    * (hot tokens collapse BEFORE the exchange — the tfidf lesson);
+    * the per-source fold is a second vocabulary-grain two-phase agg.
+    * No windows, no joins, output O(sources).
+    */
+  def entropyTtr(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    v.groupBy("source").agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        r4(count(lit(1)) * lit(1.0) / sum("cnt")).as("ttr"),
+        r4(log(sum("cnt")) -
+          sum(col("cnt") * log(col("cnt"))) / sum("cnt")).as("entropy"),
+        r4(sum(col("cnt") * length(col("tok"))) * lit(1.0) / sum("cnt"))
+          .as("avg_tok_len"))
+      .orderBy("source")
+  }
+
   /** #34 — corpus profiling: chars, tokens, source cardinality per lang. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -606,4 +606,73 @@ object RelationalQueries {
       .orderBy(col("rank_pm").desc, col("part"))
       .limit(20)
   }
+
+  /** `fuzzy_name_pairs` — blocked edit-distance entity resolution on
+    * the part catalog (full oracle): candidate duplicate name pairs =
+    * same trailing noun (the blocking key) AND `levenshtein ≤ 4`,
+    * canonicalized `name_a < name_b`. The catalog-side sibling of the
+    * document near-dup lanes: dirty product/entity catalogs dedupe by
+    * block-then-verify, never all-pairs — same candidate-generation
+    * discipline as MinHash LSH, with a linguistic key instead of a
+    * hash band.
+    *
+    * Scale: names collapse to the DISTINCT name domain map-side
+    * BEFORE any pairing (catalog-row count never enters the join);
+    * the self-join shuffles both sides once on the block key, and
+    * pair work is quadratic only within a block (the blocking-key
+    * design constraint, documented exactly like the LSH bucket bound;
+    * a skew-hostile catalog would sub-block on a name-length band).
+    * levenshtein is codegen'd in both engines.
+    */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("noun", regexp_extract(col("name"), "([a-z]+)$", 1))
+    names.as("a")
+      .join(names.as("b"),
+        col("a.noun") === col("b.noun") && col("a.name") < col("b.name"))
+      .where(levenshtein(col("a.name"), col("b.name")) <= 4)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** `rfm_segments` — RFM customer segmentation (full oracle):
+    * per-customer Recency (days from the customer's last order to
+    * the corpus's max order date — a data-derived anchor, so the
+    * report is reproducible on any snapshot), Frequency (order
+    * count), Monetary (total spend), each quartiled with `ntile(4)`
+    * under a TOTAL order (metric, then custkey — ties rank
+    * identically cross-engine), then the 4×4×4 segment grid with
+    * customer counts and average spend. The marketing-ops
+    * counterpart of [[paretoShare]]'s concentration report.
+    *
+    * Scale: orders collapse map-side to customer grain (ONE corpus
+    * exchange); the three ntile windows run on the customer
+    * dimension — the documented single-partition caveat shared with
+    * `ntile_quartiles`/`pareto_share` (swap for range-partitioned
+    * two-pass ranking past customer-dimension scale); the grid agg
+    * is 64 rows at any corpus size. The max-date anchor is a
+    * single-row broadcast.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = Tables.orders(spark, dir)
+      .agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val cust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("lastd"),
+        count(lit(1)).as("freq"),
+        sum("o_totalprice").as("mon"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"), datediff(col("maxd"), col("lastd")).as("rec"),
+        col("freq"), col("mon"))
+    val scored = cust.select(
+      ntile(4).over(Window.orderBy(col("rec"), col("o_custkey"))).as("r"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey"))).as("f"),
+      ntile(4).over(Window.orderBy(col("mon").desc, col("o_custkey"))).as("m"),
+      col("mon"))
+    scored.groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"), r4(avg("mon")).as("avg_monetary"))
+      .orderBy("r", "f", "m")
+  }
 }

@@ -819,4 +819,154 @@ object SliQueries {
       r4(min("v")).as("min_avg"))
       .orderBy("event_type")
   }
+
+  /** `event_transitions` — first-order Markov transition matrix over
+    * per-user event streams (full oracle): for each ordered pair
+    * (prev → next) of consecutive events of the SAME user (ordered by
+    * the total order (ts, event_id)), the transition count and the
+    * row-conditional probability P(next | prev). The behavioral-model
+    * primitive under [[funnelSteps]]'s fixed funnel — the full
+    * matrix says which funnels exist at all (and feeds Markov
+    * attribution / next-event prediction).
+    *
+    * Scale: ONE user-keyed window exchange (the same partitioning
+    * every per-user query here shares) produces the lag pairs;
+    * transitions collapse map-side into the types² rollup, so the
+    * second exchange carries O(|types|²) rows at any corpus size.
+    * The row-normalizing window runs on that types²-grain frame.
+    * Probability is one IEEE division of two longs — deterministic
+    * cross-engine; output ordered (prev, next).
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+    val cnt = pairs.groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    cnt.withColumn("prob",
+        r4(col("n") * lit(1.0) / sum("n").over(Window.partitionBy("prev"))))
+      .orderBy("prev", "next")
+  }
+
+  /** `session_paths` — top-10 session journeys (full oracle): the
+    * first 5 event types of each 30-min-gap session (same
+    * [[sessionized]] rule as #9) joined into a `view>click>…` path
+    * string, counted across sessions. The UX answer "how do people
+    * actually move through the product" that the transition MATRIX
+    * ([[eventTransitions]]) marginalizes away — paths keep order
+    * beyond one step.
+    *
+    * Scale: sessionization's user-keyed window exchange is the ONE
+    * corpus-grain shuffle; the per-session `collect_list` groups on
+    * (user_id, session_id), which hash-partitioning on user_id
+    * already satisfies (subset-of-keys clustering) — no second
+    * corpus exchange, and the buffer is one session's events (gap-
+    * bounded), truncated to 5 on the spot. Path counting then runs
+    * on session-grain rows; top-10 lowers to TakeOrderedAndProject
+    * (no global sort exchange). Determinism: in-session order is the
+    * total (ts, event_id); ties in the top-10 break on the path
+    * string.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val paths = sessionized(Tables.events(spark, dir))
+      .groupBy("user_id", "session_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        slice(transform(col("evs"), e => e("event_type")), 1, 5), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  /** `ab_test_conversion` — two-proportion experiment readout (full
+    * oracle): users deterministically split A/B on the md5 of their
+    * id (the [[graft.operators.TextOps.hashSplit]] discipline — the
+    * assignment is a pure function of user_id, reproducible across
+    * engines/re-runs/appends), conversion = "user has ≥1 high-value
+    * purchase (value > 180)" (a ~27% base rate at every fixture SF —
+    * a signup-shaped metric would be degenerate here, every user has
+    * one), and the pooled two-proportion z statistic
+    * `z = (p̂_A − p̂_B) / √(p̂(1−p̂)(1/n_A + 1/n_B))` with a
+    * significance flag at |z| > 1.96 on the ROUNDED z (no boundary-
+    * ulp flips). The experimentation primitive a product analytics
+    * engine owes its users; the same shape serves any binary metric.
+    *
+    * Scale: conversion is a user-grain `max(bool)` — ONE two-phase
+    * corpus exchange; group assignment is scan-side arithmetic; the
+    * 2-row group frame folds to a single row via conditional aggs.
+    * z's sqrt/divisions are correctly-rounded IEEE ops on count
+    * ratios — bit-identical cross-engine before rounding.
+    */
+  def abTestConversion(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("grp",
+        when((instr(lit("0123456789abcdef"),
+          substring(md5(col("user_id").cast("string")), 1, 1)) - 1) % 2 === 0,
+          lit("A")).otherwise(lit("B")))
+    val g = perUser.groupBy().agg(
+      sum(when(col("grp") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("grp") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("grp") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("grp") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a") / col("n_a")
+    val pB = col("conv_b") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    val z = (pA - pB) /
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    g.select(col("n_a"), col("n_b"),
+        r4(pA).as("rate_a"), r4(pB).as("rate_b"),
+        r4(z).as("z_stat"),
+        (abs(r4(z)) > 1.96).as("significant"))
+  }
+
+  /** `interarrival_stats` — per-type arrival-process profile (full
+    * oracle): mean and coefficient-of-variation of INTRA-DAY
+    * inter-arrival gaps, plus the per-minute Fano factor
+    * (var/mean of minute counts). CV ≈ 1 and Fano ≈ small ⇒ Poisson
+    * arrivals (alert thresholds can assume exponential gaps);
+    * CV ≫ 1 ⇒ bursty traffic that needs burst-aware capacity — the
+    * arrival-SHAPE diagnostic under [[zscoreAnomaly]]'s level shifts
+    * and [[seasonalDowIndex]]'s calendar profile.
+    *
+    * Gaps are defined WITHIN (type, day): a sequence statistic only
+    * partitions if its key does — the (type)-only form is the tfidf
+    * skew lesson (|types| partitions at any corpus size), while the
+    * (type, day) form re-partitions with the calendar at the cost of
+    * one documented lost gap per day boundary. Gap math is exact
+    * integer µs; the CV/Fano divisions round r4.
+    *
+    * Scale: one (type, day)-keyed window exchange for gaps + its
+    * type-grain re-agg; the minute rollup collapses map-side; the
+    * final join is types-grain broadcast.
+    */
+  def interarrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("event_type"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("gap_us") / 1e6).as("mean_s"),
+        stddev_pop(col("gap_us") / 1e6).as("sd_s"))
+    val fano = ev
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg((var_pop(col("c")) / avg(col("c"))).as("fano"))
+    gaps.join(broadcast(fano), "event_type")
+      .select(col("event_type"), col("n_gaps"),
+        r4(col("mean_s")).as("mean_gap_s"),
+        r4(col("sd_s") / col("mean_s")).as("cv_gap"),
+        r4(col("fano")).as("fano_minute"))
+      .orderBy("event_type")
+  }
 }

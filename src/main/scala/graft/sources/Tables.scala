@@ -81,9 +81,13 @@ object Tables {
   }
 
   /** `events` with `ts` normalized to TimestampType (µs). Accepts
-    * both physical layouts: the testdata's INT64 TIMESTAMP(NANOS)
-    * (surfaced as a raw long by the legacy conf → converted here) and
-    * a standard µs TIMESTAMP column (left as-is), so any normally-
+    * all three physical layouts seen across driver fixture
+    * generations: INT64 TIMESTAMP(NANOS) (surfaced as a raw long by
+    * the legacy conf → converted here), TIMESTAMP_NTZ (µs,
+    * isAdjustedToUTC=false — cast to TimestampType; every graft
+    * session runs with session tz UTC, so the wall-clock values are
+    * interpreted exactly as DuckDB reads the same naive column), and
+    * a standard µs TIMESTAMP column (left as-is). Any normally-
     * written events table drops in without the nanos quirk.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
@@ -91,6 +95,9 @@ object Tables {
     r.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         r.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        r.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => r
     }
   }
@@ -116,6 +123,14 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         r.filter(col("ts") >= nanos(fromUtc) && col("ts") < nanos(toUtc))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // filter on the stored NTZ column with NTZ literals (pushable:
+        // no cast wraps the attribute), THEN normalize to TimestampType
+        val ntz = org.apache.spark.sql.types.TimestampNTZType
+        r.filter(col("ts") >= lit(fromUtc).cast(ntz) &&
+            col("ts") < lit(toUtc).cast(ntz))
+          .withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ =>
         // stored TIMESTAMP column: the predicate is directly pushable
         r.filter(col("ts") >= to_timestamp(lit(fromUtc)) &&

@@ -46,6 +46,11 @@ object StreamingQueries {
         // integral div, not `/`: see Tables.events — double division
         // loses ns precision at epoch magnitude
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive µs column: interpret as UTC wall clock (session tz is
+        // UTC in every graft session) — see Tables.events
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -137,4 +137,24 @@ class CorpusStatsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("entropy_ttr: all-distinct corpus hits TTR 1 / H = ln V exactly; " +
+    "fixture obeys H <= ln V and TTR in (0,1]") {
+    // 4 tokens, each once → N = V = 4, Σ c·ln c = 0 → H = ln 4, TTR 1
+    val d = tmpDocs(Seq((1L, "aa bb cc dd", "en", "srcU", 11L)))
+    val u = LlmQueries.entropyTtr(spark, d).collect()(0)
+    assert(u.getLong(1) == 4L && u.getLong(2) == 4L)
+    assert(u.getDouble(3) == 1.0, s"ttr ${u.getDouble(3)}")
+    val lnV = math.round((math.log(4) + 1e-7) * 1e4) / 1e4
+    assert(u.getDouble(4) == lnV, s"entropy ${u.getDouble(4)} != ln4 $lnV")
+    // uniform-distribution maximality + ratio bounds on the real fixture
+    LlmQueries.entropyTtr(spark, sf).collect().foreach { r =>
+      val (n, v) = (r.getLong(1), r.getLong(2))
+      assert(n >= v && v > 0, r.toString)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0, s"ttr ${r.getDouble(3)}")
+      assert(r.getDouble(4) <= math.log(v.toDouble) + 1e-3,
+        s"${r.getString(0)}: H ${r.getDouble(4)} > ln(V) ${math.log(v.toDouble)}")
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
 }

@@ -140,6 +140,10 @@ class GoldenCountsSpec extends SparkTestBase {
     "new_vs_returning" -> 30L,
     "seasonal_dow_index" -> 35L,
     "repeat_cadence" -> 1L,
+    "event_transitions" -> 25L,
+    "session_paths" -> 10L,
+    "ab_test_conversion" -> 1L,
+    "entropy_ttr" -> 20L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -49,7 +49,10 @@ class NanosPushdownSpec extends SparkTestBase {
     assert(n == expect && n > 0)
   }
 
-  test("conf gate: disabling the rule removes the raw-range pushdown") {
+  test("conf gate: disabling the rule removes the raw-range pushdown " +
+    "(nanos layout) / native pushdown survives (TIMESTAMP layouts)") {
+    val nanosLayout = Tables.raw(spark, sf, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
     spark.conf.set(NanosRangePushdown.ConfKey, "false")
     try {
       val df = naiveRange("2024-01-08", "2024-01-10")
@@ -57,8 +60,16 @@ class NanosPushdownSpec extends SparkTestBase {
       val plan = df.queryExecution.executedPlan.toString
       val scanLine = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
       val pushed = scanLine.replaceAll(".*PushedFilters: \\[([^\\]]*)\\].*", "$1")
-      assert(!pushed.contains("GreaterThanOrEqual(ts,"),
-        s"rule fired despite ${NanosRangePushdown.ConfKey}=false: $scanLine")
+      if (nanosLayout)
+        // only the graft rule can recover pushdown over timestamp_micros
+        assert(!pushed.contains("GreaterThanOrEqual(ts,"),
+          s"rule fired despite ${NanosRangePushdown.ConfKey}=false: $scanLine")
+      else
+        // stored-TIMESTAMP/NTZ layouts: Spark's own cast unwrapping
+        // pushes the bounds natively — the graft rule is dormant and
+        // the scan must stay pushed with it disabled
+        assert(pushed.contains("GreaterThanOrEqual(ts,"),
+          s"native ts pushdown missing on stored-timestamp layout: $scanLine")
     } finally spark.conf.unset(NanosRangePushdown.ConfKey)
   }
 

@@ -216,7 +216,26 @@ class PlanAuditSpec extends SparkTestBase {
     // zero exchanges (iteration shuffles run at construction, each
     // bounded to node/edge grain)
     "time_to_convert" -> 2, "peak_concurrency" -> 3,
-    "ship_latency" -> 3, "copurchase_pagerank" -> 0)
+    "ship_latency" -> 3, "copurchase_pagerank" -> 0,
+    // growth/engagement wave: cohort = (user,day) two-phase dedup
+    // (2) + user-keyed first-seen agg reusing that partitioning +
+    // two-phase countDistinct re-agg (2) + broadcast cohort sizes +
+    // sort (cohort sizes themselves add the 7th, calendar-grain);
+    // nvr shares the dedup/first-seen shape with a plain day re-agg;
+    // dow = two-phase type agg + broadcast overall avg + sort;
+    // cadence = one custkey window exchange + single-row final agg
+    "cohort_retention" -> 7, "new_vs_returning" -> 4,
+    "seasonal_dow_index" -> 3, "repeat_cadence" -> 2,
+    // behavioral-sequence + experimentation wave: transitions = user
+    // window exchange + types² rollup + row-normalizing window on the
+    // rollup + sort; session_paths = the sessionize user exchange
+    // ONLY (per-session collect groups on (user, session) which
+    // user-hash partitioning already satisfies) + path rollup,
+    // top-10 lowers to TakeOrdered; ab_test = user-grain conv agg +
+    // single-row fold; entropy = (source,tok) rollup + source fold +
+    // sort
+    "event_transitions" -> 4, "session_paths" -> 2,
+    "ab_test_conversion" -> 2, "entropy_ttr" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

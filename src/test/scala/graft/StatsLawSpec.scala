@@ -383,6 +383,71 @@ class StatsLawSpec extends SparkTestBase {
     assert(r.getDouble(2) == 15.0, s"med ${r.getDouble(2)}")
   }
 
+  test("event_transitions: probs row-normalize to 1; constructed chain counts exactly") {
+    // u1: view→click→view, u2: view→click ⇒ (view,click)=2 p=1,
+    // (click,view)=1 p=1 — gaps don't matter (no sessionization here)
+    val d = tmpEvents(Seq(
+      (1L, ts(1, 6), 1L, "view", 1.0, "{}"),
+      (2L, ts(1, 7), 1L, "click", 1.0, "{}"),
+      (3L, ts(1, 8), 1L, "view", 1.0, "{}"),
+      (4L, ts(2, 6), 2L, "view", 1.0, "{}"),
+      (5L, ts(2, 7), 2L, "click", 1.0, "{}")))
+    val rows = SliQueries.eventTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("click", "view", 1L, 1.0), ("view", "click", 2L, 1.0)),
+      rows.toSeq.toString)
+    // fixture-wide: each prev row of the matrix sums to probability 1
+    val sums = SliQueries.eventTransitions(spark, sf).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(3)).sum)
+    sums.foreach { case (p, s) =>
+      assert(math.abs(s - 1.0) < 5e-4, s"$p: row prob sum $s")
+    }
+  }
+
+  test("session_paths: paths truncate at 5 steps; constructed sessions split on the gap") {
+    // u1: three events 10 min apart = ONE session "view>click>purchase";
+    // u2: two views 2 h apart = TWO "view" sessions
+    val mk = (id: Long, u: Long, et: String, dayMin: Int) =>
+      (id, Timestamp.valueOf(f"2024-01-01 ${dayMin / 60}%02d:${dayMin % 60}%02d:00"), u, et, 1.0, "{}")
+    val d = tmpEvents(Seq(
+      mk(1L, 1L, "view", 360), mk(2L, 1L, "click", 370), mk(3L, 1L, "purchase", 380),
+      mk(4L, 2L, "view", 360), mk(5L, 2L, "view", 600)))
+    val rows = SliQueries.sessionPaths(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("view", 2L), ("view>click>purchase", 1L)), rows.toSeq.toString)
+    // 7-event single session truncates to exactly 5 steps
+    val long = tmpEvents((1 to 7).map { i =>
+      mk(i.toLong, 1L, if (i % 2 == 1) "view" else "click", 360 + i)
+    })
+    val p = SliQueries.sessionPaths(spark, long).collect()(0).getString(0)
+    assert(p == "view>click>view>click>view", p)
+    // fixture-wide: no path exceeds 5 steps
+    SliQueries.sessionPaths(spark, sf).collect().foreach { r =>
+      assert(r.getString(0).split(">").length <= 5, r.getString(0))
+    }
+  }
+
+  test("ab_test_conversion: arms partition the user base; converter mass re-adds; " +
+    "flag consistent with the rounded z") {
+    val r = SliQueries.abTestConversion(spark, sf).collect()(0)
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(na + nb == users, s"arms $na+$nb != users $users")
+    // rate_k * n_k recovers the integer converter counts (r4 rounding
+    // is exact to 1e-4 — counts are < 1e4 at this SF)
+    val convTotal = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+        .otherwise(0L)).as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    val backA = math.round(r.getDouble(2) * na)
+    val backB = math.round(r.getDouble(3) * nb)
+    assert(backA + backB == convTotal, s"$backA+$backB != $convTotal")
+    assert(r.getBoolean(5) == (math.abs(r.getDouble(4)) > 1.96),
+      s"flag ${r.getBoolean(5)} vs z ${r.getDouble(4)}")
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
