@@ -151,6 +151,18 @@ object SparkEntry {
     "session_paths" -> (SliQueries.sessionPaths _),
     "ab_test_conversion" -> (SliQueries.abTestConversion _),
     "entropy_ttr" -> (LlmQueries.entropyTtr _),
+    // ops/quality wave (all full oracle): blocked edit-distance
+    // entity resolution, RFM segmentation, arrival-process profile,
+    // per-column data-quality profile
+    "fuzzy_name_pairs" -> (RelationalQueries.fuzzyNamePairs _),
+    "rfm_segments" -> (RelationalQueries.rfmSegments _),
+    "interarrival_stats" -> (SliQueries.interarrivalStats _),
+    "dq_profile" -> (ScalarQueries.dqProfile _),
+    // SLO lifecycle wave (all full oracle): budget-burn trend +
+    // projection, alert flapping, seasonal trend/dow/residual split
+    "burn_forecast" -> (SliQueries.burnForecast _),
+    "flap_rate" -> (SliQueries.flapRate _),
+    "seasonal_decompose" -> (SliQueries.seasonalDecompose _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -966,6 +978,153 @@ object SparkEntry {
         |             / sqrt(((conv_a+conv_b)*1.0/(n_a+n_b)) * (1 - (conv_a+conv_b)*1.0/(n_a+n_b))
         |                    * (1.0/n_a + 1.0/n_b)) + 1e-7, 4)) > 1.96 AS significant
         |FROM g""".stripMargin,
+    "burn_forecast" ->
+      """WITH mins AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', m) AS DATE) AS day,
+        |         count(*) AS minutes,
+        |         sum(CASE WHEN v < 50 OR v > 150 THEN 1 ELSE 0 END) AS breaches
+        |  FROM mins GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', (SELECT min(day) FROM daily), day) AS DOUBLE) AS di,
+        |         breaches*1.0/(minutes*0.01) AS burn
+        |  FROM daily)
+        |SELECT event_type,
+        |       round(regr_slope(burn, di) + 1e-7, 4) AS slope,
+        |       round(regr_intercept(burn, di) + 1e-7, 4) AS intercept,
+        |       round(avg(burn) + 1e-7, 4) AS avg_burn,
+        |       round(regr_intercept(burn, di) + regr_slope(burn, di)*(max(di)+7) + 1e-7, 4) AS proj_burn_7d,
+        |       round(regr_intercept(burn, di) + regr_slope(burn, di)*(max(di)+7) + 1e-7, 4) > 1.0 AS over_budget_7d
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flap_rate" ->
+      """WITH mins AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', m) AS DATE) AS day,
+        |         CASE WHEN sum(CASE WHEN v < 50 OR v > 150 THEN 1 ELSE 0 END)*1.0/count(*) > 0.68
+        |              THEN 1 ELSE 0 END AS bad
+        |  FROM mins GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, bad,
+        |         CASE WHEN lag(bad) OVER (PARTITION BY event_type ORDER BY day) IS NOT NULL
+        |                   AND bad <> lag(bad) OVER (PARTITION BY event_type ORDER BY day)
+        |              THEN 1 ELSE 0 END AS flip
+        |  FROM daily)
+        |SELECT event_type, count(*) AS n_days, CAST(sum(bad) AS BIGINT) AS n_bad_days,
+        |       CAST(sum(flip) AS BIGINT) AS n_flaps,
+        |       round(sum(flip)*1.0/(count(*)-1) + 1e-7, 4) AS flap_rate
+        |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |de AS (
+        |  SELECT event_type, day, v,
+        |         v - avg(v) OVER (PARTITION BY event_type ORDER BY day
+        |                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS detr,
+        |         dayofweek(day) AS dow
+        |  FROM daily),
+        |eff AS (SELECT event_type, dow, avg(detr) AS dow_eff FROM de GROUP BY 1, 2),
+        |resid AS (
+        |  SELECT de.event_type, de.v, de.detr - eff.dow_eff AS r
+        |  FROM de JOIN eff ON de.event_type = eff.event_type AND de.dow = eff.dow)
+        |SELECT event_type, count(*) AS n_days,
+        |       round(stddev_pop(v) + 1e-7, 4) AS sd_raw,
+        |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
+        |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
+        |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fuzzy_name_pairs" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name, regexp_extract(p_name, '([a-z]+)$', 1) AS noun
+        |  FROM read_parquet('{dir}/part.parquet'))
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 4
+        |ORDER BY 1, 2""".stripMargin,
+    "rfm_segments" ->
+      """WITH anchor AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS maxd
+        |  FROM read_parquet('{dir}/orders.parquet')),
+        |cust AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT maxd FROM anchor)) AS rec,
+        |         count(*) AS freq, sum(o_totalprice) AS mon
+        |  FROM read_parquet('{dir}/orders.parquet') GROUP BY 1),
+        |scored AS (
+        |  SELECT ntile(4) OVER (ORDER BY rec, o_custkey) AS r,
+        |         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+        |         ntile(4) OVER (ORDER BY mon DESC, o_custkey) AS m, mon
+        |  FROM cust)
+        |SELECT r, f, m, count(*) AS n_customers,
+        |       round(avg(mon) + 1e-7, 4) AS avg_monetary
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "interarrival_stats" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        |           ORDER BY ts, event_id) AS gap_us
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |gs AS (
+        |  SELECT event_type, count(*) AS n_gaps, avg(gap_us/1e6) AS mean_s,
+        |         stddev_pop(gap_us/1e6) AS sd_s
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS c
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |f AS (SELECT event_type, var_pop(c) / avg(c) AS fano FROM m GROUP BY 1)
+        |SELECT gs.event_type, n_gaps, round(mean_s + 1e-7, 4) AS mean_gap_s,
+        |       round(sd_s/mean_s + 1e-7, 4) AS cv_gap,
+        |       round(fano + 1e-7, 4) AS fano_minute
+        |FROM gs JOIN f USING (event_type) ORDER BY 1""".stripMargin,
+    "dq_profile" ->
+      """WITH o AS (SELECT * FROM read_parquet('{dir}/orders.parquet'))
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         count(DISTINCT o_orderkey) AS n_distinct,
+        |         round(min(CAST(o_orderkey AS DOUBLE)) + 1e-7, 4) AS min_num,
+        |         round(max(CAST(o_orderkey AS DOUBLE)) + 1e-7, 4) AS max_num
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT o_custkey),
+        |         round(min(CAST(o_custkey AS DOUBLE)) + 1e-7, 4),
+        |         round(max(CAST(o_custkey AS DOUBLE)) + 1e-7, 4)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT o_orderstatus),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'o_totalprice',
+        |         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT o_totalprice),
+        |         round(min(o_totalprice) + 1e-7, 4),
+        |         round(max(o_totalprice) + 1e-7, 4)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderdate',
+        |         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT o_orderdate),
+        |         round(CAST(date_diff('day', DATE '1970-01-01', min(CAST(o_orderdate AS DATE))) AS DOUBLE) + 1e-7, 4),
+        |         round(CAST(date_diff('day', DATE '1970-01-01', max(CAST(o_orderdate AS DATE))) AS DOUBLE) + 1e-7, 4)
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         count(DISTINCT o_orderpriority),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |  FROM o
+        |) t ORDER BY col_name""".stripMargin,
     "entropy_ttr" ->
       """WITH v AS (
         |  SELECT source, tok, count(*) AS cnt

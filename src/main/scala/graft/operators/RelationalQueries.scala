@@ -667,9 +667,12 @@ object RelationalQueries {
       .select(col("o_custkey"), datediff(col("maxd"), col("lastd")).as("rec"),
         col("freq"), col("mon"))
     val scored = cust.select(
-      ntile(4).over(Window.orderBy(col("rec"), col("o_custkey"))).as("r"),
-      ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey"))).as("f"),
-      ntile(4).over(Window.orderBy(col("mon").desc, col("o_custkey"))).as("m"),
+      ntile(4).over(Window.orderBy(col("rec"), col("o_custkey")))
+        .cast("long").as("r"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("o_custkey")))
+        .cast("long").as("f"),
+      ntile(4).over(Window.orderBy(col("mon").desc, col("o_custkey")))
+        .cast("long").as("m"),
       col("mon"))
     scored.groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_customers"), r4(avg("mon")).as("avg_monetary"))

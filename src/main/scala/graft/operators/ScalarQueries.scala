@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -414,4 +414,49 @@ object ScalarQueries {
         bool_or(col("value") > 99.0).as("any_over_99"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** `dq_profile` — per-column data-quality profile of the orders
+    * table (full oracle): null count, exact distinct count, and a
+    * numeric min/max per column (numerics as doubles, dates as epoch
+    * days, varchar min/max declared NULL — a typed profile schema
+    * beats stringified min/max, whose double→string formatting is
+    * engine-specific). The ingest-gate report every pipeline runs
+    * before trusting a new drop: schema drift, null blowups, and
+    * cardinality collapse all surface here first.
+    *
+    * Scale: ONE pass over the table. The six exact `count(distinct)`
+    * aggregates plan as a single Expand-based aggregation (rows ×6
+    * through one exchange pair — the standard multi-distinct
+    * lowering); at 100 TB the profile swaps exact distinct for the
+    * HLL sketch plane (`approx_count_distinct` / SketchAgg) with the
+    * same report schema — profiling is diagnostics, where ±2% is the
+    * accepted trade everywhere. The wide→long pivot is `stack` over
+    * ONE aggregated row — no second scan.
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val epochDay = (c: Column) => datediff(to_date(c), lit("1970-01-01").cast("date"))
+    // (name, numeric view or null for varchar)
+    val profiled: Seq[(String, Column)] = Seq(
+      ("o_orderkey", col("o_orderkey").cast("double")),
+      ("o_custkey", col("o_custkey").cast("double")),
+      ("o_orderstatus", lit(null).cast("double")),
+      ("o_totalprice", col("o_totalprice")),
+      ("o_orderdate", epochDay(col("o_orderdate")).cast("double")),
+      ("o_orderpriority", lit(null).cast("double")))
+    val aggs = profiled.zipWithIndex.flatMap { case ((name, num), i) =>
+      Seq(
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"nn$i"),
+        countDistinct(col(name)).as(s"nd$i"),
+        r4(min(num)).as(s"mn$i"),
+        r4(max(num)).as(s"mx$i"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profiled.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', nn$i, nd$i, mn$i, mx$i" }
+      .mkString(", ")
+    one.selectExpr(s"stack(${profiled.size}, $stackArgs) " +
+        "as (col_name, n_null, n_distinct, min_num, max_num)")
+      .orderBy("col_name")
+  }
 }

@@ -917,8 +917,11 @@ object SliQueries {
     val pA = col("conv_a") / col("n_a")
     val pB = col("conv_b") / col("n_b")
     val pool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
-    val z = (pA - pB) /
-      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // try_divide: a degenerate split (0% or 100% pooled conversion)
+    // has zero pooled variance — z is undefined (NULL, matching
+    // DuckDB's x/0), not an ANSI error
+    val z = try_divide(pA - pB,
+      sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
     g.select(col("n_a"), col("n_b"),
         r4(pA).as("rate_a"), r4(pB).as("rate_b"),
         r4(z).as("z_stat"),
@@ -965,8 +968,128 @@ object SliQueries {
     gaps.join(broadcast(fano), "event_type")
       .select(col("event_type"), col("n_gaps"),
         r4(col("mean_s")).as("mean_gap_s"),
-        r4(col("sd_s") / col("mean_s")).as("cv_gap"),
+        // try_divide: an all-zero-gap type (duplicate timestamps) has
+        // an undefined CV (NULL, matching DuckDB), not an ANSI error
+        r4(try_divide(col("sd_s"), col("mean_s"))).as("cv_gap"),
         r4(col("fano")).as("fano_minute"))
+      .orderBy("event_type")
+  }
+
+  /** Shared (type, day) burn rollup: per-day breach-minute count and
+    * minute count under the [[errorBudgetBurn]] SLO convention
+    * (minute-avg outside [50, 150] breaches; budget = 1% of minutes).
+    */
+  private def dailyBurn(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(avg("value").as("v"))
+      .groupBy(col("event_type"), to_date(col("m")).as("day"))
+      .agg(count(lit(1)).as("minutes"),
+        sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L)).as("breaches"))
+
+  /** `burn_forecast` — error-budget burn trend + 7-day projection
+    * (full oracle): OLS of the daily burn multiple (breach share ÷
+    * the 1% budget, [[errorBudgetBurn]]'s convention) on the day
+    * index, projected to anchor+7 days, flagged when the projection
+    * exceeds budget. The forward-looking complement of
+    * [[burnRateAlerts]]' instantaneous detection — "will this SLO
+    * exhaust its budget NEXT week" is the question a review meeting
+    * actually asks.
+    *
+    * Scale: raw events collapse map-side into the minute rollup (the
+    * one corpus exchange); regr_* are algebraic moment accumulators
+    * over the days×types grain; the min-day anchor is a single-row
+    * broadcast. Projection compares on the ROUNDED value (no
+    * boundary-ulp flips).
+    */
+  def burnForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyBurn(spark, dir)
+    val minDay = daily.agg(min("day").as("d0"))
+    val b = daily.crossJoin(broadcast(minDay))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("double").as("di"),
+        (col("breaches") / (col("minutes") * lit(0.01))).as("burn"))
+    val proj = regr_intercept(col("burn"), col("di")) +
+      regr_slope(col("burn"), col("di")) * (max(col("di")) + lit(7.0))
+    b.groupBy("event_type")
+      .agg(
+        r4(regr_slope(col("burn"), col("di"))).as("slope"),
+        r4(regr_intercept(col("burn"), col("di"))).as("intercept"),
+        r4(avg("burn")).as("avg_burn"),
+        r4(proj).as("proj_burn_7d"),
+        (r4(proj) > 1.0).as("over_budget_7d"))
+      .orderBy("event_type")
+  }
+
+  /** `flap_rate` — SLO state flapping (full oracle): daily bad/good
+    * state (breach-minute share > 0.68, [[breachStreaks]]' daily
+    * convention), counting state TRANSITIONS per type. A high flap
+    * rate with few long streaks means a threshold sitting on the
+    * noise floor — the alert-fatigue diagnostic that tells an SRE to
+    * re-tune before anyone mutes the alert. Share is one exact IEEE
+    * division of two longs; the flip indicator is integer equality —
+    * no float exposure anywhere but the final rate (r4).
+    *
+    * Scale: same minute→day map-side collapse as every SLO query;
+    * the lag window runs on the days×types grain (calendar-bounded
+    * partitions at any corpus size).
+    */
+  def flapRate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyBurn(spark, dir)
+      .select(col("event_type"), col("day"),
+        when(col("breaches") * lit(1.0) / col("minutes") > 0.68, 1L)
+          .otherwise(0L).as("bad"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("prev", lag(col("bad"), 1).over(w))
+      .withColumn("flip",
+        when(col("prev").isNotNull && col("bad") =!= col("prev"), 1L).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("bad").as("n_bad_days"),
+        sum("flip").as("n_flaps"),
+        // try_divide: a 1-day series has no transitions to rate (NULL,
+        // matching DuckDB's x/0), not an ANSI error
+        r4(try_divide(sum("flip") * lit(1.0), count(lit(1)) - 1)).as("flap_rate"))
+      .orderBy("event_type")
+  }
+
+  /** `seasonal_decompose` — classical additive decomposition of the
+    * daily SLI series (full oracle): trend = centered 7-day moving
+    * average, weekday effect = per-dow mean of the detrended series
+    * ([[seasonalDowIndex]]'s profile, now REMOVED from the signal),
+    * residual = what's left; reported as σ(raw) vs σ(residual) and
+    * the variance fraction explained. The denoising step in front of
+    * [[zscoreAnomaly]]: a detector on residuals pages on genuine
+    * shifts, not on Thursdays.
+    *
+    * Edge frames: the centered MA uses partial frames at the series
+    * ends (identical ROWS semantics in both engines — determinism
+    * over edge-theory). Scale: everything past the minute/day
+    * map-side collapse runs on the days×types grain; the dow-effect
+    * join is a 7×types broadcast.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val de = daily
+      .withColumn("detr", col("v") - avg("v").over(w))
+      .withColumn("dow", dayofweek(col("day")))
+    val eff = de.groupBy("event_type", "dow")
+      .agg(avg("detr").as("dow_eff"))
+    de.join(broadcast(eff), Seq("event_type", "dow"))
+      .select(col("event_type"), col("v"), (col("detr") - col("dow_eff")).as("r"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        r4(stddev_pop(col("v"))).as("sd_raw"),
+        r4(stddev_pop(col("r"))).as("sd_resid"),
+        // try_divide: a zero-variance series must report NULL (DuckDB's
+        // x/0 semantics), not raise under ANSI
+        r4(lit(1.0) - try_divide(var_pop(col("r")), var_pop(col("v"))))
+          .as("var_explained"))
       .orderBy("event_type")
   }
 }

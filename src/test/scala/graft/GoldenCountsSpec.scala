@@ -144,6 +144,13 @@ class GoldenCountsSpec extends SparkTestBase {
     "session_paths" -> 10L,
     "ab_test_conversion" -> 1L,
     "entropy_ttr" -> 20L,
+    "fuzzy_name_pairs" -> 140L,
+    "rfm_segments" -> 38L,
+    "interarrival_stats" -> 5L,
+    "dq_profile" -> 6L,
+    "burn_forecast" -> 5L,
+    "flap_rate" -> 5L,
+    "seasonal_decompose" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -235,7 +235,24 @@ class PlanAuditSpec extends SparkTestBase {
     // single-row fold; entropy = (source,tok) rollup + source fold +
     // sort
     "event_transitions" -> 4, "session_paths" -> 2,
-    "ab_test_conversion" -> 2, "entropy_ttr" -> 3)
+    "ab_test_conversion" -> 2, "entropy_ttr" -> 3,
+    // ops/quality wave: fuzzy = name-domain distinct (2-phase) +
+    // block-key self-join exchange shared by both sides (names
+    // re-derive per side at this SF) + sort; rfm = customer agg +
+    // the documented single-partition ntile windows + grid sort;
+    // interarrival = (type,day) window exchange + type re-agg +
+    // minute rollup (2-phase) + broadcast-joined fano + sort;
+    // dq = the multi-distinct Expand aggregation pair (stack adds
+    // nothing — runs on one row)
+    "fuzzy_name_pairs" -> 3, "rfm_segments" -> 3,
+    "interarrival_stats" -> 5, "dq_profile" -> 2,
+    // SLO lifecycle wave: forecast = minute rollup (2-phase counts as
+    // the one corpus pair) + day re-agg + broadcast min-day anchor +
+    // moment agg + sort; flap = the same rollup + day lag window +
+    // type agg + sort; decompose = day rollup + centered-MA window +
+    // broadcast dow effect + moment agg + sort
+    "burn_forecast" -> 5, "flap_rate" -> 4,
+    "seasonal_decompose" -> 5)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -448,6 +448,135 @@ class StatsLawSpec extends SparkTestBase {
       s"flag ${r.getBoolean(5)} vs z ${r.getDouble(4)}")
   }
 
+  test("fuzzy_name_pairs: canonical order, dist in [1,4], cross-block pairs never appear") {
+    val mkPart = (id: Long, name: String) => (id, name, "Brand#1", "t", 1, 1.0)
+    val d = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_parts").toString
+      Seq(mkPart(1L, "red bolt"), mkPart(2L, "blue bolt"),
+        mkPart(3L, "red widget"), mkPart(4L, "aaaaaaaaaaaa bolt"))
+        .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      dir
+    }
+    val rows = RelationalQueries.fuzzyNamePairs(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // only the in-block, distance<=4 pair survives: red/blue bolt (4);
+    // "aaaaaaaaaaaa bolt" is in-block but at distance > 4, and
+    // "red widget" never pairs across the noun block
+    assert(rows.toSeq == Seq(("blue bolt", "red bolt", 4L)), rows.toSeq.toString)
+    RelationalQueries.fuzzyNamePairs(spark, sf).collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1), r.toString)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 4L, r.toString)
+    }
+  }
+
+  test("rfm_segments: grid mass = customer count; each quartile dimension balances ±1") {
+    val out = RelationalQueries.rfmSegments(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val customers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_._4).sum == customers, "segment mass != customers")
+    // ntile(4) balance: marginal totals per quartile differ by <= 1
+    Seq[((Long, Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { dim =>
+      val marg = out.groupBy(dim).view.mapValues(_.map(_._4).sum).values.toSeq
+      assert(marg.size == 4 && marg.max - marg.min <= 1, s"unbalanced: $marg")
+    }
+  }
+
+  test("interarrival_stats: constructed gaps compute exactly; day boundaries cut gaps") {
+    // one type, one day: events at 06:00/06:10/06:30/07:00 →
+    // gaps 600/1200/1800 s: mean 1200, sd_pop = sqrt(240000),
+    // cv = sd/mean; minute counts all 1 → fano 0
+    val d = tmpEvents(Seq(
+      (1L, ts(1, 6), 1L, "view", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 06:10:00"), 1L, "view", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 06:30:00"), 1L, "view", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 07:00:00"), 1L, "view", 1.0, "{}")))
+    val r = SliQueries.interarrivalStats(spark, d).collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1200.0, s"mean ${r.getDouble(2)}")
+    val cv = math.round((math.sqrt(240000.0) / 1200.0 + 1e-7) * 1e4) / 1e4
+    assert(r.getDouble(3) == cv, s"cv ${r.getDouble(3)} != $cv")
+    assert(r.getDouble(4) == 0.0, s"fano ${r.getDouble(4)}")
+    // two events in different days → zero intra-day gaps → type absent
+    val d2 = tmpEvents(Seq(
+      (1L, ts(1, 23), 1L, "view", 1.0, "{}"),
+      (2L, ts(2, 1), 1L, "view", 1.0, "{}")))
+    assert(SliQueries.interarrivalStats(spark, d2).collect().isEmpty)
+  }
+
+  test("dq_profile: clean fixture profiles clean; constructed null is counted; " +
+    "varchar min/max stay null") {
+    val out = ScalarQueries.dqProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val orders = Tables.orders(spark, sf).count()
+    assert(out("o_orderkey").getLong(1) == 0L)
+    assert(out("o_orderkey").getLong(2) == orders, "orderkey not unique")
+    Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate").foreach { c =>
+      assert(out(c).getDouble(3) <= out(c).getDouble(4), s"$c min>max")
+    }
+    Seq("o_orderstatus", "o_orderpriority").foreach { c =>
+      assert(out(c).isNullAt(3) && out(c).isNullAt(4), s"$c has numeric min/max")
+    }
+    val d = tmpOrders(Seq(
+      (1L, 1L, "O", 10.0, ts(1), "1-URGENT"),
+      (2L, 1L, "O", 20.0, ts(2), null)))
+    val prof = ScalarQueries.dqProfile(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("o_orderpriority").getLong(1) == 1L, "null not counted")
+    assert(prof("o_orderpriority").getLong(2) == 1L, "null counted as distinct")
+  }
+
+  test("burn_forecast: exact line of burns recovers slope/intercept/projection") {
+    // day i (di = 0..4): 10 one-minute events, i of them breaching
+    // (v=200) → burn_i = i/(10·0.01) = 10·di: slope 10, intercept 0,
+    // avg 20, projection 10·(4+7) = 110, flagged over budget
+    val rows = for {
+      day <- 1 to 5; minute <- 0 until 10
+    } yield ((day * 100 + minute).toLong,
+      Timestamp.valueOf(f"2024-01-0$day 06:$minute%02d:00"), 1L, "view",
+      if (minute < day - 1) 200.0 else 100.0, "{}")
+    val r = SliQueries.burnForecast(spark, tmpEvents(rows)).collect()(0)
+    assert(r.getDouble(1) == 10.0, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 0.0, s"intercept ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 20.0, s"avg ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 110.0, s"proj ${r.getDouble(4)}")
+    assert(r.getBoolean(5))
+  }
+
+  test("flap_rate: perfect alternation rates 1.0; steady state rates 0") {
+    // 'view' alternates bad/good daily (all-breach vs all-good days),
+    // 'click' stays good: flips 3/3 days vs 0
+    val rows = for {
+      day <- 1 to 4; (t, base) <- Seq(("view", if (day % 2 == 1) 200.0 else 100.0),
+        ("click", 100.0))
+      minute <- 0 until 3
+    } yield ((day * 1000 + minute + (if (t == "view") 0 else 500)).toLong,
+      Timestamp.valueOf(f"2024-01-0$day 06:$minute%02d:00"), 1L, t, base, "{}")
+    val out = SliQueries.flapRate(spark, tmpEvents(rows)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out("view") == ((4L, 2L, 3L, 1.0)), out("view").toString)
+    assert(out("click") == ((4L, 0L, 0L, 0.0)), out("click").toString)
+  }
+
+  test("seasonal_decompose: constant series zeroes out; decomposition never inflates noise " +
+    "on the fixture") {
+    val d = tmpEvents((1 to 14).map { i =>
+      (i.toLong, ts(i), 1L, "view", 42.0, "{}")
+    })
+    val c = SliQueries.seasonalDecompose(spark, d).collect()(0)
+    assert(c.getLong(1) == 14L)
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0, c.toString)
+    assert(c.isNullAt(4), "0/0 variance ratio must be null, not a number")
+    SliQueries.seasonalDecompose(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-9,
+        s"${r.getString(0)}: residual σ ${r.getDouble(3)} > raw σ ${r.getDouble(2)}")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, r.toString)
+    }
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
