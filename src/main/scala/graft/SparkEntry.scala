@@ -163,6 +163,10 @@ object SparkEntry {
     "burn_forecast" -> (SliQueries.burnForecast _),
     "flap_rate" -> (SliQueries.flapRate _),
     "seasonal_decompose" -> (SliQueries.seasonalDecompose _),
+    // imputation/attribution/discrete-stats wave (all full oracle)
+    "locf_impute" -> (SliQueries.locfImpute _),
+    "purchase_attribution" -> (SliQueries.purchaseAttribution _),
+    "quantile_disc_mode" -> (ScalarQueries.quantileDiscMode _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1037,6 +1041,51 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "locf_impute" ->
+      """WITH mins AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', m) AS DATE) AS day,
+        |         CASE WHEN sum(CASE WHEN v < 50 OR v > 150 THEN 1 ELSE 0 END)*1.0/count(*) > 0.68
+        |              THEN NULL ELSE avg(v) END AS v_masked
+        |  FROM mins GROUP BY 1, 2)
+        |SELECT event_type, day, round(v_masked + 1e-7, 4) AS v_masked,
+        |       round(last_value(v_masked IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) + 1e-7, 4) AS v_filled
+        |FROM daily ORDER BY event_type, day""".stripMargin,
+    "purchase_attribution" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN struct_pack(t := ts, et := event_type) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |p AS (
+        |  SELECT CASE WHEN prior IS NULL OR epoch_us(ts) - epoch_us(prior.t) > 3600000000
+        |              THEN 'direct' ELSE prior.et END AS attributed
+        |  FROM s WHERE event_type = 'purchase')
+        |SELECT attributed, count(*) AS n,
+        |       round(count(*)*1.0/sum(count(*)) OVER () + 1e-7, 4) AS share
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quantile_disc_mode" ->
+      """WITH cnt AS (
+        |  SELECT event_type, CAST(round(value) AS BIGINT) AS b, count(*) AS c
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |md AS (
+        |  SELECT event_type, b AS mode_value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, b) AS rn
+        |  FROM cnt),
+        |q AS (
+        |  SELECT event_type,
+        |         round(CAST(quantile_cont(value, 0.5) AS DOUBLE) + 1e-7, 4) AS p50_cont,
+        |         round(CAST(quantile_disc(value, 0.5) AS DOUBLE) + 1e-7, 4) AS p50_disc,
+        |         count(*) AS n
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1)
+        |SELECT q.event_type, p50_cont, p50_disc, md.mode_value, n
+        |FROM q JOIN md ON q.event_type = md.event_type AND md.rn = 1
+        |ORDER BY 1""".stripMargin,
     "fuzzy_name_pairs" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name AS name, regexp_extract(p_name, '([a-z]+)$', 1) AS noun

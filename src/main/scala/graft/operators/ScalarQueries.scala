@@ -415,6 +415,42 @@ object ScalarQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** `quantile_disc_mode` — the discrete location statistics beside
+    * the continuous ones (full oracle): interpolated median
+    * (`percentile_cont`), the DISCRETE median (`percentile_disc` —
+    * an actually-observed value, what "typical latency" should quote),
+    * and the distribution mode over the integer value grid. Mode is
+    * DELIBERATELY not Spark's `mode()` / DuckDB's `mode()` — both
+    * leave ties unspecified; here it's an explicit argmax under the
+    * total order (count DESC, bucket ASC), deterministic in both
+    * engines by construction.
+    *
+    * Scale: the mode lane is a two-phase (type, bucket) count + a
+    * rank-1 window on the bounded bucket grid (WindowGroupLimit
+    * prunes map-side); the exact percentiles buffer per-group values
+    * — bounded-type-cardinality lane, with the documented GK-sketch
+    * swap past that (same contract as `percentile_value`).
+    */
+  def quantileDiscMode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val q = ev.groupBy("event_type")
+      .agg(
+        r4(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")).as("p50_cont"),
+        r4(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")).as("p50_disc"),
+        count(lit(1)).as("n"))
+    val md = ev
+      .select(col("event_type"), round(col("value")).cast("long").as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("c").desc, col("b"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("b").as("mode_value"))
+    q.join(broadcast(md), "event_type")
+      .select(col("event_type"), col("p50_cont"), col("p50_disc"),
+        col("mode_value"), col("n"))
+      .orderBy("event_type")
+  }
+
   /** `dq_profile` — per-column data-quality profile of the orders
     * table (full oracle): null count, exact distinct count, and a
     * numeric min/max per column (numerics as doubles, dates as epoch

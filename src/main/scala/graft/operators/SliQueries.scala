@@ -1069,6 +1069,81 @@ object SliQueries {
     * map-side collapse runs on the days×types grain; the dow-effect
     * join is a 7×types broadcast.
     */
+  /** `locf_impute` — last-observation-carried-forward imputation of
+    * the daily SLI series (full oracle): days whose breach-minute
+    * share exceeds the 0.68 daily-bad convention are MASKED (their
+    * average is corrupt, not missing — [[gapFillMinutes]] handles
+    * absent rows; this handles untrustworthy ones) and re-filled
+    * with the most recent good day's value via
+    * `last(v, ignoreNulls) OVER (… ROWS UNBOUNDED PRECEDING)` — the
+    * IGNORE NULLS window-value surface (first/last/nth) the §2.6
+    * window checklist was missing. Leading bad days stay NULL (no
+    * prior observation exists; both engines agree).
+    *
+    * Scale: minute→day map-side collapse, then one days×types-grain
+    * window — calendar-bounded partitions at any corpus size.
+    */
+  def locfImpute(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyBurnValue(spark, dir)
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(col("event_type"), col("day"),
+        r4(col("v_masked")).as("v_masked"),
+        r4(last(col("v_masked"), ignoreNulls = true).over(w)).as("v_filled"))
+      .orderBy("event_type", "day")
+  }
+
+  /** (type, day) rollup carrying BOTH the daily average and its
+    * masked form (NULL when the day's breach share > 0.68) — shared
+    * by [[locfImpute]]; kept separate from [[dailyBurn]] because the
+    * masking needs the per-minute averages, not just counts.
+    */
+  private def dailyBurnValue(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(avg("value").as("v"))
+      .groupBy(col("event_type"), to_date(col("m")).as("day"))
+      .agg(
+        when(sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L)) * lit(1.0) /
+          count(lit(1)) > 0.68, lit(null).cast("double"))
+          .otherwise(avg("v")).as("v_masked"))
+
+  /** `purchase_attribution` — last-touch attribution (full oracle):
+    * each purchase is credited to the same user's most recent
+    * non-purchase event within 1 hour, else 'direct'. The
+    * product-analytics question behind [[eventTransitions]]'
+    * aggregate matrix — which touchpoint actually precedes money.
+    *
+    * Implementation is the LOCF discipline applied to an as-of join:
+    * `last(struct(ts, type) when non-purchase, ignoreNulls)` over
+    * the user stream with a `(…, 1 PRECEDING)` frame carries the
+    * candidate touch; the 1-hour bound then nulls stale carries.
+    * This is [[asofPriorView]]'s linear window shape — no
+    * self-join, no pair explosion, ONE user-keyed exchange; the
+    * attribution rollup is |types|+1 rows at any corpus size.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prior",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("ts").as("t"), col("event_type").as("et"))),
+          ignoreNulls = true).over(w))
+    val attributed = carried
+      .where(col("event_type") === "purchase")
+      .select(
+        when(col("prior").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prior.t")) > 3600000000L,
+          lit("direct")).otherwise(col("prior.et")).as("attributed"))
+    val cnt = attributed.groupBy("attributed").agg(count(lit(1)).as("n"))
+    cnt
+      .withColumn("share", r4(col("n") * lit(1.0) / sum("n").over(Window.partitionBy())))
+      .orderBy("attributed")
+  }
+
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

@@ -151,6 +151,9 @@ class GoldenCountsSpec extends SparkTestBase {
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,
+    "locf_impute" -> 150L,
+    "purchase_attribution" -> 5L,
+    "quantile_disc_mode" -> 5L,
   )
 
   test("golden map covers exactly the declared query set") {

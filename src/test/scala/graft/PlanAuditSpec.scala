@@ -252,7 +252,15 @@ class PlanAuditSpec extends SparkTestBase {
     // type agg + sort; decompose = day rollup + centered-MA window +
     // broadcast dow effect + moment agg + sort
     "burn_forecast" -> 5, "flap_rate" -> 4,
-    "seasonal_decompose" -> 5)
+    "seasonal_decompose" -> 5,
+    // imputation/attribution/discrete-stats wave: locf = minute
+    // rollup + day re-agg + LOCF window + sort on the day grain;
+    // attribution = ONE user window exchange + (types+1) rollup +
+    // global-share window on that rollup; qdm = percentile agg +
+    // (type,bucket) count + rank-1 window (WindowGroupLimit) +
+    // broadcast mode join + sort
+    "locf_impute" -> 4, "purchase_attribution" -> 3,
+    "quantile_disc_mode" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

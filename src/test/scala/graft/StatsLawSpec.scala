@@ -577,6 +577,76 @@ class StatsLawSpec extends SparkTestBase {
     }
   }
 
+  test("locf_impute: carries last good value through bad runs; leading bad stays null") {
+    // A: good(100) bad bad good(120) → filled 100,100,100,120
+    // B: bad good(80) → filled null,80 (no prior observation)
+    val mk = (id: Long, day: Int, t: String, v: Double) =>
+      (id, ts(day), 1L, t, v, "{}")
+    val d = tmpEvents(Seq(
+      mk(1L, 1, "A", 100.0), mk(2L, 2, "A", 200.0), mk(3L, 3, "A", 200.0),
+      mk(4L, 4, "A", 120.0),
+      mk(5L, 1, "B", 200.0), mk(6L, 2, "B", 80.0)))
+    val rows = SliQueries.locfImpute(spark, d).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq == Seq(
+      ("A", "2024-01-01", Some(100.0), Some(100.0)),
+      ("A", "2024-01-02", None, Some(100.0)),
+      ("A", "2024-01-03", None, Some(100.0)),
+      ("A", "2024-01-04", Some(120.0), Some(120.0)),
+      ("B", "2024-01-01", None, None),
+      ("B", "2024-01-02", Some(80.0), Some(80.0))), rows.toSeq.toString)
+    // fixture-wide: filled equals masked wherever the day was good
+    SliQueries.locfImpute(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getDouble(2) == r.getDouble(3), s"good day rewritten: $r")
+    }
+  }
+
+  test("purchase_attribution: in-window touch credits, stale/missing goes direct; shares sum 1") {
+    val d = tmpEvents(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 08:00:00"), 2L, "click", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "purchase", 1.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 09:00:00"), 3L, "purchase", 1.0, "{}")))
+    val rows = SliQueries.purchaseAttribution(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("direct", 2L, 0.6667), ("view", 1L, 0.3333)),
+      rows.toSeq.toString)
+    val out = SliQueries.purchaseAttribution(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    assert(out.map(_.getLong(1)).sum == purchases, "attribution mass != purchases")
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 5e-4, "shares don't sum to 1")
+  }
+
+  test("quantile_disc_mode: disc median is an observed value; constructed ties break low") {
+    // odd 1..5: cont 3, disc 3; ties {1,1,2,2}: mode must take the
+    // SMALLER bucket (explicit total order, not engine whim)
+    val odd = tmpEvents((1 to 5).map { i =>
+      (i.toLong, ts(1, 6 + i), 1L, "A", i.toDouble, "{}")
+    })
+    val r1 = ScalarQueries.quantileDiscMode(spark, odd).collect()(0)
+    assert(r1.getDouble(1) == 3.0 && r1.getDouble(2) == 3.0, r1.toString)
+    val tie = tmpEvents(Seq(
+      (1L, ts(1, 6), 1L, "A", 1.0, "{}"), (2L, ts(1, 7), 1L, "A", 1.0, "{}"),
+      (3L, ts(1, 8), 1L, "A", 2.0, "{}"), (4L, ts(1, 9), 1L, "A", 2.0, "{}")))
+    val r2 = ScalarQueries.quantileDiscMode(spark, tie).collect()(0)
+    assert(r2.getLong(3) == 1L, s"tie must break to the smaller bucket: $r2")
+    assert(r2.getDouble(1) == 1.5 && r2.getDouble(2) == 1.0, r2.toString)
+    // fixture: the discrete median is an actually-observed r4 value
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), graft.functions.Det.r4(col("value")).as("v"))
+      .collect().groupBy(_.getString(0))
+    ScalarQueries.quantileDiscMode(spark, sf).collect().foreach { r =>
+      val vs = byType(r.getString(0)).map(_.getDouble(1)).toSet
+      assert(vs.contains(r.getDouble(2)),
+        s"${r.getString(0)}: p50_disc ${r.getDouble(2)} not an observed value")
+    }
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
