@@ -182,14 +182,7 @@ object SliQueries {
     * platforms page on (fast-burn/slow-burn policies).
     */
   def errorBudgetBurn(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
-      .agg(avg("value").as("v"))
-      .groupBy(col("event_type"), to_date(col("m")).as("day"))
-      .agg(
-        count(lit(1)).as("minutes"),
-        sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L)).as("breaches"))
-    daily
+    dailyBurn(spark, dir)
       .withColumn("burn", col("breaches") / (col("minutes") * lit(0.01)))
       .groupBy("event_type")
       .agg(
@@ -557,15 +550,7 @@ object SliQueries {
     * bounded frames. Survives 100 TB.
     */
   def breachStreaks(spark: SparkSession, dir: String): DataFrame = {
-    val perMin = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
-      .agg(avg("value").as("v"))
-    val daily = perMin
-      .groupBy(col("event_type"), to_date(col("m")).as("day"))
-      .agg(
-        count(lit(1)).as("minutes"),
-        sum(when(col("v") < 50 || col("v") > 150, 1L).otherwise(0L))
-          .as("breaches"))
+    val daily = dailyBurn(spark, dir)
       .withColumn("share", col("breaches") * lit(1.0) / col("minutes"))
       .filter(col("share") > 0.68)
     val dayNum = datediff(col("day"), lit("1970-01-01").cast("date"))
