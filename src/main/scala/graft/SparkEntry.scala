@@ -167,6 +167,10 @@ object SparkEntry {
     "locf_impute" -> (SliQueries.locfImpute _),
     "purchase_attribution" -> (SliQueries.purchaseAttribution _),
     "quantile_disc_mode" -> (ScalarQueries.quantileDiscMode _),
+    // pipeline-summary wave (all full oracle): curation yield
+    // funnel, embedding-distribution health gate
+    "curation_funnel" -> (TextOps.curationFunnel _),
+    "emb_stats" -> (AnnOps.embStats _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1041,6 +1045,58 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "curation_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, source, n_chars,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok,
+        |         md5(lower(trim(text))) AS h
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |f AS (
+        |  SELECT *,
+        |    doc_id = min(doc_id) OVER (PARTITION BY h) AS k1,
+        |    0.5 * least(n_chars, 400) / 400.0
+        |      + 0.5 * len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to')))
+        |            / len(string_split(text, ' ')) AS q,
+        |    CASE WHEN try_cast(substring(source, 4, 10) AS INT) < 5 THEN 65536
+        |         WHEN try_cast(substring(source, 4, 10) AS INT) < 10 THEN 32768
+        |         WHEN try_cast(substring(source, 4, 10) AS INT) < 15 THEN 16384
+        |         ELSE 8192 END AS thr,
+        |    (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) AS u16
+        |  FROM d),
+        |g AS (SELECT *, k1 AND q >= 0.3 AS k2, k1 AND q >= 0.3 AND u16 < thr AS k3 FROM f),
+        |agg AS (
+        |  SELECT count(*) AS n0, sum(ntok) AS t0,
+        |         sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS n1, sum(CASE WHEN k1 THEN ntok ELSE 0 END) AS t1,
+        |         sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS n2, sum(CASE WHEN k2 THEN ntok ELSE 0 END) AS t2,
+        |         sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS n3, sum(CASE WHEN k3 THEN ntok ELSE 0 END) AS t3
+        |  FROM g)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, CAST(n0 AS BIGINT) AS n_docs, CAST(t0 AS BIGINT) AS sum_tokens FROM agg
+        |UNION ALL SELECT 1, 'exact_dedup', CAST(n1 AS BIGINT), CAST(t1 AS BIGINT) FROM agg
+        |UNION ALL SELECT 2, 'quality', CAST(n2 AS BIGINT), CAST(t2 AS BIGINT) FROM agg
+        |UNION ALL SELECT 3, 'mix_sample', CAST(n3 AS BIGINT), CAST(t3 AS BIGINT) FROM agg
+        |ORDER BY 1""".stripMargin,
+    "emb_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) + 1e-7, 4) AS nrm
+        |  FROM read_parquet('{dir}/embeddings.parquet')),
+        |sums AS (
+        |  SELECT i, sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS s
+        |  FROM read_parquet('{dir}/embeddings.parquet'), range(1, 65) t(i)
+        |  GROUP BY i),
+        |res AS (SELECT sqrt(sum(s*s)) AS rlen FROM sums),
+        |tot AS (
+        |  SELECT count(*) AS n, round(avg(nrm) + 1e-7, 4) AS avg_norm,
+        |         round(CAST(quantile_cont(nrm, 0.5) AS DOUBLE) + 1e-7, 4) AS p50_norm,
+        |         CAST(sum(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero,
+        |         sum(nrm) AS totn
+        |  FROM e)
+        |SELECT n, avg_norm, p50_norm, n_near_zero,
+        |       round(rlen / totn + 1e-7, 4) AS resultant_frac
+        |FROM tot, res""".stripMargin,
     "locf_impute" ->
       """WITH mins AS (
         |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v

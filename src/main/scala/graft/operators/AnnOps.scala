@@ -235,4 +235,44 @@ object AnnOps {
         r4(max("cos")).as("max_cos"))
       .select(lit(1L).as("grp"), col("n_pairs"), col("avg_cos"), col("max_cos"))
   }
+
+  /** `emb_stats` — embedding-distribution diagnostics (full oracle):
+    * corpus size, mean and median L2 norm (on the r4 grid so the
+    * interpolated median can't flip on a norm ulp), near-zero-vector
+    * count (dead encoder outputs), and the mean resultant fraction
+    * `‖Σv‖ / Σ‖v‖` — 1.0 when every vector points the same way
+    * (collapsed encoder / mode collapse), →0 for isotropic
+    * directions. The drift/health gate in front of every ANN lane:
+    * an index built on collapsed or exploding embeddings answers
+    * nothing, and this report catches that before the build.
+    *
+    * Numerics: per-row norms fold left-to-right over the array in
+    * BOTH engines with explicit float→double casts before the
+    * multiply, so the only cross-engine exposure is the row-order of
+    * the final sums (r4, the dist_moments precedent).
+    *
+    * Scale: norms are scan-side HOF arithmetic (no shuffle); the
+    * resultant needs the elementwise vector sum — `posexplode` +
+    * (dim)-keyed partial agg, so the exchange carries dims×partitions
+    * rows, NOT the corpus; the two single-row sides combine with a
+    * broadcast cross. The median runs on row-grain norms (documented
+    * GK swap past that).
+    */
+  def embStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", r4(sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))))
+    val sums = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum(col("v").cast("double")).as("s"))
+    val res = sums.agg(sqrt(sum(col("s") * col("s"))).as("rlen"))
+    val tot = e.agg(
+      count(lit(1)).as("n"),
+      r4(avg("nrm")).as("avg_norm"),
+      r4(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY nrm)")).as("p50_norm"),
+      sum(when(col("nrm") < 0.5, 1L).otherwise(0L)).as("n_near_zero"),
+      sum("nrm").as("totn"))
+    tot.crossJoin(broadcast(res))
+      .select(col("n"), col("avg_norm"), col("p50_norm"), col("n_near_zero"),
+        r4(col("rlen") / col("totn")).as("resultant_frac"))
+  }
 }

@@ -572,4 +572,51 @@ object TextOps {
       .filter(col("doc_id") < 200)
       .orderBy("doc_id")
   }
+
+  /** `curation_funnel` — the end-to-end curation yield report (full
+    * oracle): doc and token mass surviving each cumulative stage of
+    * the pipeline the individual queries implement piecewise —
+    * raw → exact dedup ([[curateCorpus]]'s md5 keeper rule) →
+    * quality gate (same q ≥ 0.3) → mix sampling
+    * ([[corpusMixSample]]'s per-source md5 thresholds). The ONE
+    * number a dataset review asks for ("how many tokens survive to
+    * training, and which stage eats them"), pinned to the SAME
+    * conventions as the component queries so the funnel can never
+    * drift from the lanes it summarizes (CurationLawSpec ties stage
+    * 3 to corpus_mix_sample's realized counts).
+    *
+    * Scale: ONE corpus scan + the content-hash window exchange (the
+    * keeper rule); all four stages reduce to boolean flags folded in
+    * a single aggregation row, pivoted with `stack` — adding stages
+    * costs columns, not passes.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = lit(0.5) * least(col("n_chars"), lit(400)) / lit(400.0) +
+      lit(0.5) * stopCount(Seq("the", "a", "and", "of", "to")) / size(toks)
+    val idx = expr("try_cast(substring(source, 4, 10) AS INT)")
+    val thr = when(idx < 5, 65536L).when(idx < 10, 32768L)
+      .when(idx < 15, 16384L).otherwise(8192L)
+    val u16 = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+    val flags = Tables.documents(spark, dir)
+      .withColumn("ntok", size(filter(toks, t => t =!= "")).cast("long"))
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .withColumn("k1",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("h")))
+      .withColumn("k2", col("k1") && q >= 0.3)
+      .withColumn("k3", col("k2") && u16 < thr)
+    val one = flags.agg(
+      count(lit(1)).as("n0"), sum("ntok").as("t0"),
+      sum(when(col("k1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("k1"), col("ntok")).otherwise(0L)).as("t1"),
+      sum(when(col("k2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("k2"), col("ntok")).otherwise(0L)).as("t2"),
+      sum(when(col("k3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("k3"), col("ntok")).otherwise(0L)).as("t3"))
+    one.selectExpr(
+      "stack(4, 0L, 'raw', n0, t0, 1L, 'exact_dedup', n1, t1, " +
+        "2L, 'quality', n2, t2, 3L, 'mix_sample', n3, t3) " +
+        "as (stage_idx, stage, n_docs, sum_tokens)")
+      .orderBy("stage_idx")
+  }
 }

@@ -154,6 +154,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "locf_impute" -> 150L,
     "purchase_attribution" -> 5L,
     "quantile_disc_mode" -> 5L,
+    "curation_funnel" -> 4L,
+    "emb_stats" -> 1L,
   )
 
   test("golden map covers exactly the declared query set") {

@@ -260,7 +260,11 @@ class PlanAuditSpec extends SparkTestBase {
     // (type,bucket) count + rank-1 window (WindowGroupLimit) +
     // broadcast mode join + sort
     "locf_impute" -> 4, "purchase_attribution" -> 3,
-    "quantile_disc_mode" -> 4)
+    "quantile_disc_mode" -> 4,
+    // pipeline-summary wave: funnel = content-hash window exchange +
+    // single-row flag fold (stack is free); emb_stats = dim-keyed
+    // posexplode partial agg + two single-row folds (broadcast cross)
+    "curation_funnel" -> 2, "emb_stats" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -647,6 +647,43 @@ class StatsLawSpec extends SparkTestBase {
     }
   }
 
+  test("curation_funnel: stages shrink monotonically and pin to the component queries") {
+    val f = TextOps.curationFunnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(f.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    f.sliding(2).foreach { case Array((_, n0, t0), (_, n1, t1)) =>
+      assert(n1 <= n0 && t1 <= t0, s"funnel grew: $n0/$t0 -> $n1/$t1")
+    }
+    // stage 1 == the exact-dedup keeper count; stage 2 == the total
+    // docs curate_corpus reports (same md5 + q >= 0.3 conventions)
+    val keepers = Tables.documents(spark, sf)
+      .select(md5(lower(trim(col("text")))).as("h")).distinct().count()
+    assert(f(1)._2 == keepers, s"stage 1 ${f(1)._2} != distinct hashes $keepers")
+    val curated = TextOps.curateCorpus(spark, sf).collect().map(_.getLong(2)).sum
+    assert(f(2)._2 == curated, s"stage 2 ${f(2)._2} != curate_corpus total $curated")
+  }
+
+  test("emb_stats: aligned vectors hit resultant 1, antipodal pairs cancel, dead vectors count") {
+    import spark.implicits._
+    def mk(vs: Seq[Seq[Float]]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_emb").toString
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val unit = Seq.fill(63)(0.0f) :+ 1.0f
+    val same = graft.operators.AnnOps.embStats(spark, mk(Seq.fill(4)(unit))).collect()(0)
+    assert(same.getDouble(4) == 1.0, s"aligned resultant ${same.getDouble(4)}")
+    assert(same.getDouble(1) == 1.0 && same.getLong(3) == 0L)
+    val anti = graft.operators.AnnOps.embStats(
+      spark, mk(Seq(unit, unit.map(-_)))).collect()(0)
+    assert(anti.getDouble(4) == 0.0, s"antipodal resultant ${anti.getDouble(4)}")
+    val dead = graft.operators.AnnOps.embStats(
+      spark, mk(Seq(unit, Seq.fill(64)(0.0f)))).collect()(0)
+    assert(dead.getLong(3) == 1L, s"dead vector not counted: $dead")
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
