@@ -171,6 +171,9 @@ object SparkEntry {
     // funnel, embedding-distribution health gate
     "curation_funnel" -> (TextOps.curationFunnel _),
     "emb_stats" -> (AnnOps.embStats _),
+    // weighted/banded quantile wave (all full oracle)
+    "weighted_median_price" -> (RelationalQueries.weightedMedianPrice _),
+    "daily_percentile_bands" -> (SliQueries.dailyPercentileBands _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1045,6 +1048,30 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "weighted_median_price" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS p, l_quantity,
+        |         sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |           ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM read_parquet('{dir}/lineitem.parquet')),
+        |m AS (
+        |  SELECT flag, p, tw, row_number() OVER (PARTITION BY flag ORDER BY cw) AS rn
+        |  FROM s WHERE cw >= tw / 2)
+        |SELECT flag, round(p + 1e-7, 4) AS weighted_median,
+        |       round(CAST(tw AS DOUBLE) + 1e-7, 4) AS total_weight
+        |FROM m WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "daily_percentile_bands" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_days,
+        |       round(CAST(quantile_cont(v, 0.1) AS DOUBLE) + 1e-7, 4) AS p10,
+        |       round(CAST(quantile_cont(v, 0.5) AS DOUBLE) + 1e-7, 4) AS p50,
+        |       round(CAST(quantile_cont(v, 0.9) AS DOUBLE) + 1e-7, 4) AS p90,
+        |       round(CAST(quantile_cont(v, 0.9) - quantile_cont(v, 0.1) AS DOUBLE) + 1e-7, 4) AS band
+        |FROM daily GROUP BY 1 ORDER BY 1""".stripMargin,
     "curation_funnel" ->
       """WITH d AS (
         |  SELECT doc_id, text, source, n_chars,

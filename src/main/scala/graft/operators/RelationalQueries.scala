@@ -678,4 +678,40 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"), r4(avg("mon")).as("avg_monetary"))
       .orderBy("r", "f", "m")
   }
+
+  /** `weighted_median_price` — quantity-weighted median extended
+    * price per return flag (full oracle): the first price whose
+    * running weight reaches half the group's total — the
+    * inventory-weighted "typical price" that the unweighted median
+    * misstates whenever cheap items ship in bulk. Neither engine has
+    * a weighted-percentile aggregate; the portable exact form is the
+    * cumulative-weight cutover under a TOTAL order (price, orderkey,
+    * linenumber — running weight is strictly increasing within a
+    * group, so the rank-1 pick is deterministic in both engines).
+    *
+    * Scale: ONE flag-keyed exchange shared by all three windows
+    * (running sum / group total / rank). The in-group sort is the
+    * honest cost of an exact weighted quantile on a continuous
+    * domain (no histogram trick applies — contrast `ship_latency`'s
+    * bounded-int domain); with heavy groups the swap is a weighted
+    * GK/t-digest sketch, same report shape.
+    */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("flag")
+      .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("flag")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cw", sum("l_quantity").over(wOrd))
+      .withColumn("tw", sum("l_quantity").over(wAll))
+      .where(col("cw") >= col("tw") / 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("flag").orderBy("cw")))
+      .where(col("rn") === 1)
+      .select(col("flag"), r4(col("p")).as("weighted_median"),
+        r4(col("tw").cast("double")).as("total_weight"))
+      .orderBy("flag")
+  }
 }

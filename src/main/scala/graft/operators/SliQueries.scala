@@ -1129,6 +1129,34 @@ object SliQueries {
       .orderBy("attributed")
   }
 
+  /** `daily_percentile_bands` — p10/p50/p90 envelope of the daily
+    * SLI series per type (full oracle): the dashboard band chart
+    * behind every "is today normal" glance, and the spread metric
+    * (p90−p10) that [[zscoreAnomaly]]'s σ-based z can misstate on
+    * heavy tails. All three quantiles come from ONE `percentile`
+    * call with an array of fractions (single sort per group, not
+    * three); the band subtracts the UNROUNDED quantiles before its
+    * own rounding, exactly like the oracle.
+    *
+    * Scale: percentile groups are the days×types grain (calendar-
+    * bounded — exact beats sketch at any corpus size, the
+    * `rolling_p95` argument).
+    */
+  def dailyPercentileBands(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        percentile(col("v"), array(lit(0.1), lit(0.5), lit(0.9))).as("qs"))
+      .select(col("event_type"), col("n_days"),
+        r4(element_at(col("qs"), 1)).as("p10"),
+        r4(element_at(col("qs"), 2)).as("p50"),
+        r4(element_at(col("qs"), 3)).as("p90"),
+        r4(element_at(col("qs"), 3) - element_at(col("qs"), 1)).as("band"))
+      .orderBy("event_type")
+  }
+
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

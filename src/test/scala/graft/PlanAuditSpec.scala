@@ -264,7 +264,11 @@ class PlanAuditSpec extends SparkTestBase {
     // pipeline-summary wave: funnel = content-hash window exchange +
     // single-row flag fold (stack is free); emb_stats = dim-keyed
     // posexplode partial agg + two single-row folds (broadcast cross)
-    "curation_funnel" -> 2, "emb_stats" -> 3)
+    "curation_funnel" -> 2, "emb_stats" -> 3,
+    // weighted/banded quantile wave: wmp = ONE flag-keyed exchange
+    // shared by all three windows + sort; bands = day rollup +
+    // percentile agg + sort
+    "weighted_median_price" -> 2, "daily_percentile_bands" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -684,6 +684,55 @@ class StatsLawSpec extends SparkTestBase {
     assert(dead.getLong(3) == 1L, s"dead vector not counted: $dead")
   }
 
+  test("weighted_median_price: weight mass moves the cutover; uniform weights = lower median") {
+    import spark.implicits._
+    def mkLi(rows: Seq[(Long, Int, Double, Double)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_li").toString
+      rows.map { case (ok, ln, q, p) =>
+        (ok, 1L, 1L, ln, q, p, 0.0, 0.0, "A", "O",
+          Timestamp.valueOf("2024-01-01 00:00:00"))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      d
+    }
+    // weights {1,1,8} on prices {10,20,30}: half-mass 5 → 30 wins
+    // (the unweighted median would say 20)
+    val heavy = RelationalQueries.weightedMedianPrice(
+      spark, mkLi(Seq((1L, 1, 1.0, 10.0), (2L, 1, 1.0, 20.0), (3L, 1, 8.0, 30.0))))
+      .collect()(0)
+    assert(heavy.getDouble(1) == 30.0 && heavy.getDouble(2) == 10.0, heavy.toString)
+    // uniform weights on {1..4}: cutover at half-mass 2 = the LOWER median
+    val unif = RelationalQueries.weightedMedianPrice(
+      spark, mkLi((1 to 4).map(i => (i.toLong, 1, 1.0, i * 10.0))))
+      .collect()(0)
+    assert(unif.getDouble(1) == 20.0, unif.toString)
+    // fixture: the weighted median is an observed price inside [min, max]
+    RelationalQueries.weightedMedianPrice(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(1) > 0 && r.getDouble(2) > 0, r.toString)
+    }
+  }
+
+  test("daily_percentile_bands: ordered quantiles, exact on an 11-point grid") {
+    // days 1..11 with daily values 0,10,...,100: (n-1)·q lands on
+    // exact indices → p10 = 10, p50 = 50, p90 = 90, band = 80
+    val d = tmpEvents((0 to 10).map { i =>
+      ((i + 1).toLong, ts(i + 1), 1L, "view", i * 10.0, "{}")
+    })
+    val r = SliQueries.dailyPercentileBands(spark, d).collect()(0)
+    assert(r.getLong(1) == 11L)
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 50.0 && r.getDouble(4) == 90.0,
+      r.toString)
+    assert(r.getDouble(5) == 80.0, r.toString)
+    SliQueries.dailyPercentileBands(spark, sf).collect().foreach { row =>
+      assert(row.getDouble(2) <= row.getDouble(3) && row.getDouble(3) <= row.getDouble(4),
+        row.toString)
+      assert(math.abs(row.getDouble(5) - (row.getDouble(4) - row.getDouble(2))) < 2e-4,
+        row.toString)
+    }
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
