@@ -174,6 +174,9 @@ object SparkEntry {
     // weighted/banded quantile wave (all full oracle)
     "weighted_median_price" -> (RelationalQueries.weightedMedianPrice _),
     "daily_percentile_bands" -> (SliQueries.dailyPercentileBands _),
+    // cross-series dependence wave (all full oracle)
+    "type_corr_matrix" -> (SliQueries.typeCorrMatrix _),
+    "value_autocorr" -> (SliQueries.valueAutocorr _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1048,6 +1051,28 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "type_corr_matrix" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*) AS n_days, round(corr(a.v, b.v) + 1e-7, 4) AS r
+        |FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "value_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, v,
+        |         lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+        |         lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS v7
+        |  FROM daily)
+        |SELECT event_type,
+        |       round(corr(v, v1) + 1e-7, 4) AS acf1,
+        |       round(corr(v, v7) + 1e-7, 4) AS acf7,
+        |       CAST(count(v1) AS BIGINT) AS n1, CAST(count(v7) AS BIGINT) AS n7
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "weighted_median_price" ->
       """WITH s AS (
         |  SELECT l_returnflag AS flag, l_extendedprice AS p, l_quantity,

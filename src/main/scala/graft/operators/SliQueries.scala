@@ -1157,6 +1157,59 @@ object SliQueries {
       .orderBy("event_type")
   }
 
+  /** `type_corr_matrix` — cross-series correlation of the daily SLI
+    * averages between every pair of event types (full oracle):
+    * Pearson r over the shared day spine, canonical a<b pairs. The
+    * dependency map incident response needs ("error rate moves with
+    * purchase volume — same upstream?") and the input to any
+    * multivariate anomaly gate, complementing [[zscoreAnomaly]]'s
+    * per-series view.
+    *
+    * Scale: the rollup is days×types; the self-join is day-keyed on
+    * that grain (calendar-bounded — never corpus-sized); corr is an
+    * algebraic moment accumulator (partial-aggregable). Output is
+    * C(types, 2) rows.
+    */
+  def typeCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+    daily.as("a")
+      .join(daily.as("b"),
+        col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_days"), r4(corr(col("a.v"), col("b.v"))).as("r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** `value_autocorr` — lag-1 and lag-7 autocorrelation of the daily
+    * SLI series per type (full oracle): persistence (acf1 ≫ 0 means
+    * yesterday predicts today — alerts should baseline on yesterday)
+    * and weekly memory (acf7, the autocorrelation form of
+    * [[seasonalDowIndex]]'s calendar profile). `corr` pairs null-
+    * skipping in both engines, so the first k days simply drop from
+    * lag-k — counts reported.
+    *
+    * Scale: one days×types window for the lags, then moment aggs —
+    * calendar-bounded after the map-side minute/day collapse.
+    */
+  def valueAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("v1", lag(col("v"), 1).over(w))
+      .withColumn("v7", lag(col("v"), 7).over(w))
+      .groupBy("event_type")
+      .agg(
+        r4(corr(col("v"), col("v1"))).as("acf1"),
+        r4(corr(col("v"), col("v7"))).as("acf7"),
+        count(col("v1")).as("n1"),
+        count(col("v7")).as("n7"))
+      .orderBy("event_type")
+  }
+
   def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

@@ -268,7 +268,12 @@ class PlanAuditSpec extends SparkTestBase {
     // weighted/banded quantile wave: wmp = ONE flag-keyed exchange
     // shared by all three windows + sort; bands = day rollup +
     // percentile agg + sort
-    "weighted_median_price" -> 2, "daily_percentile_bands" -> 3)
+    "weighted_median_price" -> 2, "daily_percentile_bands" -> 3,
+    // cross-series dependence wave: corr matrix = day rollup (2-phase)
+    // + day-keyed self-join on the rollup grain + pair moment agg +
+    // sort; autocorr = day rollup + lag window + moment agg (sort
+    // rides the window partitioning)
+    "type_corr_matrix" -> 4, "value_autocorr" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -733,6 +733,37 @@ class StatsLawSpec extends SparkTestBase {
     }
   }
 
+  test("type_corr_matrix: constructed colinear/anticolinear pairs hit ±1; canonical bounded pairs") {
+    // A = day, B = 2·day (r = 1), C = −day (r(A,C) = −1)
+    val d = tmpEvents((1 to 10).flatMap { i =>
+      Seq((i * 3L, ts(i), 1L, "A", i.toDouble, "{}"),
+        (i * 3 + 1L, ts(i), 1L, "B", 2.0 * i, "{}"),
+        (i * 3 + 2L, ts(i), 1L, "C", -i.toDouble, "{}"))
+    })
+    val m = SliQueries.typeCorrMatrix(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m(("A", "B")) == 1.0 && m(("A", "C")) == -1.0 && m(("B", "C")) == -1.0, m.toString)
+    val out = SliQueries.typeCorrMatrix(spark, sf).collect()
+    assert(out.length == 10, s"${out.length} pairs != C(5,2)")
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), s"non-canonical pair: $r")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("value_autocorr: linear series has acf1 = acf7 = 1; lag counts drop k days") {
+    val d = tmpEvents((1 to 12).map { i =>
+      (i.toLong, ts(i), 1L, "A", i.toDouble, "{}")
+    })
+    val r = SliQueries.valueAutocorr(spark, d).collect()(0)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0, r.toString)
+    assert(r.getLong(3) == 11L && r.getLong(4) == 5L, r.toString)
+    SliQueries.valueAutocorr(spark, sf).collect().foreach { row =>
+      assert(math.abs(row.getDouble(1)) <= 1.0 + 1e-9, row.toString)
+      assert(math.abs(row.getDouble(2)) <= 1.0 + 1e-9, row.toString)
+    }
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
