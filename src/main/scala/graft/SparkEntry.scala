@@ -1074,15 +1074,16 @@ object SparkEntry {
         |       CAST(count(v1) AS BIGINT) AS n1, CAST(count(v7) AS BIGINT) AS n7
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "weighted_median_price" ->
-      """WITH s AS (
-        |  SELECT l_returnflag AS flag, l_extendedprice AS p, l_quantity,
-        |         sum(l_quantity) OVER (PARTITION BY l_returnflag
-        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber
-        |           ROWS UNBOUNDED PRECEDING) AS cw,
-        |         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
-        |  FROM read_parquet('{dir}/lineitem.parquet')),
+      """WITH bp AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS p, sum(l_quantity) AS w
+        |  FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1, 2),
+        |s AS (
+        |  SELECT flag, p,
+        |         sum(w) OVER (PARTITION BY flag ORDER BY p ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(w) OVER (PARTITION BY flag) AS tw
+        |  FROM bp),
         |m AS (
-        |  SELECT flag, p, tw, row_number() OVER (PARTITION BY flag ORDER BY cw) AS rn
+        |  SELECT flag, p, tw, row_number() OVER (PARTITION BY flag ORDER BY p) AS rn
         |  FROM s WHERE cw >= tw / 2)
         |SELECT flag, round(p + 1e-7, 4) AS weighted_median,
         |       round(CAST(tw AS DOUBLE) + 1e-7, 4) AS total_weight

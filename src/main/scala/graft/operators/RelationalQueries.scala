@@ -689,26 +689,51 @@ object RelationalQueries {
     * linenumber — running weight is strictly increasing within a
     * group, so the rank-1 pick is deterministic in both engines).
     *
-    * Scale: ONE flag-keyed exchange shared by all three windows
-    * (running sum / group total / rank). The in-group sort is the
-    * honest cost of an exact weighted quantile on a continuous
-    * domain (no histogram trick applies — contrast `ship_latency`'s
-    * bounded-int domain); with heavy groups the swap is a weighted
-    * GK/t-digest sketch, same report shape.
+    * Scale — the two-pass histogram algorithm, NOT a corpus sort
+    * (prices are near-unique doubles, so a distinct-price collapse
+    * buys nothing — measured 7.6 s at sf1 for the windowed form vs
+    * sub-second here):
+    *   pass 1 folds the corpus map-side into a (flag, ⌊price⌋)
+    *   dollar histogram (any MONOTONE bucketing preserves cumulative
+    *   order, so bucket arithmetic never affects the answer); a
+    *   bucket-grain running sum locates the single bucket where the
+    *   cumulative weight crosses half, plus the exact mass before it.
+    *   pass 2 rescans only rows of that one bucket per flag
+    *   (corpus/buckets rows), collapses them by exact price, and
+    *   finds the cutover with bucket-local cumulative + the carried
+    *   prefix — identical to the global running sum by construction
+    *   (weights are whole-number doubles; all sums exact).
+    * Both exchanges carry histogram/bucket-grain rows; the corpus is
+    * scanned twice and shuffled never. With an adversarial
+    * single-bucket weight distribution the recursion is the same
+    * trick one level down (or the weighted-GK sketch, same report).
     */
   def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy("flag")
-      .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("flag")
-    Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"),
-        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("cw", sum("l_quantity").over(wOrd))
-      .withColumn("tw", sum("l_quantity").over(wAll))
+        col("l_quantity").as("w"))
+    val hist = li.groupBy(col("flag"), floor(col("p")).as("b"))
+      .agg(sum("w").as("bw"))
+    val cum = hist
+      .withColumn("cb", sum("bw").over(
+        Window.partitionBy("flag").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum("bw").over(Window.partitionBy("flag")))
+    val target = cum
+      .where(col("cb") >= col("tw") / 2 && col("cb") - col("bw") < col("tw") / 2)
+      .select(col("flag"), col("b"), (col("cb") - col("bw")).as("before"),
+        col("tw"))
+    li.join(broadcast(target),
+        li("flag") === target("flag") && floor(li("p")) === target("b"))
+      .drop(target("flag"))
+      .groupBy("flag", "p", "before", "tw")
+      .agg(sum("w").as("pw"))
+      .withColumn("cw", col("before") + sum("pw").over(
+        Window.partitionBy("flag").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("cw") >= col("tw") / 2)
       .withColumn("rn", row_number().over(
-        Window.partitionBy("flag").orderBy("cw")))
+        Window.partitionBy("flag").orderBy("p")))
       .where(col("rn") === 1)
       .select(col("flag"), r4(col("p")).as("weighted_median"),
         r4(col("tw").cast("double")).as("total_weight"))

@@ -265,10 +265,13 @@ class PlanAuditSpec extends SparkTestBase {
     // single-row flag fold (stack is free); emb_stats = dim-keyed
     // posexplode partial agg + two single-row folds (broadcast cross)
     "curation_funnel" -> 2, "emb_stats" -> 3,
-    // weighted/banded quantile wave: wmp = ONE flag-keyed exchange
-    // shared by all three windows + sort; bands = day rollup +
-    // percentile agg + sort
-    "weighted_median_price" -> 2, "daily_percentile_bands" -> 3,
+    // weighted/banded quantile wave: wmp (two-pass histogram form) =
+    // dollar-histogram partial agg + bucket-grain windows + the
+    // target-bucket re-scan's price collapse + in-bucket window +
+    // sort — every exchange carries histogram/bucket-grain rows, the
+    // corpus is scanned twice and shuffled never; bands = day rollup
+    // + percentile agg + sort
+    "weighted_median_price" -> 5, "daily_percentile_bands" -> 3,
     // cross-series dependence wave: corr matrix = day rollup (2-phase)
     // + day-keyed self-join on the rollup grain + pair moment agg +
     // sort; autocorr = day rollup + lag window + moment agg (sort
