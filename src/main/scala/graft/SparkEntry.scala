@@ -177,6 +177,9 @@ object SparkEntry {
     // cross-series dependence wave (all full oracle)
     "type_corr_matrix" -> (SliQueries.typeCorrMatrix _),
     "value_autocorr" -> (SliQueries.valueAutocorr _),
+    // embedding-geometry + corpus-growth wave (all full oracle)
+    "label_separation" -> (AnnOps.labelSeparation _),
+    "vocab_growth" -> (LlmQueries.vocabGrowth _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1051,6 +1054,35 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    // label_separation's oracle is DELIBERATELY the naive all-pairs
+    // algorithm — hash-matching it validates the engine's O(n·d)
+    // moment-algebra form (see AnnOps.labelSeparation)
+    "label_separation" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM read_parquet('{dir}/embeddings.parquet')),
+        |p AS (SELECT a.label AS la, b.label AS lb, list_cosine_similarity(a.v, b.v) AS cos
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |intra AS (SELECT la AS label, avg(cos) AS intra_cos FROM p WHERE la = lb GROUP BY 1),
+        |inter AS (SELECT la AS label, avg(cos) AS inter_cos FROM p WHERE la <> lb GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY 1)
+        |SELECT n.label, n.n, round(intra_cos + 1e-7, 4) AS intra_cos,
+        |       round(inter_cos + 1e-7, 4) AS inter_cos,
+        |       round(intra_cos - inter_cos + 1e-7, 4) AS separation
+        |FROM n JOIN intra USING (label) JOIN inter USING (label) ORDER BY 1""".stripMargin,
+    "vocab_growth" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM read_parquet('{dir}/documents.parquet')) s
+        |  WHERE len(t) >= 2),
+        |first AS (SELECT g, min(doc_id) // 50 AS fb FROM bg GROUP BY 1),
+        |nb AS (SELECT fb AS bucket, count(*) AS new_bigrams FROM first GROUP BY 1),
+        |b AS (SELECT DISTINCT doc_id // 50 AS bucket FROM read_parquet('{dir}/documents.parquet'))
+        |SELECT CAST(b.bucket AS BIGINT) AS bucket,
+        |       CAST(coalesce(nb.new_bigrams, 0) AS BIGINT) AS new_bigrams,
+        |       CAST(sum(coalesce(nb.new_bigrams, 0)) OVER (ORDER BY b.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        |FROM b LEFT JOIN nb ON b.bucket = nb.bucket ORDER BY 1""".stripMargin,
     "type_corr_matrix" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS v

@@ -258,6 +258,57 @@ object AnnOps {
     * broadcast cross. The median runs on row-grain norms (documented
     * GK swap past that).
     */
+  /** `label_separation` — exact mean pairwise cosine within and
+    * across labels (full oracle) WITHOUT a pair join: for normalized
+    * vectors, `Σ_{i≠j∈L} u_i·u_j = ‖S_L‖² − Σ_i‖u_i‖²` and the
+    * cross-label mass is `S_L · (S − S_L)` — so the entire n²-pair
+    * statistic reduces to per-(label, dim) sums: O(n·d) with
+    * map-side partial agg, vs the naive O(n²·d). The cluster-purity
+    * diagnostic for a labeled embedding corpus (is the label signal
+    * in the geometry at all?), and the pre-check for IVF pivot
+    * quality.
+    *
+    * The ORACLE deliberately computes the same numbers from the
+    * naive all-pairs join (`list_cosine_similarity` over a.vec_id ≠
+    * b.vec_id) — the hash match across the two ALGORITHMS is itself
+    * the validation that the moment algebra is exact (float exposure
+    * between forms ~1e-12, far under the r4 grid).
+    *
+    * Scale: one posexplode → (label, dim)-keyed partial agg (the
+    * exchange carries labels×dims rows); everything after is
+    * label-grain arithmetic with a dims-grain broadcast.
+    */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("u", transform(col("embedding"),
+        x => x.cast("double") / col("nrm")))
+    val dims = e.select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum("x").as("s"))
+    val s2 = dims.groupBy("label").agg(sum(col("s") * col("s")).as("s2"))
+    val globalDims = dims.groupBy("pos").agg(sum("s").as("gs"))
+    val cross = dims.join(broadcast(globalDims), "pos")
+      .groupBy("label")
+      .agg(sum(col("s") * (col("gs") - col("s"))).as("crossdot"))
+    val counts = e
+      .select(col("label"),
+        aggregate(col("u"), lit(0.0), (a, x) => a + x * x).as("uu"))
+      .groupBy("label").agg(count(lit(1)).as("n"), sum("uu").as("sumsq"))
+    val total = counts.agg(sum("n").as("nTotal"))
+    counts.join(s2, "label").join(cross, "label")
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("n"),
+        r4((col("s2") - col("sumsq")) / (col("n") * (col("n") - 1)))
+          .as("intra_cos"),
+        r4(col("crossdot") / (col("n") * (col("nTotal") - col("n"))))
+          .as("inter_cos"),
+        r4((col("s2") - col("sumsq")) / (col("n") * (col("n") - 1)) -
+          col("crossdot") / (col("n") * (col("nTotal") - col("n"))))
+          .as("separation"))
+      .orderBy("label")
+  }
+
   def embStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", r4(sqrt(aggregate(col("embedding"), lit(0.0),

@@ -379,6 +379,41 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** `vocab_growth` — Heaps-law vocabulary-growth curve over the
+    * BIGRAM vocabulary (full oracle): docs bucketed 50 at a time in
+    * doc_id order; per bucket, how many never-seen-before bigrams
+    * appear and the cumulative vocabulary size. The "is more data
+    * still buying new language" curve that decides when to stop
+    * crawling a source — flat tail = the source is exhausted.
+    * (Bigrams, not unigrams: this corpus's 31-word vocabulary
+    * saturates in the first bucket; the 961-bigram space shows a
+    * real curve.)
+    *
+    * Scale: first-appearance = `min(doc_id)` per bigram — a
+    * vocabulary-grain partial agg (hot bigrams collapse map-side,
+    * the tfidf lesson); the curve is a running sum on the
+    * bucket-grain frame. No windows ever touch corpus-grain rows.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
+        .as("g"))
+    val nb = bg.groupBy("g").agg(expr("min(doc_id) div 50").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_bigrams"))
+    val buckets = Tables.documents(spark, dir)
+      .select(expr("doc_id div 50").as("bucket")).distinct()
+    buckets.join(nb, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("new_bigrams"), lit(0L)).as("new_bigrams"))
+      .withColumn("vocab_size", sum("new_bigrams").over(
+        Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("bucket")
+  }
+
   /** #34 — corpus profiling: chars, tokens, source cardinality per lang. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -276,7 +276,14 @@ class PlanAuditSpec extends SparkTestBase {
     // + day-keyed self-join on the rollup grain + pair moment agg +
     // sort; autocorr = day rollup + lag window + moment agg (sort
     // rides the window partitioning)
-    "type_corr_matrix" -> 4, "value_autocorr" -> 3)
+    "type_corr_matrix" -> 4, "value_autocorr" -> 3,
+    // embedding-geometry + corpus-growth wave: label_separation's 10
+    // exchanges are ALL labels×dims/label-grain (the posexplode
+    // partial agg is the only corpus-width stage; the pair join the
+    // algebra replaces would be the real cost); vocab_growth =
+    // bigram-grain first-appearance agg (2-phase) + bucket rollup +
+    // bucket-grain running sum + left join
+    "label_separation" -> 10, "vocab_growth" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -764,6 +764,46 @@ class StatsLawSpec extends SparkTestBase {
     }
   }
 
+  test("label_separation: constructed aligned/antipodal labels hit ±1 exactly") {
+    import spark.implicits._
+    val e1 = 1.0f +: Seq.fill(63)(0.0f)
+    val ne1 = e1.map(-_)
+    val d = java.nio.file.Files.createTempDirectory("graft_lsep").toString
+    ((1 to 3).map(i => (i.toLong, e1, 0)) ++ (4 to 6).map(i => (i.toLong, ne1, 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = graft.operators.AnnOps.labelSeparation(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((0, 3L, 1.0, -1.0, 2.0), (1, 3L, 1.0, -1.0, 2.0)),
+      rows.toSeq.toString)
+    // fixture: every mean cosine is a valid cosine
+    graft.operators.AnnOps.labelSeparation(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 && math.abs(r.getDouble(3)) <= 1.0, r.toString)
+    }
+  }
+
+  test("vocab_growth: constructed novelty counts; curve is monotone non-decreasing") {
+    val mkDoc = (id: Long, text: String) => (id, text, "en", "srcV", text.length.toLong)
+    val d = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_vg").toString
+      Seq(mkDoc(0L, "a b c"), mkDoc(50L, "a b x"), mkDoc(100L, "a b"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val rows = graft.operators.LlmQueries.vocabGrowth(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc0: "a b","b c" new (2); doc50: only "b x" new (1); doc100: nothing
+    assert(rows.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 3L), (2L, 0L, 3L)), rows.toSeq.toString)
+    val fix = graft.operators.LlmQueries.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(fix.head._1 == fix.head._2, "first bucket vocab != its own novelty")
+    fix.sliding(2).foreach { case Array((_, v0), (n1, v1)) =>
+      assert(v1 == v0 + n1 && n1 >= 0, s"curve broke: $v0 -> $v1 (+$n1)")
+    }
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
