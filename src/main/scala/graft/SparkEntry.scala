@@ -180,6 +180,9 @@ object SparkEntry {
     // embedding-geometry + corpus-growth wave (all full oracle)
     "label_separation" -> (AnnOps.labelSeparation _),
     "vocab_growth" -> (LlmQueries.vocabGrowth _),
+    // planning-diagnostics wave (full oracle): the skew profiler
+    // that decides plain-shuffle vs AQE-split vs salted_join
+    "skew_profile" -> (SkewOps.skewProfile _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1054,6 +1057,18 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_profile" ->
+      """WITH k AS (
+        |  SELECT 'lineitem.l_orderkey' AS key, l_orderkey AS kv FROM read_parquet('{dir}/lineitem.parquet')
+        |  UNION ALL SELECT 'lineitem.l_partkey', l_partkey FROM read_parquet('{dir}/lineitem.parquet')
+        |  UNION ALL SELECT 'orders.o_custkey', o_custkey FROM read_parquet('{dir}/orders.parquet')
+        |  UNION ALL SELECT 'events.user_id', user_id FROM read_parquet('{dir}/events.parquet')),
+        |c AS (SELECT key, kv, count(*) AS n FROM k GROUP BY 1, 2)
+        |SELECT key, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |       CAST(max(n) AS BIGINT) AS top1_rows,
+        |       round(max(n)*1.0/sum(n) + 1e-7, 4) AS top1_share,
+        |       round(CAST(quantile_cont(n, 0.99) AS DOUBLE) / (sum(n)*1.0/count(*)) + 1e-7, 4) AS p99_over_avg
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // label_separation's oracle is DELIBERATELY the naive all-pairs
     // algorithm — hash-matching it validates the engine's O(n·d)
     // moment-algebra form (see AnnOps.labelSeparation)

@@ -49,4 +49,42 @@ object SkewOps {
       .agg(count(lit(1)).as("n_items"), r2(sum("l_extendedprice")).as("revenue"))
       .orderBy("s_nationkey")
   }
+
+  /** `skew_profile` — join-key skew diagnostic over the fact tables'
+    * shuffle keys (full oracle): per key, row count, key cardinality,
+    * the hottest key's share, and p99-key-frequency ÷ mean — the
+    * numbers that DECIDE between a plain shuffle join, AQE skew
+    * split, and [[saltedEquiJoin]]. An engine that ships a salted
+    * join owes its users the profiler that says when to use it.
+    *
+    * Scale: each tagged scan is column-pruned to ONE key column; the
+    * (key, value) frequency rollup partial-aggregates map-side (hot
+    * keys collapse BEFORE the exchange — measuring skew must not
+    * itself skew); the stats pass runs on the key-cardinality grain.
+    * The exact p99-over-counts buffers per-profile frequencies —
+    * swap for the GK plane past ~1e8 distinct keys per profile,
+    * report shape unchanged.
+    */
+  def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det.r4
+    val t = graft.sources.Tables
+    val keyed = Seq(
+      ("lineitem.l_orderkey", t.lineitem(spark, dir).select(col("l_orderkey").as("kv"))),
+      ("lineitem.l_partkey", t.lineitem(spark, dir).select(col("l_partkey").as("kv"))),
+      ("orders.o_custkey", t.orders(spark, dir).select(col("o_custkey").as("kv"))),
+      ("events.user_id", t.events(spark, dir).select(col("user_id").as("kv"))))
+      .map { case (name, df) => df.select(lit(name).as("key"), col("kv")) }
+      .reduce(_ unionAll _)
+    keyed
+      .groupBy("key", "kv").agg(count(lit(1)).as("n"))
+      .groupBy("key")
+      .agg(
+        sum("n").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("n").as("top1_rows"),
+        r4(max("n") * lit(1.0) / sum("n")).as("top1_share"),
+        r4(expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY n)") /
+          (sum("n") * lit(1.0) / count(lit(1)))).as("p99_over_avg"))
+      .orderBy("key")
+  }
 }

@@ -283,7 +283,11 @@ class PlanAuditSpec extends SparkTestBase {
     // algebra replaces would be the real cost); vocab_growth =
     // bigram-grain first-appearance agg (2-phase) + bucket rollup +
     // bucket-grain running sum + left join
-    "label_separation" -> 10, "vocab_growth" -> 4)
+    "label_separation" -> 10, "vocab_growth" -> 4,
+    // planning diagnostics: tagged single-column scans union into the
+    // (key, value) frequency rollup (2-phase — hot keys collapse
+    // map-side) + key-grain stats + sort
+    "skew_profile" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -804,6 +804,36 @@ class StatsLawSpec extends SparkTestBase {
     }
   }
 
+  test("skew_profile: constructed hot key measures exactly; pigeonhole bounds on the fixture") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    ((1 to 9).map(i => (i.toLong, ts(1, 6), 1L, "view", 1.0, "{}")) :+
+      (10L, ts(1, 7), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "A", "O",
+      Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    Seq((1L, 1L, "O", 10.0, Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val prof = graft.operators.SkewOps.skewProfile(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ev = prof("events.user_id")
+    assert(ev.getLong(1) == 10L && ev.getLong(2) == 2L && ev.getLong(3) == 9L, ev.toString)
+    assert(ev.getDouble(4) == 0.9, s"top1_share ${ev.getDouble(4)}")
+    graft.operators.SkewOps.skewProfile(spark, sf).collect().foreach { r =>
+      val (rows, keys, top1) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(top1 * keys >= rows, s"${r.getString(0)}: max below mean (pigeonhole)")
+      assert(top1 <= rows && keys <= rows, r.toString)
+      assert(r.getDouble(4) >= 1.0 / keys - 1e-9 && r.getDouble(5) > 0, r.toString)
+    }
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
