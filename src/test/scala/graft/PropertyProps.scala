@@ -329,3 +329,80 @@ object PqProps extends SparkProps("pq_codes") {
       bijective && permuted.sorted == v.sorted
     }
 }
+
+object WeightedMedianProps extends SparkProps("weighted_median") {
+  import graft.operators.RelationalQueries
+
+  // (price on a 2-dp grid, integer weight) — duplicates and hot
+  // prices welcome; the naive reference is the defining cumulative
+  // cutover computed in plain Scala.
+  private val genRow: Gen[(Double, Long)] = for {
+    cents <- Gen.choose(100L, 99999L)
+    w <- Gen.choose(1L, 9L)
+  } yield (cents / 100.0, w)
+
+  property("two-pass histogram == naive cumulative cutover for arbitrary weighted sets") =
+    forAll(Gen.nonEmptyListOf(genRow)) { rows =>
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft_wmp_prop").toString
+      rows.zipWithIndex.map { case ((p, w), i) =>
+        ((i + 1).toLong, 1L, 1L, 1, w.toDouble, p, 0.0, 0.0, "A", "O",
+          new Timestamp(1700000000000L))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      val got = RelationalQueries.weightedMedianPrice(spark, d).collect()(0)
+      val total = rows.map(_._2).sum.toDouble
+      val cum = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+        .scanLeft((0.0, 0.0)) { case ((_, c), (p, w)) => (p, c + w) }.drop(1)
+      val expect = cum.find(_._2 >= total / 2).get._1
+      got.getDouble(1) == math.rint((expect + 1e-7) * 1e4) / 1e4 &&
+        got.getDouble(2) == total
+    }
+}
+
+object LabelSepProps extends SparkProps("label_separation") {
+  import graft.operators.AnnOps
+
+  private val genVec: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.choose(-4.0f, 4.0f).suchThat(v => !v.isNaN)).map(_.toSeq)
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  // Law: the O(n·d) moment algebra equals the naive O(n²·d) pairwise
+  // means for ARBITRARY labeled vector sets (2 labels × 2-4 vectors).
+  property("moment algebra == naive pairwise means for arbitrary labeled sets") =
+    forAll(Gen.zip(Gen.listOfN(3, genVec), Gen.listOfN(3, genVec))) {
+      case (l0, l1) =>
+        import spark.implicits._
+        val d = java.nio.file.Files.createTempDirectory("graft_lsep_prop").toString
+        (l0.map((_, 0)) ++ l1.map((_, 1))).zipWithIndex
+          .map { case ((v, lb), i) => ((i + 1).toLong, v, lb) }
+          .toDF("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        def unit(v: Seq[Float]): Seq[Double] = {
+          val dv = v.map(_.toDouble)
+          val n = math.sqrt(dv.map(x => x * x).sum)
+          dv.map(_ / n)
+        }
+        val us = (l0.map(unit).map((_, 0)) ++ l1.map(unit).map((_, 1)))
+        def cos(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+        def meanCos(as: Seq[Seq[Double]], bs: Seq[Seq[Double]], same: Boolean) = {
+          val ps = for {
+            (a, i) <- as.zipWithIndex; (b, j) <- bs.zipWithIndex
+            if !same || i != j
+          } yield cos(a, b)
+          ps.sum / ps.size
+        }
+        val got = AnnOps.labelSeparation(spark, d).collect()
+          .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+        Seq(0, 1).forall { lb =>
+          val mine = us.filter(_._2 == lb).map(_._1)
+          val rest = us.filter(_._2 != lb).map(_._1)
+          val (gi, gx) = got(lb)
+          math.abs(gi - meanCos(mine, mine, same = true)) < 1.1e-4 &&
+            math.abs(gx - meanCos(mine, rest, same = false)) < 1.1e-4
+        }
+    }
+}
