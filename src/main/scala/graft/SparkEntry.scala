@@ -183,6 +183,10 @@ object SparkEntry {
     // planning-diagnostics wave (full oracle): the skew profiler
     // that decides plain-shuffle vs AQE-split vs salted_join
     "skew_profile" -> (SkewOps.skewProfile _),
+    // order-economics wave (all full oracle): the TPC-H Q6 shape,
+    // daily open-order backlog sweep
+    "revenue_discount_band" -> (RelationalQueries.revenueDiscountBand _),
+    "orders_backlog" -> (RelationalQueries.ordersBacklog _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1057,6 +1061,24 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "revenue_discount_band" ->
+      """SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        |       count(*) AS n_lines,
+        |       round(sum(l_extendedprice * l_discount) + 1e-7, 4) AS revenue_delta
+        |FROM read_parquet('{dir}/lineitem.parquet')
+        |WHERE l_quantity < 24
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "orders_backlog" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od FROM read_parquet('{dir}/orders.parquet')),
+        |s AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS sd
+        |      FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1),
+        |ev AS (
+        |  SELECT od AS day, 1 AS opened, 0 AS shipped FROM o
+        |  UNION ALL SELECT sd, 0, 1 FROM s),
+        |days AS (SELECT day, sum(opened) AS n_open, sum(shipped) AS n_ship FROM ev GROUP BY 1)
+        |SELECT day, CAST(n_open AS BIGINT) AS n_opened, CAST(n_ship AS BIGINT) AS n_shipped,
+        |       CAST(sum(n_open - n_ship) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+        |FROM days ORDER BY 1""".stripMargin,
     "skew_profile" ->
       """WITH k AS (
         |  SELECT 'lineitem.l_orderkey' AS key, l_orderkey AS kv FROM read_parquet('{dir}/lineitem.parquet')

@@ -607,6 +607,53 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** `revenue_discount_band` — the TPC-H Q6 shape (full oracle):
+    * revenue given back per discount band inside a quantity slice —
+    * the classic "what did the promotion cost" scan-heavy aggregate,
+    * and the canonical predicate-pushdown showcase: the quantity
+    * bound reaches the parquet reader (`PushedFilters`), so at
+    * 100 TB the scan skips row groups wholesale before a single
+    * discount multiply runs. One two-phase agg on the ~12-band
+    * grain; output O(bands).
+    */
+  def revenueDiscountBand(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_quantity") < 24)
+      .groupBy(round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue_delta"))
+      .orderBy("disc_pct")
+
+  /** `orders_backlog` — daily open-order backlog (full oracle):
+    * orders opened minus orders fully shipped (max line shipdate),
+    * cumulated over the calendar — the operations number volume
+    * counts can't give, the order-lifecycle sibling of
+    * [[graft.operators.SliQueries.peakConcurrency]]'s session sweep.
+    *
+    * Scale: both event feeds collapse map-side to the day grain
+    * (the per-order max-shipdate agg is the one corpus exchange);
+    * the running sum walks the calendar-grain frame — the documented
+    * single-partition caveat shared with `pareto_share`, swapped for
+    * a range-partitioned two-pass prefix sum past calendar scale
+    * (which a calendar never reaches).
+    */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val opened = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        lit(1L).as("opened"), lit(0L).as("shipped"))
+    val shipped = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(max(to_date(col("l_shipdate"))).as("day"))
+      .select(col("day"), lit(0L).as("opened"), lit(1L).as("shipped"))
+    opened.unionAll(shipped)
+      .groupBy("day")
+      .agg(sum("opened").as("n_opened"), sum("shipped").as("n_shipped"))
+      .withColumn("backlog", sum(col("n_opened") - col("n_shipped")).over(
+        Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
   /** `fuzzy_name_pairs` — blocked edit-distance entity resolution on
     * the part catalog (full oracle): candidate duplicate name pairs =
     * same trailing noun (the blocking key) AND `levenshtein ≤ 4`,

@@ -287,7 +287,11 @@ class PlanAuditSpec extends SparkTestBase {
     // planning diagnostics: tagged single-column scans union into the
     // (key, value) frequency rollup (2-phase — hot keys collapse
     // map-side) + key-grain stats + sort
-    "skew_profile" -> 3)
+    "skew_profile" -> 3,
+    // order-economics wave: q6 shape = one pushed-filter scan +
+    // band agg + sort; backlog = per-order max-shipdate agg (the one
+    // corpus exchange) + day rollup + calendar-grain running sum
+    "revenue_discount_band" -> 2, "orders_backlog" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -834,6 +834,48 @@ class StatsLawSpec extends SparkTestBase {
     }
   }
 
+  test("revenue_discount_band: constructed bands compute exactly; quantity bound excludes") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_q6").toString
+    Seq(
+      (1L, 1L, 1L, 1, 10.0, 100.0, 0.05, 0.0, "A", "O", ts(1)),
+      (2L, 1L, 1L, 2, 10.0, 200.0, 0.05, 0.0, "A", "O", ts(1)),
+      (3L, 1L, 1L, 3, 10.0, 100.0, 0.0, 0.0, "A", "O", ts(1)),
+      (4L, 1L, 1L, 4, 25.0, 999.0, 0.05, 0.0, "A", "O", ts(1))) // excluded: qty >= 24
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = RelationalQueries.revenueDiscountBand(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((0L, 1L, 0.0), (5L, 2L, 15.0)), rows.toSeq.toString)
+    // fixture: zero-discount band gives back exactly zero revenue
+    val fix = RelationalQueries.revenueDiscountBand(spark, sf).collect()
+    assert(fix.find(_.getLong(0) == 0L).forall(_.getDouble(2) == 0.0))
+  }
+
+  test("orders_backlog: constructed lifecycle; backlog stays non-negative and ends balanced") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_bkl").toString
+    Seq((1L, 1L, "O", 10.0, ts(1), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "A", "O", ts(3)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = RelationalQueries.ordersBacklog(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(3)))
+    assert(rows.toSeq == Seq(("2024-01-01", 1L), ("2024-01-03", 0L)), rows.toSeq.toString)
+    val fix = RelationalQueries.ordersBacklog(spark, sf).collect()
+    fix.foreach(r => assert(r.getLong(3) >= 0L, s"negative backlog: $r"))
+    val opened = fix.map(_.getLong(1)).sum
+    val shipped = fix.map(_.getLong(2)).sum
+    assert(fix.last.getLong(3) == opened - shipped, "final backlog != open - shipped")
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
