@@ -187,6 +187,9 @@ object SparkEntry {
     // daily open-order backlog sweep
     "revenue_discount_band" -> (RelationalQueries.revenueDiscountBand _),
     "orders_backlog" -> (RelationalQueries.ordersBacklog _),
+    // concentration + availability wave (all full oracle)
+    "supplier_hhi" -> (RelationalQueries.supplierHhi _),
+    "max_gap_minutes" -> (SliQueries.maxGapMinutes _),
     "near_dup_minhash" -> (DedupOps.nearDupMinhash _),
     "simhash_dups" -> (DedupOps.simhashDups _),
     "source_overlap" -> (DedupOps.sourceOverlap _),
@@ -1061,6 +1064,32 @@ object SparkEntry {
         |       round(stddev_pop(r) + 1e-7, 4) AS sd_resid,
         |       round(1 - var_pop(r)/var_pop(v) + 1e-7, 4) AS var_explained
         |FROM resid GROUP BY 1 ORDER BY 1""".stripMargin,
+    "supplier_hhi" ->
+      """WITH s AS (
+        |  SELECT p.p_type, l.l_suppkey, sum(l.l_extendedprice) AS rev
+        |  FROM read_parquet('{dir}/lineitem.parquet') l
+        |  JOIN read_parquet('{dir}/part.parquet') p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT p_type, sum(rev) AS tot, count(*) AS n_suppliers FROM s GROUP BY 1)
+        |SELECT s.p_type, max(t.n_suppliers) AS n_suppliers,
+        |       round(sum((s.rev/t.tot)*(s.rev/t.tot)) + 1e-7, 4) AS hhi,
+        |       round(max(s.rev)/max(t.tot) + 1e-7, 4) AS top1_share
+        |FROM s JOIN t ON s.p_type = t.p_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "max_gap_minutes" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        |           ORDER BY ts, event_id) AS gap_us
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |m AS (
+        |  SELECT event_type, day, CAST(round(max(gap_us)/6e7) AS BIGINT) AS max_gap_min
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(max(max_gap_min) AS BIGINT) AS worst_gap_min,
+        |       round(avg(max_gap_min) + 1e-7, 4) AS avg_daily_max_gap,
+        |       CAST(sum(CASE WHEN max_gap_min >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS days_with_hour_gap
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "revenue_discount_band" ->
       """SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
         |       count(*) AS n_lines,

@@ -654,6 +654,34 @@ object RelationalQueries {
       .orderBy("day")
   }
 
+  /** `supplier_hhi` — supply-concentration report per part type
+    * (full oracle): Herfindahl–Hirschman index (Σ share²) of supplier
+    * revenue, supplier count, and the top supplier's share — the
+    * single-vendor-risk number a supply-chain review reads
+    * ([[paretoShare]]'s concentration math applied to the supplier
+    * dimension, as an INDEX rather than a curve).
+    *
+    * Scale: part is a broadcast dim; the (type, supplier) revenue
+    * rollup partial-aggregates map-side (the one corpus exchange);
+    * totals are a types-grain broadcast back; HHI folds on the
+    * supplier-dimension grain. All divisions are by positive totals.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "l_suppkey")
+      .agg(sum("l_extendedprice").as("rev"))
+    val t = s.groupBy("p_type")
+      .agg(sum("rev").as("tot"), count(lit(1)).as("n_suppliers"))
+    s.join(broadcast(t), "p_type")
+      .groupBy("p_type")
+      .agg(max("n_suppliers").as("n_suppliers"),
+        r4(sum((col("rev") / col("tot")) * (col("rev") / col("tot")))).as("hhi"),
+        r4(max("rev") / max("tot")).as("top1_share"))
+      .orderBy("p_type")
+  }
+
   /** `fuzzy_name_pairs` — blocked edit-distance entity resolution on
     * the part catalog (full oracle): candidate duplicate name pairs =
     * same trailing noun (the blocking key) AND `levenshtein ≤ 4`,

@@ -960,6 +960,33 @@ object SliQueries {
       .orderBy("event_type")
   }
 
+  /** `max_gap_minutes` — detector-blindness windows (full oracle):
+    * per type, the worst and average DAILY MAXIMUM inter-arrival gap
+    * and the count of days with an hour-plus silence. The SLA
+    * question [[interarrivalStats]]' mean/CV can't answer — a
+    * monitoring stream with healthy averages can still go dark for
+    * an hour, and that hour is where incidents hide. Same (type,
+    * day)-keyed window as interarrival_stats (the sequence statistic
+    * partitions with the calendar); gap math is exact integer µs,
+    * rounded to the minute grid identically in both engines.
+    */
+  def maxGapMinutes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("gap_us").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(max("gap_us") / 6e7).cast("long").as("max_gap_min"))
+      .groupBy("event_type")
+      .agg(max("max_gap_min").as("worst_gap_min"),
+        r4(avg("max_gap_min")).as("avg_daily_max_gap"),
+        sum(when(col("max_gap_min") >= 60, 1L).otherwise(0L))
+          .as("days_with_hour_gap"))
+      .orderBy("event_type")
+  }
+
   /** Shared (type, day) burn rollup: per-day breach-minute count and
     * minute count under the [[errorBudgetBurn]] SLO convention
     * (minute-avg outside [50, 150] breaches; budget = 1% of minutes).

@@ -291,7 +291,12 @@ class PlanAuditSpec extends SparkTestBase {
     // order-economics wave: q6 shape = one pushed-filter scan +
     // band agg + sort; backlog = per-order max-shipdate agg (the one
     // corpus exchange) + day rollup + calendar-grain running sum
-    "revenue_discount_band" -> 2, "orders_backlog" -> 3)
+    "revenue_discount_band" -> 2, "orders_backlog" -> 3,
+    // concentration + availability wave: hhi = broadcast part dim +
+    // (type, supplier) rollup + types-grain totals broadcast back +
+    // supplier-grain fold + sort; max_gap shares interarrival's
+    // (type, day) window + day agg + type re-agg + sort
+    "supplier_hhi" -> 5, "max_gap_minutes" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

@@ -876,6 +876,53 @@ class StatsLawSpec extends SparkTestBase {
     assert(fix.last.getLong(3) == opened - shipped, "final backlog != open - shipped")
   }
 
+  test("supplier_hhi: uniform market 1/n, monopoly 1; bounds tie HHI to top-1 share") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long, Double)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_hhi").toString
+      rows.zipWithIndex.map { case ((pk, sk, price), i) =>
+        ((i + 1).toLong, pk, sk, 1, 1.0, price, 0.0, 0.0, "A", "O", ts(1))
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      Seq((1L, "p one", "Brand#1", "TYPEA", 1, 1.0),
+        (2L, "p two", "Brand#1", "TYPEB", 1, 1.0))
+        .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .write.mode("overwrite").parquet(s"$d/part.parquet")
+      d
+    }
+    // TYPEA: 4 equal suppliers → HHI 0.25; TYPEB: monopoly → HHI 1
+    val d = mk((1L to 4L).map(s => (1L, s, 100.0)) :+ (2L, 9L, 50.0))
+    val got = RelationalQueries.supplierHhi(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("TYPEA") == ((4L, 0.25, 0.25)), got("TYPEA").toString)
+    assert(got("TYPEB") == ((1L, 1.0, 1.0)), got("TYPEB").toString)
+    RelationalQueries.supplierHhi(spark, sf).collect().foreach { r =>
+      val (n, hhi, top1) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(hhi >= 1.0 / n - 1e-4 && hhi <= 1.0 + 1e-9, r.toString)
+      assert(hhi >= top1 * top1 - 1e-4 && hhi <= top1 + 1e-4, r.toString)
+    }
+  }
+
+  test("max_gap_minutes: constructed gaps measure exactly; worst dominates the daily mean") {
+    val mk = (id: Long, day: Int, hm: (Int, Int)) =>
+      (id, Timestamp.valueOf(f"2024-01-0$day ${hm._1}%02d:${hm._2}%02d:00"),
+        1L, "view", 1.0, "{}")
+    // day 1: gaps 30/30 min → max 30; day 2: one 90-min gap →
+    // worst 90, one hour-plus day
+    val d = tmpEvents(Seq(
+      mk(1L, 1, (6, 0)), mk(2L, 1, (6, 30)), mk(3L, 1, (7, 0)),
+      mk(4L, 2, (6, 0)), mk(5L, 2, (7, 30))))
+    val r = SliQueries.maxGapMinutes(spark, d).collect()(0)
+    assert(r.getLong(1) == 90L, s"worst ${r.getLong(1)}")
+    assert(r.getDouble(2) == 60.0, s"avg ${r.getDouble(2)}")
+    assert(r.getLong(3) == 1L, s"hour-gap days ${r.getLong(3)}")
+    SliQueries.maxGapMinutes(spark, sf).collect().foreach { row =>
+      assert(row.getLong(1) >= row.getDouble(2) - 1e-9, row.toString)
+    }
+  }
+
   test("quantile_norm_chars: ranks in [0,1], cume_dist ≥ percent_rank, monotone within source") {
     val out = TextOps.quantileNormChars(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
