@@ -282,8 +282,10 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double"))))
+      // try_divide: a zero-norm (dead) embedding must degrade to NULL like
+      // the DuckDB oracle, not raise DIVIDE_BY_ZERO under ANSI (r4 advice).
       .withColumn("u", transform(col("embedding"),
-        x => x.cast("double") / col("nrm")))
+        x => try_divide(x.cast("double"), col("nrm"))))
     val dims = e.select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(sum("x").as("s"))
     val s2 = dims.groupBy("label").agg(sum(col("s") * col("s")).as("s2"))
@@ -299,12 +301,15 @@ object AnnOps {
     counts.join(s2, "label").join(cross, "label")
       .crossJoin(broadcast(total))
       .select(col("label"), col("n"),
-        r4((col("s2") - col("sumsq")) / (col("n") * (col("n") - 1)))
+        // try_divide: a singleton label (n*(n-1)=0) or a single-label corpus
+        // yields NULL, matching the oracle's empty-average, instead of an
+        // ANSI DIVIDE_BY_ZERO (r4 advice).
+        r4(try_divide(col("s2") - col("sumsq"), col("n") * (col("n") - 1)))
           .as("intra_cos"),
-        r4(col("crossdot") / (col("n") * (col("nTotal") - col("n"))))
+        r4(try_divide(col("crossdot"), col("n") * (col("nTotal") - col("n"))))
           .as("inter_cos"),
-        r4((col("s2") - col("sumsq")) / (col("n") * (col("n") - 1)) -
-          col("crossdot") / (col("n") * (col("nTotal") - col("n"))))
+        r4(try_divide(col("s2") - col("sumsq"), col("n") * (col("n") - 1)) -
+          try_divide(col("crossdot"), col("n") * (col("nTotal") - col("n"))))
           .as("separation"))
       .orderBy("label")
   }

@@ -391,8 +391,14 @@ object LlmQueries {
     *
     * Scale: first-appearance = `min(doc_id)` per bigram — a
     * vocabulary-grain partial agg (hot bigrams collapse map-side,
-    * the tfidf lesson); the curve is a running sum on the
-    * bucket-grain frame. No windows ever touch corpus-grain rows.
+    * the tfidf lesson). The cumulative curve is the r4-verdict fix:
+    * the bucket grain is `doc_id div 50` — corpus/50 rows, LINEAR in
+    * corpus size — so the running sum runs through
+    * [[PrefixOps.prefixSum]]'s range-partitioned two-pass prefix sum
+    * (per-partition partials → broadcast offsets → local cumsum)
+    * instead of an unpartitioned Window that would funnel 20 M rows
+    * through one task at 1 B docs. The only single-task window left
+    * is the offsets scan at partition-count grain.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
@@ -406,11 +412,9 @@ object LlmQueries {
       .groupBy("bucket").agg(count(lit(1)).as("new_bigrams"))
     val buckets = Tables.documents(spark, dir)
       .select(expr("doc_id div 50").as("bucket")).distinct()
-    buckets.join(nb, Seq("bucket"), "left")
+    val perBucket = buckets.join(nb, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("new_bigrams"), lit(0L)).as("new_bigrams"))
-      .withColumn("vocab_size", sum("new_bigrams").over(
-        Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    PrefixOps.prefixSum(perBucket, "bucket", "new_bigrams", "vocab_size")
       .orderBy("bucket")
   }
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix (cumulative) sums — the scale-safe replacement
+  * for `sum(x).over(Window.orderBy(k))` when the ordered grain grows
+  * with the corpus.
+  *
+  * An unpartitioned Window funnels EVERY row through one task: fine
+  * when the grain is dimension-bounded (a calendar, a label set), a
+  * guaranteed straggler when it is corpus-proportional (Spark even
+  * warns "No Partition Defined for Window operation"). The classic
+  * fix is the two-pass parallel prefix sum:
+  *
+  *   1. split the key range into P ordered slices;
+  *   2. per-slice partial sums — a slice-COUNT-grain frame
+  *      (≤ spark.sql.shuffle.partitions rows, constant at any data
+  *      size) whose exclusive running sum gives each slice its
+  *      starting offset;
+  *   3. broadcast the offsets back and finish with a cumsum LOCAL to
+  *      each slice.
+  *
+  * The slice id is a DETERMINISTIC COLUMN — `floor((k - lo) * P /
+  * span)` from the frame's min/max — NOT `spark_partition_id()` over
+  * `repartitionByRange`: the range partitioner's sampled bounds are
+  * not guaranteed identical across the two executions of the frame
+  * (its sampling seed derives from fresh RDD ids), and a key landing
+  * in slice 3 for the partial pass but slice 4 for the final pass
+  * would silently corrupt every downstream offset. A pure function
+  * of the data cannot disagree with itself, whether or not AQE
+  * reuses the upstream exchange.
+  *
+  * Every task now sorts/scans only its own slice; the only
+  * single-task window runs over the bounded offsets frame. Same
+  * output as the naive global window (vocab_growth's unchanged
+  * oracle hash + PrefixSumSpec's law test).
+  */
+object PrefixOps {
+
+  /** Adds `outCol` = running sum of `valueCol` in ascending `orderCol`
+    * order. `orderCol` must be numeric and unique per row (ties would
+    * make the running sum frame-order-dependent, as with any
+    * rowsBetween running sum). Slices are equal-WIDTH in key space —
+    * balanced for the dense grids this serves (bucket ids, epoch
+    * minutes/days); a heavily clustered key would want
+    * quantile-based bounds instead. Output partitioning/order is not
+    * guaranteed — sort downstream if needed.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Three passes read this frame (bounds, partials, final cumsum):
+    // materialize it ONCE — without this the whole upstream plan
+    // (vocab_growth's bigram first-appearance agg) re-executes per
+    // pass. localCheckpoint also cuts lineage, the GraphOps pattern.
+    val snap = df.localCheckpoint()
+    val bounds = snap.agg(min(col(orderCol)).cast("double").as("__lo"),
+      max(col(orderCol)).cast("double").as("__hi"))
+    val withPid = snap.crossJoin(broadcast(bounds))
+      .withColumn("__pid", least(lit(p - 1), greatest(lit(0),
+        floor((col(orderCol).cast("double") - col("__lo")) * p /
+          (col("__hi") - col("__lo") + 1.0d)).cast("int"))))
+      .drop("__lo", "__hi")
+    val partials = withPid.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+    // exclusive scan over ≤ p rows — the one legitimately-bounded
+    // single-task window (slice-count grain, data-size constant)
+    val offsets = partials.withColumn("__offset",
+        coalesce(sum("__psum").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    withPid.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol,
+        sum(col(valueCol)).over(Window.partitionBy("__pid").orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+}

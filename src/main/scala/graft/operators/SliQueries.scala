@@ -899,9 +899,13 @@ object SliQueries {
       sum(when(col("grp") === "B", 1L).otherwise(0L)).as("n_b"),
       sum(when(col("grp") === "A", col("conv")).otherwise(0L)).as("conv_a"),
       sum(when(col("grp") === "B", col("conv")).otherwise(0L)).as("conv_b"))
-    val pA = col("conv_a") / col("n_a")
-    val pB = col("conv_b") / col("n_b")
-    val pool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    // try_divide throughout: an empty arm (n_a or n_b = 0) yields NULL
+    // rates like the DuckDB oracle instead of failing the whole query
+    // under ANSI (r4 advice) — unreachable on a real md5 user split, but
+    // consistent with the repo-wide dirty-input policy.
+    val pA = try_divide(col("conv_a"), col("n_a"))
+    val pB = try_divide(col("conv_b"), col("n_b"))
+    val pool = try_divide(col("conv_a") + col("conv_b"), col("n_a") + col("n_b"))
     // try_divide: a degenerate split (0% or 100% pooled conversion)
     // has zero pooled variance — z is undefined (NULL, matching
     // DuckDB's x/0), not an ANSI error

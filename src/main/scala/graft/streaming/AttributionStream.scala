@@ -41,23 +41,27 @@ class AttributionProcessor extends StatefulProcessor[Long, AttrEv, AttrRecord] {
       timers: TimerValues): Iterator[AttrRecord] = {
     val out = Seq.newBuilder[AttrRecord]
     var cur = if (touch.exists()) Some(touch.get()) else None
-    evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+    evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       if (e.event_type == "purchase") {
         val attributed = cur match {
-          case Some(t) if e.ts_ms - t.ts_ms <= 3600000L => t.et
+          // µs staleness bound == the batch form's unix_micros window
+          case Some(t) if e.ts_us - t.ts_us <= 3600000000L => t.et
           case _ => "direct"
         }
-        out += AttrRecord(e.event_id, e.ts_ms, user, attributed)
+        out += AttrRecord(e.event_id, e.ts_us, user, attributed)
       } else {
-        cur = Some(LastTouch(e.ts_ms, e.event_type))
+        cur = Some(LastTouch(e.ts_us, e.event_type))
       }
     }
     cur.foreach { t =>
       touch.update(t)
       // one timer per key: clear the touch once it can never attribute
       getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      // timers stay ms-grain (the API's unit); ceil the µs deadline so the
+      // cell is never cleared before the last µs at which it can attribute
       getHandle.registerTimer(
-        math.max(t.ts_ms + 3600001L, timers.getCurrentWatermarkInMs() + 1L))
+        math.max(t.ts_us / 1000L + 3600001L,
+          timers.getCurrentWatermarkInMs() + 1L))
     }
     out.result().iterator
   }
@@ -75,10 +79,16 @@ object AttributionStream {
 
   case class AttrEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
       event_type: String) {
-    def ts_ms: Long = ts.getTime
+    /** Event time in MICROseconds — the staleness comparison must run at
+      * the same precision as the batch query's `unix_micros` or events
+      * within sub-ms of the 1-hour boundary attribute differently
+      * stream-vs-batch (r4 advice). `getTime` already carries the ms part;
+      * `getNanos` carries the FULL sub-second fraction, so only the
+      * µs-within-ms remainder is added. */
+    def ts_us: Long = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
   }
-  case class LastTouch(ts_ms: Long, et: String)
-  case class AttrRecord(purchase_id: Long, ts_ms: Long, user_id: Long,
+  case class LastTouch(ts_us: Long, et: String)
+  case class AttrRecord(purchase_id: Long, ts_us: Long, user_id: Long,
       attributed: String)
 
   /** Per-purchase attribution stream (append mode, event-time

@@ -283,7 +283,11 @@ class PlanAuditSpec extends SparkTestBase {
     // algebra replaces would be the real cost); vocab_growth =
     // bigram-grain first-appearance agg (2-phase) + bucket rollup +
     // bucket-grain running sum + left join
-    "label_separation" -> 10, "vocab_growth" -> 4,
+    // vocab_growth (r5): bigram first-appearance agg + bucket rollup
+    // run once at PrefixOps' localCheckpoint build; the printed plan
+    // is checkpoint-scan → bounds agg + slice partials/offsets +
+    // slice-partitioned cumsum + final sort
+    "label_separation" -> 10, "vocab_growth" -> 6,
     // planning diagnostics: tagged single-column scans union into the
     // (key, value) frequency rollup (2-phase — hot keys collapse
     // map-side) + key-grain stats + sort
@@ -308,5 +312,59 @@ class PlanAuditSpec extends SparkTestBase {
     assert(over.isEmpty,
       over.map { case (q, n) => s"$q: $n shuffles (pinned ${shufflePins(q)})" }
         .mkString("shuffle regressions:\n", "\n", ""))
+  }
+
+  /** r4-verdict tripwire: an unpartitioned Window funnels its ENTIRE
+    * input through one task — at 100 TB that task IS the query
+    * (vocab_growth's old global cumsum was the caught instance; it now
+    * runs through [[graft.operators.PrefixOps.prefixSum]]). A query may
+    * carry an unpartitioned Window ONLY when pinned here with the
+    * bounded-or-documented grain that justifies it; anything new fails
+    * the audit. Stale pins fail too, so the list can't rot.
+    */
+  private val unpartitionedWindowPins: Map[String, String] = Map(
+    // slice-count-grain offsets frame inside PrefixOps.prefixSum
+    // (≤ spark.sql.shuffle.partitions rows, data-size constant) —
+    // the corpus-grain cumsum itself is slice-partitioned
+    "vocab_growth" -> "PrefixOps offsets frame (≤ shuffle.partitions rows)",
+    // |event_types|+1-row rollup feeding the share denominator
+    "purchase_attribution" -> "types-grain share denominator",
+    // calendar-grain running sum (days since first order) — swap to
+    // PrefixOps.prefixSum documented in the scaladoc if the grain
+    // ever became unbounded
+    "orders_backlog" -> "calendar-grain running sum",
+    // customer-grain ranked curve / ntiles: bounded by the customer
+    // DIMENSION, not the fact corpus; the scaladocs document the
+    // two-pass swap past dimension-broadcast scale
+    "pareto_share" -> "customer-dimension ranked curve (documented swap)",
+    "rfm_segments" -> "customer-dimension ntiles (documented swap)")
+
+  test("no unpartitioned Window on an unbounded grain (r4 tripwire)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    def unpartitioned(p: SparkPlan): Int = {
+      val here = p match {
+        case w: WindowExecBase if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      here + kids.map(unpartitioned).sum
+    }
+    val counts = SparkEntry.queries.keys.toSeq.sorted.map { q =>
+      q -> unpartitioned(
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+    }.toMap
+    val offenders = counts.filter { case (q, n) =>
+      n > 0 && !unpartitionedWindowPins.contains(q) }
+    assert(offenders.isEmpty,
+      offenders.keys.toSeq.sorted.mkString(
+        "unpinned unpartitioned Windows (single-task at scale):\n", "\n", ""))
+    val stale = unpartitionedWindowPins.keySet.filter(q => counts(q) == 0)
+    assert(stale.isEmpty, s"stale unpartitioned-Window pins: $stale")
   }
 }
