@@ -240,6 +240,12 @@ object SparkEntry {
     // LATERAL correlated subquery + aggregate FILTER clause (full oracle)
     "lateral_topn" -> (RelationalQueries.lateralTopn _),
     "filtered_aggs" -> (RelationalQueries.filteredAggs _),
+    // r5: the documented 100 TB sketch swaps, wired as variants
+    // (rows-only — approximate by design; ScaleVariantSpec pins each
+    // against its exact oracle-backed twin)
+    "dq_profile_hll" -> (ScaleVariants.dqProfileHll _),
+    "rolling_active_users_sketch" -> (ScaleVariants.rollingActiveUsersSketch _),
+    "mad_robust_gk" -> (ScaleVariants.madRobustGk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

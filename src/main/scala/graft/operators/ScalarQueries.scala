@@ -469,7 +469,16 @@ object ScalarQueries {
     * accepted trade everywhere. The wide→long pivot is `stack` over
     * ONE aggregated row — no second scan.
     */
-  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    dqProfileWith(spark, dir, countDistinct(_))
+
+  /** Shared body for the exact profile and its HLL variant
+    * ([[ScaleVariants.dqProfileHll]]): `distinctAgg` is the one knob
+    * the 100 TB swap turns — everything else (schema, null/min/max
+    * lanes, the stack pivot) is identical by construction.
+    */
+  private[operators] def dqProfileWith(spark: SparkSession, dir: String,
+      distinctAgg: Column => Column): DataFrame = {
     val o = Tables.orders(spark, dir)
     val epochDay = (c: Column) => datediff(to_date(c), lit("1970-01-01").cast("date"))
     // (name, numeric view or null for varchar)
@@ -483,7 +492,7 @@ object ScalarQueries {
     val aggs = profiled.zipWithIndex.flatMap { case ((name, num), i) =>
       Seq(
         sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"nn$i"),
-        countDistinct(col(name)).as(s"nd$i"),
+        distinctAgg(col(name)).as(s"nd$i"),
         r4(min(num)).as(s"mn$i"),
         r4(max(num)).as(s"mx$i"))
     }

@@ -73,7 +73,7 @@ class ClusterModeSpec extends SparkTestBase {
     case _ => a == b
   }
 
-  test("all 149 queries run and agree across real executor JVMs (local-cluster[2,4])") {
+  test("every declared query runs and agrees across real executor JVMs (local-cluster[2,4])") {
     val outDir = new File("/tmp/graft-cluster-verify")
     org.apache.commons.io.FileUtils.deleteQuietly(outDir)
 

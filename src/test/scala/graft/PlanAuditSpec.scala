@@ -300,7 +300,14 @@ class PlanAuditSpec extends SparkTestBase {
     // (type, supplier) rollup + types-grain totals broadcast back +
     // supplier-grain fold + sort; max_gap shares interarrival's
     // (type, day) window + day agg + type re-agg + sort
-    "supplier_hhi" -> 5, "max_gap_minutes" -> 4)
+    "supplier_hhi" -> 5, "max_gap_minutes" -> 4,
+    // r5 sketch-swap variants: hll profile is the POINT — one
+    // single-pass agg exchange, no Expand; the sketch-served rollup
+    // re-keys the persisted day sketches (day agg + spine distinct +
+    // anchor re-agg + sort); gk mad = sketch pass + deviation pass +
+    // sort (centers broadcast)
+    "dq_profile_hll" -> 1, "rolling_active_users_sketch" -> 4,
+    "mad_robust_gk" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
