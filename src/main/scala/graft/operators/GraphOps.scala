@@ -49,16 +49,40 @@ object GraphOps {
       .select(col("part"), col("a").as("s"), col("b").as("d"))
       .union(edges.select(col("part"), col("b").as("s"), col("a").as("d")))
       .localCheckpoint()
-    var labels = sym
-      .select(col("part"), col("s").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // r5: the FIRST propagation folds into label init for free —
+    // with labels = node ids, "min over self and neighbors' labels"
+    // is a plain agg over the edge list (no label-frame join yet):
+    // one round's worth of convergence at a fraction of a round's
+    // cost, and for dense dup clusters (star-ish) most nodes land on
+    // their component minimum immediately.
+    var labels = sym.select(col("part"), col("d").as("node"), col("s").as("lbl"))
+      .union(sym.select(col("part"), col("s").as("node"), col("s").as("lbl")))
+      .groupBy(col("part"), col("node")).agg(min("lbl").as("lbl"))
       .localCheckpoint()
+    // pointer jump: lbl := lbl(lbl). A label is always a live node
+    // id, and labels only decrease, so the jump is monotone-safe;
+    // left join + coalesce covers the already-minimal root. (r5 note:
+    // a double jump per round was tried and reverted — near-dup
+    // graphs converge in 3-5 rounds already, so halving the round
+    // count saved ≤1 round while the extra self-join layer doubled
+    // every round's plan. Deep-diameter graphs would tip the other
+    // way.)
+    def jump(df: DataFrame): DataFrame = df.alias("x")
+      .join(
+        df.select(col("part").as("jp"), col("node").as("jn"), col("lbl").as("jl")),
+        col("x.part") === col("jp") && col("x.lbl") === col("jn"), "left")
+      .select(col("x.part").as("part"), col("x.node").as("node"),
+        col("x.old").as("old"),
+        coalesce(least(col("jl"), col("x.lbl")), col("x.lbl")).as("lbl"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // propagate: node adopts min(own label, neighbors' labels) —
       // neighbor mins partial-agg BEFORE the exchange (hot nodes
-      // collapse map-side), then one join back to the label frame
+      // collapse map-side), then one join back to the label frame.
+      // The round carries the incoming label as `old`, so convergence
+      // detection is a filter over the materialized round output —
+      // not an extra join job against the previous frame (r5).
       val nbrMin = sym
         .join(
           labels.select(col("part").as("mp"), col("node").as("mn"), col("lbl")),
@@ -67,24 +91,11 @@ object GraphOps {
         .agg(min("lbl").as("nlbl"))
       val prop = labels
         .join(nbrMin, Seq("part", "node"), "left")
-        .select(col("part"), col("node"),
+        .select(col("part"), col("node"), col("lbl").as("old"),
           coalesce(least(col("lbl"), col("nlbl")), col("lbl")).as("lbl"))
-      // pointer jump: lbl := lbl(lbl). A label is always a live node
-      // id, and labels only decrease, so the jump is monotone-safe;
-      // left join + coalesce covers the already-minimal root.
-      val next = prop.alias("x")
-        .join(
-          prop.select(col("part").as("jp"), col("node").as("jn"), col("lbl").as("jl")),
-          col("x.part") === col("jp") && col("x.lbl") === col("jn"), "left")
-        .select(col("x.part").as("part"), col("x.node").as("node"),
-          coalesce(least(col("jl"), col("x.lbl")), col("x.lbl")).as("lbl"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.select(col("part"), col("node"), col("lbl").as("old")),
-          Seq("part", "node"))
-        .filter(col("lbl") =!= col("old"))
-        .limit(1).count()
-      labels = next
+      val next = jump(prop).localCheckpoint()
+      val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next.select(col("part"), col("node"), col("lbl"))
       converged = changed == 0L
       iter += 1
     }

@@ -575,12 +575,15 @@ object RelationalQueries {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+    // r5: emit BOTH edge orientations from ONE self-join pass
+    // (pk =!= pk) instead of building the a<b half and unioning its
+    // swap — the union form ran the whole join+distinct subtree twice
+    // (4.1 s → ~2 s at sf0.1, the query's dominant stage). Same edge
+    // set: for a ≠ b the join yields (a,b) AND (b,a) directly.
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // one corpus pass; iterations read blocks
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
@@ -590,16 +593,20 @@ object RelationalQueries {
       .localCheckpoint()
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint()
-    for (_ <- 1 to 10) {
+    // r5: checkpoint every SECOND iteration — the in-between plan is
+    // still constant-size (one extra broadcast-join layer over the
+    // checkpointed frame), and the materialization-job floor that
+    // dominated the local bench halves. Values are unchanged:
+    // checkpointing affects only where lineage is cut.
+    for (i <- 1 to 10) {
       val contrib = shares.join(broadcast(ranks), col("src") === col("node"))
         .groupBy("dst").agg(sum(col("rank") / col("deg")).as("contrib"))
-      ranks = deg.crossJoin(broadcast(nDf))
+      val updated = deg.crossJoin(broadcast(nDf))
         .join(contrib, col("src") === col("dst"), "left")
         .select(col("src").as("node"),
           (lit(0.15) / col("n") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint()
+      ranks = if (i % 2 == 0) updated.localCheckpoint() else updated
     }
     ranks
       .select(col("node").as("part"), r4(col("rank") * 1000).as("rank_pm"))
