@@ -246,6 +246,10 @@ object SparkEntry {
     "dq_profile_hll" -> (ScaleVariants.dqProfileHll _),
     "rolling_active_users_sketch" -> (ScaleVariants.rollingActiveUsersSketch _),
     "mad_robust_gk" -> (ScaleVariants.madRobustGk _),
+    // r5: filtered ANN (predicate + vector) — rows-only; recall floor
+    // vs the exact filtered brute force + pushdown pins in
+    // AnnFilteredSpec
+    "ann_filtered_topk" -> (AnnOps.annFilteredTopk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

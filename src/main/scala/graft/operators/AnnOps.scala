@@ -65,6 +65,33 @@ object AnnOps {
     }
   }
 
+  /** Declared query `ann_filtered_topk` (rows-only; recall floor,
+    * predicate containment, exact-cosine and pushdown guarantees in
+    * AnnFilteredSpec): FILTERED ANN — top-10 by cosine among only the
+    * label = 7 slice of the corpus, for query vector vec_id = 0. The
+    * retrieval shape an LLM-curation pipeline runs constantly
+    * ("nearest neighbors from THIS source/language/quality tier").
+    *
+    * Served by [[IvfIndex.probeTopkFiltered]]: the label predicate is
+    * pushed into the DPP-pruned bucket scan (PushedFilters), so the
+    * probe reads nprobe/npivots of the partitions and row-group-skips
+    * non-matching rows inside them; exact cosine re-rank on the
+    * survivors. nprobe is widened to 5 (vs the unfiltered query's 3)
+    * because the ~10% label selectivity thins each probed bucket —
+    * the standard filtered-search budget knob (see the primitive's
+    * scaladoc for the crossover to an exact slice scan).
+    */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    IvfIndex.ensure(spark, dir, npivots = 8) match {
+      case Some(path) =>
+        IvfIndex.probeTopkFiltered(spark, path,
+          all.filter(col("vec_id") === 0), col("label") === 7, nprobe = 5, k = 10)
+      case None =>
+        all.select(col("vec_id"), col("label"), r4(lit(0.0)).as("cos_sim")).limit(0)
+    }
+  }
+
   /** Declared query `ann_knn_join` (rows-only; recall vs exact and
     * structural guarantees in AnnRecallSpec): BATCH ANN join — the
     * 50 query vectors vec_id < 50 each retrieve their top-3 neighbors

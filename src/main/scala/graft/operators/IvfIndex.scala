@@ -264,6 +264,51 @@ object IvfIndex {
         r4(col("cos")).as("cos"))
   }
 
+  /** FILTERED probe-only ANN top-k: the predicate+vector retrieval
+    * shape (top-k among only the rows satisfying a metadata
+    * predicate — e.g. one label/source/language slice of the corpus).
+    *
+    * Plan: identical to [[probeTopk]] — rank pivots, DPP-prune to the
+    * nprobe bucket partitions — with the metadata predicate applied
+    * DIRECTLY to the assignment scan, where it reaches the parquet
+    * reader as a pushed data filter (the assign table persists the
+    * metadata columns exactly so this works; AnnFilteredSpec pins
+    * `PushedFilters` non-empty on the assign FileScan). So the scan
+    * reads nprobe/npivots of the partitions AND row-group-skips
+    * within them; candidates that fail the predicate never reach the
+    * re-rank.
+    *
+    * Filtering thins each probed bucket by the predicate selectivity
+    * s, so for the same recall target nprobe should grow roughly as
+    * the candidate budget / (bucket_size · s) — callers pass a wider
+    * nprobe than the unfiltered query (the standard filtered-search
+    * knob; post-filtering a k/s-deep unfiltered result is the
+    * alternative and is strictly worse: it re-ranks candidates the
+    * predicate will discard). Degenerately selective predicates
+    * (s → 0) are better served by flipping to an exact scan of the
+    * predicate slice — that crossover belongs to the caller.
+    */
+  def probeTopkFiltered(spark: SparkSession, path: String, query: DataFrame,
+      predicate: Column, nprobe: Int, k: Int): DataFrame = {
+    val q = query.select(col("emb").as("q_emb"),
+      sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
+    val pivots = spark.read.parquet(s"$path/pivots")
+    val probed = pivots.crossJoin(broadcast(q))
+      .withColumn("pcos", cosine(col("p_emb"), col("q_emb")))
+      .orderBy(col("pcos").desc, col("p_id"))
+      .limit(nprobe)
+      .select(col("p_id").as("bucket"))
+    spark.read.parquet(s"$path/assign")
+      .filter(predicate)
+      .join(broadcast(probed), "bucket")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        r4(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Probe-only ANN top-k against a built index: pick the query's
     * nprobe max-cosine pivots, scan only those bucket partitions of
     * the assignment table (dynamic partition pruning via the

@@ -307,7 +307,11 @@ class PlanAuditSpec extends SparkTestBase {
     // anchor re-agg + sort); gk mad = sketch pass + deviation pass +
     // sort (centers broadcast)
     "dq_profile_hll" -> 1, "rolling_active_users_sketch" -> 4,
-    "mad_robust_gk" -> 3)
+    "mad_robust_gk" -> 3,
+    // r5 filtered ANN: same probe-only shape as ann_cosine_topk —
+    // broadcast pivots + DPP-pruned pushed-filter assign scan +
+    // TakeOrdered; zero shuffles
+    "ann_filtered_topk" -> 0)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

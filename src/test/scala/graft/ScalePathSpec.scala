@@ -236,3 +236,57 @@ class AnnBatchSpec extends SparkTestBase {
     info(f"batch ANN recall@3 = $recall%.2f over ${queries.length} queries")
   }
 }
+
+/** Filtered ANN (`ann_filtered_topk` / IvfIndex.probeTopkFiltered):
+  * predicate containment, exact cosines, recall floor vs the exact
+  * FILTERED brute force, and the two scan guarantees — DPP on the
+  * bucket partitions plus the metadata predicate pushed into the
+  * parquet reader.
+  */
+class AnnFilteredSpec extends SparkTestBase {
+  test("ann_filtered_topk: predicate containment, exact cosines, recall floor") {
+    val rows = graft.operators.AnnOps.annFilteredTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // 1. every result satisfies the predicate
+    assert(rows.forall(_.getInt(1) == 7), "a result escaped the label=7 predicate")
+    // exact filtered brute force over the indexed corpus (vec_id != 0)
+    import org.apache.spark.sql.functions._
+    val all = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val qe = all.filter(col("vec_id") === 0).collect().head.getSeq[Double](2).toArray
+    val slice = all.filter(col("vec_id") =!= 0 && col("label") === 7).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exactScores = slice.map { case (id, e) => id -> cos(qe, e) }.toMap
+    val exactTop = exactScores.toSeq.sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1).toSet
+    // 2. every ANN cosine matches the exact computation (r4 grid)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - exactScores(r.getLong(0))) < 5e-5,
+        s"vec ${r.getLong(0)}: ${r.getDouble(2)} != ${exactScores(r.getLong(0))}")
+    }
+    // 3. no ANN score beats the exact filtered top-1 (beyond the r4
+    //    output-rounding grid — the ANN column is rounded, exact isn't)
+    assert(rows.map(_.getDouble(2)).max <= exactScores.values.max + 5e-5)
+    // 4. recall floor: isotropic corpus, nprobe 5/8 -> expected ~5/8
+    val recall = (rows.map(_.getLong(0)).toSet & exactTop).size.toDouble / exactTop.size
+    assert(recall >= 0.3, s"filtered recall $recall < 0.3")
+    info(f"filtered ANN recall@10 = $recall%.2f (slice size ${slice.length})")
+  }
+
+  test("filtered probe plan: DPP on buckets AND the label predicate pushed to parquet") {
+    val res = graft.operators.AnnOps.annFilteredTopk(spark, sf)
+    res.collect() // materialize so AQE finalizes the plan + DPP executes
+    val scan = res.queryExecution.executedPlan.toString
+      .linesIterator.find(s => s.contains("FileScan") && s.contains("assign"))
+      .getOrElse(fail("no FileScan of the assign table in the plan"))
+    assert(scan.contains("dynamicpruning"),
+      s"assign scan not dynamically partition-pruned: $scan")
+    assert(scan.contains("PushedFilters: [") && scan.contains("label"),
+      s"label predicate not pushed to the assign parquet reader: $scan")
+  }
+}
