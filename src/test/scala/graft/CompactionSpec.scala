@@ -2,14 +2,18 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{EventSink, Tables}
+import graft.sources.{EventSink, MergeTableFormat, Tables}
 
-/** Small-file compaction of the date-partitioned sink
-  * (EventSink.compactDates): content identity, per-date file-count
+/** Small-file compaction of the date-partitioned sink, proven
+  * THROUGH the table-format seam ([[graft.sources.MergeTableFormat]]
+  * — an Iceberg `rewrite_data_files` / Delta `OPTIMIZE` backend
+  * inherits this contract): content identity, per-date file-count
   * cap, untouched-partition stability, idempotency, and the
   * (event_type, ts) clustering that makes row-group stats selective.
   */
 class CompactionSpec extends SparkTestBase {
+
+  private val fmt = MergeTableFormat.forName("parquet")
 
   private def partFiles(dir: java.io.File): Seq[java.io.File] =
     Option(dir.listFiles()).getOrElse(Array.empty)
@@ -38,7 +42,7 @@ class CompactionSpec extends SparkTestBase {
     val (toCompact, untouched) = (days.init, days.last)
     val untouchedBefore = partFiles(dateDirs(sink)(untouched))
       .map(f => f.getName -> f.lastModified()).toSet
-    EventSink.compactDates(spark, sink, toCompact)
+    fmt.compact(spark, sink, toCompact)
 
     // per-date cap: every compacted date now has exactly 1 file
     toCompact.foreach { d =>
@@ -53,7 +57,7 @@ class CompactionSpec extends SparkTestBase {
     assert(afterRows == beforeRows, "compaction changed the sink's contents")
 
     // idempotency: re-running compacts to the same logical state
-    EventSink.compactDates(spark, sink, toCompact)
+    fmt.compact(spark, sink, toCompact)
     assert(spark.read.parquet(sink).collect().toSet == beforeRows)
   }
 
@@ -62,7 +66,7 @@ class CompactionSpec extends SparkTestBase {
     val sink = s"$root/sink"
     EventSink.writeDatePartitioned(Tables.events(spark, sf), sink, filesPerDate = 4)
     val day = dateDirs(sink).keys.toSeq.sorted.head
-    EventSink.compactDates(spark, sink, Seq(day))
+    fmt.compact(spark, sink, Seq(day))
     val file = partFiles(dateDirs(sink)(day)) match {
       case Seq(single) => single
       case other => fail(s"expected 1 compacted file, got ${other.size}")
