@@ -250,6 +250,12 @@ object SparkEntry {
     // vs the exact filtered brute force + pushdown pins in
     // AnnFilteredSpec
     "ann_filtered_topk" -> (AnnOps.annFilteredTopk _),
+    // r5: lexical retrieval lane (BM25, full oracle) beside the
+    // vector lanes — hybrid-retrieval surface for curation pipelines
+    "bm25_search" -> (LlmQueries.bm25Search _),
+    // r5: corpus-scale LSH cluster closure (rows-only; precision /
+    // recall vs the exact bounded closure pinned in LshClusterSpec)
+    "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1423,17 +1429,47 @@ object SparkEntry {
         |       round((avg(len(string_split(text, ' ')))) + 1e-7, 4) AS avg_tokens,
         |       count(DISTINCT source) AS n_sources
         |FROM read_parquet('{dir}/documents.parquet') GROUP BY 1 ORDER BY 1""".stripMargin,
-    // §2.5 extras. The 14 rows-only queries (ann_cosine_topk,
+    // BM25 constants appear as the same sub-expressions Spark
+    // evaluates ((1.2 + 1), (1 - 0.75)) so IEEE constant folding
+    // yields bit-identical doubles on both sides
+    "bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |tf AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |         len(list_filter(ws, t -> t = 'spark'))  AS tf0,
+        |         len(list_filter(ws, t -> t = 'stream')) AS tf1,
+        |         len(list_filter(ws, t -> t = 'vector')) AS tf2
+        |  FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |         count(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+        |         count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+        |         count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+        |  FROM tf)
+        |SELECT doc_id, round((
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        |  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        |  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        |  ) + 1e-7, 4) AS bm25
+        |FROM tf CROSS JOIN stats
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    // §2.5 extras. The 19 rows-only queries (ann_cosine_topk,
     // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
     // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,
     // quantile_sketch_rollup, simhash_dups, sketch_rollup,
-    // source_overlap, srp_near_dup) are deliberately absent here
+    // source_overlap, srp_near_dup, and r5's dq_profile_hll,
+    // rolling_active_users_sketch, mad_robust_gk, ann_filtered_topk,
+    // lsh_dedup_clusters) are deliberately absent here
     // (sketch / hash-chain internals and index probing have no DuckDB
     // mirror) → driver records the rows-only check; their
     // quantitative bounds are asserted in HllSpec / MinhashRecallSpec
     // / SimhashSpec / AnnRecallSpec / SketchAggSpec /
     // QuantileSketchSpec / SrpProps / PqSpec / IvfPqSpec /
-    // CurateNearDupSpec / MediaSpec instead.
+    // CurateNearDupSpec / MediaSpec / ScaleVariantSpec /
+    // AnnFilteredSpec / LshClusterSpec instead.
     "ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang,

@@ -140,11 +140,17 @@ object DedupOps {
       .distinct()
   }
 
-  /** Docs that are verified near-duplicates (jaccard >= threshold) of
-    * their bucket representative — the dedup "kill list". Output:
-    * (lang, doc_id) of docs a dedup pass would drop.
+  /** Verified (representative, member) near-dup EDGES — the
+    * output-linear edge set behind both the kill list and the
+    * corpus-scale cluster closure ([[GraphOps]]): star candidates
+    * from [[dedupCandidates]], size-ratio pruned, exact-Jaccard
+    * verified on the hash sets (precision 1 by construction).
+    * A clique of m near-dups contributes O(m) edges, not C(m,2), and
+    * the transitive closure recovers the full cluster from the star —
+    * the property that keeps CC input linear in corpus size.
+    * Output: (lang, a_id = bucket rep, b_id).
     */
-  def nearDupKillList(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def nearDupRepEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sk = docSketches(docs)
     val cands = dedupCandidates(sk)
     val aSide = sk.select(col("doc_id").as("a_id"), col("hs").as("a_hs"), col("n_tok").as("n_a"))
@@ -155,9 +161,17 @@ object DedupOps {
       .filter(least(col("n_a"), col("n_b")) * lit(1.0) /
         greatest(col("n_a"), col("n_b")) >= threshold)
       .filter(jac >= threshold)
+      .select(col("lang"), col("a_id"), col("b_id"))
+  }
+
+  /** Docs that are verified near-duplicates (jaccard >= threshold) of
+    * their bucket representative — the dedup "kill list". Output:
+    * (lang, doc_id) of docs a dedup pass would drop.
+    */
+  def nearDupKillList(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    nearDupRepEdges(docs, threshold)
       .select(col("lang"), col("b_id").as("doc_id"))
       .distinct()
-  }
 
   /** Declared query `near_dup_minhash` (rows-only check; probabilistic
     * recall is asserted against the exact ground truth in

@@ -204,6 +204,45 @@ object GraphOps {
       .orderBy("cluster_id")
   }
 
+  /** Declared query `lsh_dedup_clusters` (rows-only; LshClusterSpec
+    * pins precision/recall vs the exact closure on the bounded
+    * slice): the UNBOUNDED twin of [[dedupClusters]] — the per-lang
+    * cluster summary over the WHOLE corpus, with the exact pair join
+    * replaced by MinHash-LSH star edges
+    * ([[DedupOps.nearDupRepEdges]]: bucket-rep candidates, exact
+    * Jaccard verified ⇒ precision 1, O(m) edges per m-clique) closed
+    * by the same [[connectedComponents]]. This wires the documented
+    * "LSH candidate edges into the same closure" scale path as an
+    * executable query instead of a scaladoc promise.
+    *
+    * Output per lang: cluster count, clustered-doc count, the largest
+    * cluster, and the docs a keep-one-per-cluster pass would drop —
+    * the numbers that decide whether a corpus needs dedup at all.
+    *
+    * Scale: edge generation is the banded-join plan (output-linear);
+    * CC is log-diameter rounds of key-partitioned joins; the summary
+    * is two partial-agg rollups. Nothing quadratic, nothing
+    * driver-side beyond CC's changed-count LIMIT 1.
+    */
+  def lshDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val edges = DedupOps.nearDupRepEdges(docs)
+      .select(col("lang").as("part"), col("a_id").as("a"), col("b_id").as("b"))
+    val clusters = connectedComponents(edges)
+      .groupBy(col("part"), col("lbl"))
+      .agg(count(lit(1)).as("sz"))
+    clusters.groupBy("part")
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs_clustered"),
+        max("sz").as("max_cluster_size"),
+        (sum("sz") - count(lit(1))).as("n_dropped"))
+      .select(col("part").as("lang"), col("n_clusters"),
+        col("n_docs_clustered"), col("max_cluster_size"), col("n_dropped"))
+      .orderBy("lang")
+  }
+
   def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     nearDupComponents(spark, dir)

@@ -418,6 +418,54 @@ object LlmQueries {
       .orderBy("bucket")
   }
 
+  /** `bm25_search` — keyword retrieval with BM25 scoring (full
+    * oracle): top-15 documents for the fixed query {spark, stream,
+    * vector}, k1 = 1.2, b = 0.75 (the Robertson/Spärck Jones
+    * formula with the +1 idf floor, as in Lucene). The lexical
+    * retrieval lane beside the vector lanes (cosine_topk/ANN) — a
+    * curation pipeline uses BOTH (hybrid retrieval) for
+    * decontamination and targeted sampling.
+    *
+    * Scale: per-term tf and dl are scan-side HOF arithmetic over the
+    * token array (no explode, no corpus shuffle — the query's terms
+    * are literals, so tf is `size(filter(ws, t == term))` per term);
+    * the corpus-level constants (N, avgdl, per-term df) collapse to
+    * ONE single-row aggregate broadcast back; scoring + the top-15 is
+    * TakeOrderedAndProject. Two corpus scans total (stats pass +
+    * scoring pass), zero corpus-sized exchanges at any scale. A
+    * multi-thousand-term workload would flip to the explode +
+    * inverted-index form (tfidf_top_terms' shape); for interactive
+    * few-term queries the scan form wins — no index to maintain.
+    *
+    * Numerics: idf and the saturation term are identical double
+    * expressions in both engines; ranking uses the r4-rounded score
+    * (ties broken by doc_id) so a sub-ulp difference cannot flip the
+    * output order.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "stream", "vector")
+    val k1 = 1.2; val b = 0.75
+    val ws = filter(split(col("text"), " "), t => t =!= "")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id") +: size(ws).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    val statCols = Seq(count(lit(1)).as("n"), avg("dl").as("avgdl")) ++
+      terms.indices.map(i => count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
+      idf * (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), r4(score).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+  }
+
   /** #34 — corpus profiling: chars, tokens, source cardinality per lang. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -311,7 +311,14 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 filtered ANN: same probe-only shape as ann_cosine_topk —
     // broadcast pivots + DPP-pruned pushed-filter assign scan +
     // TakeOrdered; zero shuffles
-    "ann_filtered_topk" -> 0)
+    "ann_filtered_topk" -> 0,
+    // r5 bm25: ONE single-row stats agg broadcast back; scoring is
+    // scan-side HOF arithmetic + TakeOrdered — corpus never shuffles
+    "bm25_search" -> 1,
+    // r5 LSH closure: CC rounds run at construction (dedup_clusters
+    // precedent); the returned summary re-aggs the checkpointed
+    // labels (cluster agg + lang rollup + sort)
+    "lsh_dedup_clusters" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
