@@ -19,7 +19,11 @@ object Bench {
     // cache keys on structure, not input path), so the timed sf pass
     // below measures execution, not JIT — no results are reused.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val warmSet = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+      .map(names => SparkEntry.queries.filter(kv => names(kv._1)))
+      .getOrElse(SparkEntry.queries)
+    warmSet.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // One-off index/sketch-table builds are DDL, not queries (a
@@ -45,7 +49,15 @@ object Bench {
     // keeps one-off hiccups out while staying honest about steady
     // state; a query that errors reports -1.
     val Passes = 3
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those
+    // queries (the driver never sets it — full set by default).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = Seq.fill(Passes) {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -170,7 +170,7 @@ object AnnOps {
     */
   def srpCandidates(vecs: DataFrame, nBits: Int = 16, bands: Int = 4): DataFrame = {
     val r = nBits / bands
-    require(bands * r == nBits && nBits <= 32, s"bad LSH shape ($nBits, $bands)")
+    require(bands * r == nBits && nBits <= 63, s"bad LSH shape ($nBits, $bands)")
     val mask = (1L << r) - 1
     val keyed = vecs
       .withColumn("sig", srpSignature(col("emb"), nBits = nBits))
@@ -186,26 +186,44 @@ object AnnOps {
       .distinct()
   }
 
+  /** Chunk width for a corpus of `n` vectors: 2^r buckets ≈ n keeps
+    * expected bucket occupancy O(1), so candidate volume on
+    * structureless data stays ~bands·n (output-linear) instead of
+    * bands·n²/2^r. Floor 8 (small corpora — tighter chunks would
+    * only add recall the corpus doesn't need to pay for), cap 15
+    * (4 bands × 15 = 60 signature bits fit one long; past 32 k-sized
+    * buckets you split the corpus or add a second signature word).
+    */
+  def srpChunkBits(n: Long): Int = {
+    val log2 = if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(15, math.max(8, log2))
+  }
+
   /** Declared query `srp_near_dup` (rows-only; found/never-found
     * behavior proven in SrpProps, exchange narrowness in SrpPlanSpec):
     * SRP-LSH near-dup summary over the WHOLE embeddings corpus — LSH
     * candidate volume, then verified pairs at cos >= 0.9. On this
     * isotropic fixture the verified count is 0 by construction (max
     * pairwise cos ≈ 0.49); the candidate count pins the banding
-    * behavior. At 100× corpus you'd widen the signature (more chunks
-    * bits) to keep buckets sparse — the shape is unchanged.
+    * behavior.
+    *
+    * The chunk width ADAPTS to the corpus ([[srpChunkBits]]: 2^r
+    * buckets ≈ n): a fixed r is quadratic on structureless data —
+    * measured 80× time at 30× corpus (sf0.1 → sf3) with r = 8 —
+    * while bucket-count-tracks-corpus keeps candidates and time
+    * output-linear. The one driver-side step is the corpus count
+    * (parquet metadata). Boundary-recall at the widest chunks stays
+    * ≥ 0.97 for genuine near-dups (cos 0.99; see srpCandidates
+    * scaladoc for the s-curve algebra).
     */
   def srpNearDup(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
     val withNorm = v.withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
+    val r = srpChunkBits(v.count())
     // single pass: every LSH candidate is verified anyway, so the
     // candidate count and the verified count aggregate off ONE
     // banding join + ONE embedding re-join (not one lineage each).
-    // Wider chunks (32/4 → r=8) than the primitive's default: the
-    // corpus-scale query trades boundary-recall for a 16× candidate
-    // cut (see srpCandidates scaladoc) — the right knob when the
-    // corpus is large and the targets are genuine near-dups.
-    val scored = srpCandidates(v, nBits = 32, bands = 4)
+    val scored = srpCandidates(v, nBits = 4 * r, bands = 4)
       .join(withNorm.select(col("vec_id").as("a_id"),
         col("emb").as("a_emb"), col("norm").as("a_norm")), "a_id")
       .join(withNorm.select(col("vec_id").as("b_id"),

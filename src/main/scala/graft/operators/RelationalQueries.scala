@@ -572,6 +572,9 @@ object RelationalQueries {
     * engines cut the same top-20.
     */
   def copurchasePagerank(spark: SparkSession, dir: String): DataFrame = {
+    // The per-(order, part) pre-distinct looks redundant (the edge
+    // distinct subsumes it) but is MEASURED faster kept: it shrinks
+    // the join build side and its removal cost ~1.9 s at sf0.1.
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -580,24 +583,43 @@ object RelationalQueries {
     // swap — the union form ran the whole join+distinct subtree twice
     // (4.1 s → ~2 s at sf0.1, the query's dominant stage). Same edge
     // set: for a ≠ b the join yields (a,b) AND (b,a) directly.
+    // (An adjacency-packed variant — groupBy(ok) collect_list →
+    // scan-side pair expansion → collect_set per src — was measured
+    // SLOWER here: the object-hash set agg over edge-scale rows costs
+    // more than the extra join exchange it saves. Kept relational.)
+    // Corpus-proportional frames checkpoint to DISK_ONLY blocks
+    // (Spark 4's storage-level overload): default MEMORY_AND_DISK
+    // checkpoint unrolls through the unified memory pool, and at sf3
+    // (72 M edges) that unroll squeezed the edge-distinct's hash
+    // aggregation into AGGREGATE_OUT_OF_MEMORY. Disk-resident blocks
+    // cost ~a second of NVMe scan per iteration at that scale and
+    // leave the whole execution pool to the aggs — the same
+    // discipline a real cluster's executor-storage sizing buys.
+    // Lineage is still cut (unlike persist()), so per-iteration plans
+    // stay constant-size. (Measured alternatives: MEMORY_AND_DISK_SER
+    // still heap-OOMs at sf3; persist(DISK_ONLY)'s columnar cache
+    // halves the sf3 iteration scans but its UNCUT lineage adds ~50%
+    // at sf0.1 through per-iteration re-planning — row-serialized
+    // disk checkpoint blocks are the right local trade.)
+    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val edges = li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
-      .localCheckpoint() // one corpus pass; iterations read blocks
+      .localCheckpoint(true, diskOnly)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint() // node-grain: tiny, memory is fine
     val nDf = deg.agg(count(lit(1)).as("n"))
-    val shares = edges.join(deg, "src")
+    val shares = edges.join(broadcast(deg), "src")
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint()
+      .localCheckpoint(true, diskOnly)
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
-    // r5: checkpoint every SECOND iteration — the in-between plan is
-    // still constant-size (one extra broadcast-join layer over the
-    // checkpointed frame), and the materialization-job floor that
-    // dominated the local bench halves. Values are unchanged:
-    // checkpointing affects only where lineage is cut.
+    // Checkpoint cadence: every iteration. (Every-2nd was tried per
+    // the r4 verdict and measured EQUAL — the two contrib aggs per
+    // materialization cost the same as one-per-action twice — so the
+    // simpler lineage wins. The per-iteration cost is the honest
+    // job floor: broadcast-ranks build + edge-scale partial agg.)
     for (i <- 1 to 10) {
       val contrib = shares.join(broadcast(ranks), col("src") === col("node"))
         .groupBy("dst").agg(sum(col("rank") / col("deg")).as("contrib"))
@@ -606,7 +628,7 @@ object RelationalQueries {
         .select(col("src").as("node"),
           (lit(0.15) / col("n") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-      ranks = if (i % 2 == 0) updated.localCheckpoint() else updated
+      ranks = updated.localCheckpoint()
     }
     ranks
       .select(col("node").as("part"), r4(col("rank") * 1000).as("rank_pm"))

@@ -149,4 +149,16 @@ class SrpPlanSpec extends SparkTestBase {
         Seq("a_id", "b_id", "cos"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("srpChunkBits tracks corpus size: 2^r buckets ~ n, floored and capped") {
+    import graft.operators.AnnOps.srpChunkBits
+    assert(srpChunkBits(0) == 8 && srpChunkBits(100) == 8)
+    assert(srpChunkBits(256) == 8)        // floor binds through 2^8
+    assert(srpChunkBits(5000) == 13)      // sf0.1 corpus
+    assert(srpChunkBits(150000) == 15)    // sf3 corpus hits the cap
+    assert(srpChunkBits(Long.MaxValue / 2) == 15)
+    // monotone non-decreasing in n
+    val vals = Seq(1L, 10L, 1000L, 10000L, 100000L, 10000000L).map(srpChunkBits)
+    assert(vals == vals.sorted)
+  }
 }
