@@ -253,6 +253,9 @@ object SparkEntry {
     // r5: lexical retrieval lane (BM25, full oracle) beside the
     // vector lanes — hybrid-retrieval surface for curation pipelines
     "bm25_search" -> (LlmQueries.bm25Search _),
+    // r5: hybrid retrieval — Reciprocal Rank Fusion of the BM25
+    // lexical lane and the dense cosine lane (full oracle)
+    "hybrid_rrf" -> (LlmQueries.hybridRrf _),
     // r5: corpus-scale LSH cluster closure (rows-only; precision /
     // recall vs the exact bounded closure pinned in LshClusterSpec)
     "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
@@ -1456,6 +1459,49 @@ object SparkEntry {
         |FROM tf CROSS JOIN stats
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    // RRF fusion of the two lanes above: each lane ranks on its
+    // ROUNDED score with an id tie-break (so a sub-ulp score
+    // difference cannot flip a rank across engines), reciprocal
+    // terms are the same two-double sum in the same order
+    "hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |tf AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |         len(list_filter(ws, t -> t = 'spark'))  AS tf0,
+        |         len(list_filter(ws, t -> t = 'stream')) AS tf1,
+        |         len(list_filter(ws, t -> t = 'vector')) AS tf2
+        |  FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |         count(CASE WHEN tf0 > 0 THEN 1 END) AS df0,
+        |         count(CASE WHEN tf1 > 0 THEN 1 END) AS df1,
+        |         count(CASE WHEN tf2 > 0 THEN 1 END) AS df2
+        |  FROM tf),
+        |lexs AS (
+        |  SELECT doc_id, round((
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+        |    ) + 1e-7, 4) AS bm25
+        |  FROM tf CROSS JOIN stats
+        |  WHERE tf0 + tf1 + tf2 > 0),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        |  FROM lexs ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM read_parquet('{dir}/embeddings.parquet') WHERE vec_id = 0),
+        |dens AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         round((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)) + 1e-7, 4) AS cos_sim
+        |  FROM read_parquet('{dir}/embeddings.parquet') e CROSS JOIN q WHERE e.vec_id <> 0),
+        |dense AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+        |  FROM dens ORDER BY cos_sim DESC, doc_id LIMIT 50)
+        |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+        |       round((coalesce(1.0 / (60 + l.r_lex), 0) + coalesce(1.0 / (60 + d.r_dense), 0)) + 1e-9, 6) AS rrf
+        |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
     // §2.5 extras. The 19 rows-only queries (ann_cosine_topk,
     // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
     // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,

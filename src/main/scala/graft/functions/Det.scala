@@ -31,7 +31,13 @@ object Det {
   /** round(x + 2e-5, 2) — for money sums / 2-dp values. */
   def r2(c: Column): Column = round(c + lit(Eps2), 2)
 
+  final val Eps6 = 1e-9
+
+  /** round(x + 1e-9, 6) — for small reciprocal-rank sums (RRF). */
+  def r6(c: Column): Column = round(c + lit(Eps6), 6)
+
   /** SQL-side mirrors (DuckDB dialect) for oracle strings. */
   def sql4(expr: String): String = s"round(($expr) + 1e-7, 4)"
   def sql2(expr: String): String = s"round(($expr) + 2e-5, 2)"
+  def sql6(expr: String): String = s"round(($expr) + 1e-9, 6)"
 }

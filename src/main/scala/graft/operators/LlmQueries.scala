@@ -442,7 +442,18 @@ object LlmQueries {
     * (ties broken by doc_id) so a sub-ulp difference cannot flip the
     * output order.
     */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(15)
+
+  /** Shared BM25 scoring lane: `(doc_id, bm25)` for every document
+    * matching ≥1 query term (used by `bm25_search` and the lexical
+    * side of `hybrid_rrf`). Scale shape as documented on
+    * [[bm25Search]]: two corpus scans, one single-row stats agg
+    * broadcast back, zero corpus-sized exchanges.
+    */
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val terms = Seq("spark", "stream", "vector")
     val k1 = 1.2; val b = 0.75
     val ws = filter(split(col("text"), " "), t => t =!= "")
@@ -462,7 +473,55 @@ object LlmQueries {
     perDoc.crossJoin(broadcast(stats))
       .filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
       .select(col("doc_id"), r4(score).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** `hybrid_rrf` — hybrid retrieval by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Büttcher, SIGIR'09) of the lexical lane
+    * ([[bm25Search]]'s scores, same fixed query terms) and the dense
+    * lane (cosine similarity to vec_id 0, `cosine_topk`'s geometry),
+    * exploiting the aligned doc_id/vec_id key space. Each lane is cut
+    * to its top-50 candidates, ranked 1..50, and fused with
+    * `Σ 1/(60 + rank)` (k = 60, the paper's constant); full-outer
+    * merge so single-lane hits survive with one reciprocal term. This
+    * is the standard first-stage retrieval shape of a RAG /
+    * decontamination pipeline: cheap lexical recall + dense semantic
+    * recall, fused without score calibration.
+    *
+    * Scale: each lane ends in TakeOrderedAndProject (top-50 — k-sized,
+    * driver-bounded), so the ONLY unpartitioned Windows (`row_number`
+    * for in-lane rank) and the fusion join run over ≤50-row frames —
+    * constant-size at any corpus scale; the corpus-sized work is
+    * exactly the two lanes' documented scan shapes (BM25: stats agg +
+    * scan-side HOF scoring; dense: broadcast query + codegen'd dot).
+    * Ranks compare ROUNDED lane scores with id tie-breaks, so a
+    * sub-ulp score difference cannot flip a rank across engines.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("r_lex"))
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    val dense = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        r4(AnnOps.dot(col("emb"), col("qv")) /
+          (sqrt(AnnOps.dot(col("emb"), col("emb"))) *
+            sqrt(AnnOps.dot(col("qv"), col("qv"))))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("cos_sim").desc, col("doc_id")))
+        .cast("long").as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        graft.functions.Det.r6(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(15)
   }
 

@@ -156,6 +156,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "ann_filtered_topk" -> 10L,
     // r5 lexical retrieval: top-15 BM25
     "bm25_search" -> 15L,
+    // r5 hybrid retrieval: top-15 fused (RRF) ranking
+    "hybrid_rrf" -> 15L,
     // r5 LSH closure: per-lang summary (all 5 langs have clusters)
     "lsh_dedup_clusters" -> 5L,
     "burn_forecast" -> 5L,

@@ -318,7 +318,13 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 LSH closure: CC rounds run at construction (dedup_clusters
     // precedent); the returned summary re-aggs the checkpointed
     // labels (cluster agg + lang rollup + sort)
-    "lsh_dedup_clusters" -> 3)
+    "lsh_dedup_clusters" -> 3,
+    // r5 hybrid RRF: the corpus-sized work is the two lanes' audited
+    // shapes (bm25's single-row stats agg = the 1 exchange here; the
+    // dense lane is broadcast-query + TakeOrdered). Everything above
+    // the two TakeOrderedAndProject(50)s — in-lane rank Windows and
+    // the full-outer fusion join — runs on ≤50-row frames
+    "hybrid_rrf" -> 1)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -355,7 +361,11 @@ class PlanAuditSpec extends SparkTestBase {
     // DIMENSION, not the fact corpus; the scaladocs document the
     // two-pass swap past dimension-broadcast scale
     "pareto_share" -> "customer-dimension ranked curve (documented swap)",
-    "rfm_segments" -> "customer-dimension ntiles (documented swap)")
+    "rfm_segments" -> "customer-dimension ntiles (documented swap)",
+    // in-lane rank over each top-50 candidate list (k-bounded: the
+    // Windows sit ABOVE TakeOrderedAndProject(50), so their input is
+    // ≤50 rows at any corpus size)
+    "hybrid_rrf" -> "rank over the two k=50 candidate lists (k-bounded)")
 
   test("no unpartitioned Window on an unbounded grain (r4 tripwire)") {
     import org.apache.spark.sql.execution.SparkPlan
