@@ -256,6 +256,9 @@ object SparkEntry {
     // r5: hybrid retrieval — Reciprocal Rank Fusion of the BM25
     // lexical lane and the dense cosine lane (full oracle)
     "hybrid_rrf" -> (LlmQueries.hybridRrf _),
+    // r5: duplicate-text fraction at 8-gram shingle grain (Lee et
+    // al. 2021's substring-dedup diagnostic; full oracle)
+    "dup_ngram_coverage" -> (TextOps.dupNgramCoverage _),
     // r5: corpus-scale LSH cluster closure (rows-only; precision /
     // recall vs the exact bounded closure pinned in LshClusterSpec)
     "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
@@ -1502,6 +1505,28 @@ object SparkEntry {
         |       round((coalesce(1.0 / (60 + l.r_lex), 0) + coalesce(1.0 / (60 + d.r_dense), 0)) + 1e-9, 6) AS rrf
         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+    // same shingling machinery as contamination_check (8-gram windows
+    // via range + slice); per-doc shingles deduped BEFORE counting on
+    // both sides; heavy-dup flag compares the ROUNDED coverage
+    "dup_ngram_coverage" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+        |                i -> array_to_string(ws[i:i+7], ' ')))) AS sh
+        |  FROM d WHERE len(ws) >= 8),
+        |nd AS (
+        |  SELECT doc_id, source, count(*) OVER (PARTITION BY sh) AS nd FROM sh),
+        |per AS (
+        |  SELECT doc_id, source,
+        |         round((sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)) + 1e-7, 4) AS cov
+        |  FROM nd GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |       round((avg(cov)) + 1e-7, 4) AS avg_dup_coverage,
+        |       CAST(sum(CASE WHEN cov >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_dup
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // §2.5 extras. The 19 rows-only queries (ann_cosine_topk,
     // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
     // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,

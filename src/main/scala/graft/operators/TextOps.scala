@@ -619,4 +619,47 @@ object TextOps {
         "as (stage_idx, stage, n_docs, sum_tokens)")
       .orderBy("stage_idx")
   }
+
+  /** `dup_ngram_coverage` — per-document duplicate-text fraction: the
+    * share of a document's distinct 8-gram shingles that also appear
+    * in ANOTHER document (the corpus-overlap diagnostic behind
+    * substring-level dedup in "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2021 — here at shingle
+    * grain, exactly computable). Per-source report: doc count, mean
+    * coverage, docs with ≥50% duplicated shingles (the rounded score
+    * is compared so the flag can't flip on a summation-order ulp).
+    *
+    * Scale: shingling is scan-side HOF arithmetic (`transform` over a
+    * `sequence`, `array_distinct` BEFORE the explode so within-doc
+    * repeats never leave the scan task). The one corpus-sized
+    * exchange is the shingle-grain Window (`count over partitionBy
+    * (sh)`) — chosen over groupBy(sh)+self-join because it reads the
+    * exploded stream ONCE: the duplicated-shingle set is itself
+    * corpus-sized (never broadcastable), a self-join would re-shuffle
+    * the same stream twice, and 8-gram keys are near-unique so
+    * map-side partial aggs would collapse almost nothing. Doc and
+    * source rollups above it are output-linear. At 100 TB the shingle
+    * exchange is THE cost and is hash-partitioned across the cluster;
+    * skew is impossible by construction (a shingle key's group is its
+    * duplicate count, Zipf-bounded by dedup_docs' exact-dup rate).
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), " "), t => t =!= "")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .filter(size(col("ws")) >= 8)
+    val sh = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - lit(7)),
+        i => array_join(slice(col("ws"), i, lit(8)), " ")))).as("sh"))
+    val nd = sh.withColumn("nd", count(lit(1)).over(Window.partitionBy("sh")))
+    val per = nd.groupBy("doc_id", "source").agg(
+      r4(sum(when(col("nd") >= 2, 1).otherwise(0)) * lit(1.0) / count(lit(1)))
+        .as("cov"))
+    per.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      r4(avg("cov")).as("avg_dup_coverage"),
+      sum(when(col("cov") >= 0.5, 1).otherwise(0)).as("n_heavy_dup"))
+      .orderBy("source")
+  }
 }

@@ -158,6 +158,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "bm25_search" -> 15L,
     // r5 hybrid retrieval: top-15 fused (RRF) ranking
     "hybrid_rrf" -> 15L,
+    // r5 duplicate-text fraction: one row per source
+    "dup_ngram_coverage" -> 20L,
     // r5 LSH closure: per-lang summary (all 5 langs have clusters)
     "lsh_dedup_clusters" -> 5L,
     "burn_forecast" -> 5L,

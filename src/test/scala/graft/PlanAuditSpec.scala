@@ -324,7 +324,11 @@ class PlanAuditSpec extends SparkTestBase {
     // dense lane is broadcast-query + TakeOrdered). Everything above
     // the two TakeOrderedAndProject(50)s — in-lane rank Windows and
     // the full-outer fusion join — runs on ≤50-row frames
-    "hybrid_rrf" -> 1)
+    "hybrid_rrf" -> 1,
+    // r5 duplicate-text fraction: ONE corpus-sized exchange (the
+    // shingle-grain Window — see the scaladoc for why it beats
+    // groupBy+self-join here) + doc rollup + source rollup + sort
+    "dup_ngram_coverage" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
