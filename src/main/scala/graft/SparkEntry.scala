@@ -259,6 +259,9 @@ object SparkEntry {
     // r5: duplicate-text fraction at 8-gram shingle grain (Lee et
     // al. 2021's substring-dedup diagnostic; full oracle)
     "dup_ngram_coverage" -> (TextOps.dupNgramCoverage _),
+    // r5: directed containment |A∩B|/|A| — the near-superset
+    // relation Jaccard misses (subsumed-doc detection; full oracle)
+    "containment_pairs" -> (LlmQueries.containmentPairs _),
     // r5: corpus-scale LSH cluster closure (rows-only; precision /
     // recall vs the exact bounded closure pinned in LshClusterSpec)
     "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
@@ -1527,6 +1530,19 @@ object SparkEntry {
         |       round((avg(cov)) + 1e-7, 4) AS avg_dup_coverage,
         |       CAST(sum(CASE WHEN cov >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_dup
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    // directed containment on the same bounded slice / symmetric
+    // tokenization as near_dup_pairs; a-side ≥20-token guard on BOTH
+    // sides of the compare
+    "containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM read_parquet('{dir}/documents.parquet') WHERE doc_id < 300)
+        |SELECT a.lang, count(*) AS n_contained_pairs,
+        |       round((avg(len(list_intersect(a.ws, b.ws)) * 1.0 / len(a.ws))) + 1e-7, 4) AS avg_containment
+        |FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE len(a.ws) >= 20
+        |  AND len(list_intersect(a.ws, b.ws)) * 1.0 / len(a.ws) >= 0.9
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // §2.5 extras. The 19 rows-only queries (ann_cosine_topk,
     // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
     // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,

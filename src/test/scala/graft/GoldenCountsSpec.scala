@@ -160,6 +160,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "hybrid_rrf" -> 15L,
     // r5 duplicate-text fraction: one row per source
     "dup_ngram_coverage" -> 20L,
+    // r5 directed containment: one row per lang
+    "containment_pairs" -> 5L,
     // r5 LSH closure: per-lang summary (all 5 langs have clusters)
     "lsh_dedup_clusters" -> 5L,
     "burn_forecast" -> 5L,

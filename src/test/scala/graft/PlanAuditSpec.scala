@@ -328,7 +328,8 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 duplicate-text fraction: ONE corpus-sized exchange (the
     // shingle-grain Window — see the scaladoc for why it beats
     // groupBy+self-join here) + doc rollup + source rollup + sort
-    "dup_ngram_coverage" -> 4)
+    "dup_ngram_coverage" -> 4,
+    "containment_pairs" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
