@@ -165,6 +165,9 @@ object SparkEntry {
     "seasonal_decompose" -> (SliQueries.seasonalDecompose _),
     // imputation/attribution/discrete-stats wave (all full oracle)
     "locf_impute" -> (SliQueries.locfImpute _),
+    // r5: linear interpolation across masked gaps (LOCF's companion;
+    // multi-day gaps ramp instead of plateauing; full oracle)
+    "interp_impute" -> (SliQueries.interpImpute _),
     "purchase_attribution" -> (SliQueries.purchaseAttribution _),
     "quantile_disc_mode" -> (ScalarQueries.quantileDiscMode _),
     // pipeline-summary wave (all full oracle): curation yield
@@ -1286,6 +1289,34 @@ object SparkEntry {
         |       round(last_value(v_masked IGNORE NULLS) OVER (
         |         PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) + 1e-7, 4) AS v_filled
         |FROM daily ORDER BY event_type, day""".stripMargin,
+    // same mins/daily rollup + mask as locf_impute; neighbor frames
+    // exclude the current row so a masked day interpolates between
+    // its nearest NON-masked neighbors; identical left-to-right
+    // double arithmetic on both sides
+    "interp_impute" ->
+      """WITH mins AS (
+        |  SELECT event_type, date_trunc('minute', ts) AS m, avg(value) AS v
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', m) AS DATE) AS day,
+        |         CASE WHEN sum(CASE WHEN v < 50 OR v > 150 THEN 1 ELSE 0 END)*1.0/count(*) > 0.68
+        |              THEN NULL ELSE avg(v) END AS v_masked
+        |  FROM mins GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, day, v_masked,
+        |    last_value(v_masked IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v_masked IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(v_masked IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v_masked IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+        |  FROM daily
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         wn AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day, round(v_masked + 1e-7, 4) AS v_masked,
+        |  round(coalesce(
+        |    CASE WHEN v_masked IS NOT NULL THEN v_masked
+        |         ELSE pv + (nv - pv) * date_diff('day', pd, day) / date_diff('day', pd, nd) END,
+        |    pv, nv) + 1e-7, 4) AS v_interp
+        |FROM x ORDER BY event_type, day""".stripMargin,
     "purchase_attribution" ->
       """WITH s AS (
         |  SELECT user_id, ts, event_id, event_type,

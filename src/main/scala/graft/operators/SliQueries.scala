@@ -1110,6 +1110,47 @@ object SliQueries {
       .orderBy("event_type", "day")
   }
 
+  /** `interp_impute` — LINEAR interpolation across masked gaps (the
+    * companion to [[locfImpute]]'s carry-forward): a masked day gets
+    * `prev + (next − prev) · (day − prev_day)/(next_day − prev_day)`
+    * from its nearest non-masked neighbors, so multi-day gaps ramp
+    * instead of plateauing (LOCF biases a recovering series low;
+    * interpolation is the right default for rate-like SLIs whose
+    * underlying signal is continuous). Leading/trailing gaps (only
+    * one neighbor) degrade to nearest-neighbor fill. Same shared
+    * [[dailyBurnValue]] rollup and mask as locf_impute — full oracle.
+    *
+    * Scale: identical shape to locf_impute — the rollup's minute agg
+    * is the corpus-sized work; the four neighbor lookups are frames
+    * over the (type, day) grain (calendar-bounded per partition, 30
+    * rows here), one partitioned Window exchange. Division is
+    * null-guarded by construction: a masked day lies strictly
+    * between its neighbors, so next_day − prev_day ≥ 2 whenever both
+    * exist, and a missing neighbor nulls the product (no ANSI
+    * divide-by-zero path).
+    */
+  def interpImpute(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyBurnValue(spark, dir)
+    val base = Window.partitionBy("event_type").orderBy("day")
+    val wP = base.rowsBetween(Window.unboundedPreceding, -1)
+    val wN = base.rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("v_masked"), ignoreNulls = true).over(wP)
+    val pd = last(when(col("v_masked").isNotNull, col("day")),
+      ignoreNulls = true).over(wP)
+    val nv = first(col("v_masked"), ignoreNulls = true).over(wN)
+    val nd = first(when(col("v_masked").isNotNull, col("day")),
+      ignoreNulls = true).over(wN)
+    val interp = coalesce(
+      when(col("v_masked").isNotNull, col("v_masked"))
+        .otherwise(pv + (nv - pv) * datediff(col("day"), pd) / datediff(nd, pd)),
+      pv, nv)
+    daily
+      .select(col("event_type"), col("day"),
+        r4(col("v_masked")).as("v_masked"),
+        r4(interp).as("v_interp"))
+      .orderBy("event_type", "day")
+  }
+
   /** (type, day) rollup carrying BOTH the daily average and its
     * masked form (NULL when the day's breach share > 0.68) — shared
     * by [[locfImpute]]; kept separate from [[dailyBurn]] because the

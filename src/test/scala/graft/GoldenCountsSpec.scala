@@ -168,6 +168,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,
     "locf_impute" -> 150L,
+    // r5 linear interpolation: same (type, day) grain as locf
+    "interp_impute" -> 150L,
     "purchase_attribution" -> 5L,
     "quantile_disc_mode" -> 5L,
     "curation_funnel" -> 4L,

@@ -329,7 +329,10 @@ class PlanAuditSpec extends SparkTestBase {
     // shingle-grain Window — see the scaladoc for why it beats
     // groupBy+self-join here) + doc rollup + source rollup + sort
     "dup_ngram_coverage" -> 4,
-    "containment_pairs" -> 2)
+    "containment_pairs" -> 2,
+    // r5 linear interpolation: locf's rollup shape + one partitioned
+    // Window exchange for the four neighbor frames + sort
+    "interp_impute" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
