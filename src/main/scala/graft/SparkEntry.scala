@@ -265,6 +265,9 @@ object SparkEntry {
     // r5: directed containment |A∩B|/|A| — the near-superset
     // relation Jaccard misses (subsumed-doc detection; full oracle)
     "containment_pairs" -> (LlmQueries.containmentPairs _),
+    // r5: χ² discriminative terms per language — feature selection
+    // for source/quality classifiers (full oracle)
+    "chi2_terms" -> (LlmQueries.chi2Terms _),
     // r5: corpus-scale LSH cluster closure (rows-only; precision /
     // recall vs the exact bounded closure pinned in LshClusterSpec)
     "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
@@ -1574,6 +1577,32 @@ object SparkEntry {
         |WHERE len(a.ws) >= 20
         |  AND len(list_intersect(a.ws, b.ws)) * 1.0 / len(a.ws) >= 0.9
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // χ² contingency products cast to double BEFORE squaring, in the
+    // same literal order as the Spark plan (both engines would
+    // overflow int64 at corpus scale otherwise); rank on the rounded
+    // statistic with a term tie-break
+    "chi2_terms" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS ws
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |tok AS (SELECT lang, unnest(ws) AS term FROM d),
+        |tlc AS (SELECT term, lang, count(*) AS a FROM tok GROUP BY 1, 2),
+        |tlc2 AS (SELECT term, lang, a, sum(a) OVER (PARTITION BY term) AS dft FROM tlc),
+        |lc AS (SELECT lang, count(*) AS nl FROM d GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM d),
+        |x AS (
+        |  SELECT t.term, t.lang, t.a, t.dft - t.a AS b, l.nl - t.a AS c2,
+        |         (n.nn - t.dft) - (l.nl - t.a) AS d2, n.nn AS nn
+        |  FROM tlc2 t JOIN lc l USING (lang) CROSS JOIN n
+        |  WHERE t.dft >= 2 AND t.dft <= n.nn - 2),
+        |s AS (
+        |  SELECT lang, term, a,
+        |         round((nn * (((a * d2 - b * c2) * 1.0) * ((a * d2 - b * c2) * 1.0))) /
+        |               ((((a + b) * 1.0) * (c2 + d2)) * (a + c2) * (b + d2)) + 1e-7, 4) AS chi2
+        |  FROM x),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, term) AS rn FROM s)
+        |SELECT lang, term, a AS df_in_lang, chi2 FROM r WHERE rn <= 5
+        |ORDER BY lang, chi2 DESC, term""".stripMargin,
     // §2.5 extras. The 19 rows-only queries (ann_cosine_topk,
     // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
     // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,

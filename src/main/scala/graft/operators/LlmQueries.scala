@@ -132,6 +132,56 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** `chi2_terms` — χ² discriminative-term extraction: top-5 terms
+    * per language by the chi-squared statistic of the 2×2 document-
+    * frequency contingency (in-lang-with-term / other-with /
+    * in-without / other-without) — the classic feature-selection step
+    * for a source/quality classifier (which terms mark this slice of
+    * the corpus?), complementing tfidf_top_terms' relevance view.
+    * Full oracle; ranking on the r4-rounded χ² with a term tie-break.
+    *
+    * Scale shape (the tfidf lesson applied): per-doc DISTINCT terms
+    * explode (dedup inside the row), then ONE (term, lang) hash agg —
+    * partial aggregation collapses Zipf-hot terms map-side. All later
+    * work is VOCAB-grain, never corpus-grain: the per-term total is a
+    * `sum over partitionBy(term)` window on the aggregated frame
+    * (reuses its exchange — no second corpus scan, no self-join),
+    * lang totals and N broadcast, and the min/max-df prune (2 ≤ df ≤
+    * N−2) both drops the singleton long tail AND guards the χ²
+    * denominator from a zero (a term in every document) under ANSI.
+    * The contingency products are cast to double BEFORE squaring, in
+    * the same literal order as the oracle, so neither engine can
+    * overflow int64 at corpus scale where `(a·d − b·c)² · N` exceeds
+    * 2⁶³.
+    */
+  def chi2Terms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dist = docs.select(col("lang"),
+      explode(array_distinct(filter(split(col("text"), " "), t => t =!= "")))
+        .as("term"))
+    val tlc = dist.groupBy("term", "lang").agg(count(lit(1)).as("a"))
+      .withColumn("dft", sum("a").over(Window.partitionBy("term")))
+    val lc = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val x = tlc
+      .join(broadcast(lc), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .filter(col("dft") >= 2 && col("dft") <= col("nn") - 2)
+      .withColumn("b", col("dft") - col("a"))
+      .withColumn("c2", col("nl") - col("a"))
+      .withColumn("d2", (col("nn") - col("dft")) - (col("nl") - col("a")))
+    val diff = (col("a") * col("d2") - col("b") * col("c2")) * lit(1.0)
+    val chi2 = (col("nn") * (diff * diff)) /
+      ((((col("a") + col("b")) * lit(1.0)) * (col("c2") + col("d2"))) *
+        (col("a") + col("c2")) * (col("b") + col("d2")))
+    val w = Window.partitionBy("lang").orderBy(col("chi2").desc, col("term"))
+    x.withColumn("chi2", r4(chi2))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("term"), col("a").as("df_in_lang"), col("chi2"))
+      .orderBy(col("lang"), col("chi2").desc, col("term"))
+  }
+
   /** #31 — exact dedup by normalized-text hash, per language. */
   def dedupDocs(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(lower(trim(col("text"))))

@@ -162,6 +162,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "dup_ngram_coverage" -> 20L,
     // r5 directed containment: one row per lang
     "containment_pairs" -> 5L,
+    // r5 χ² discriminative terms: top-5 per lang
+    "chi2_terms" -> 25L,
     // r5 LSH closure: per-lang summary (all 5 langs have clusters)
     "lsh_dedup_clusters" -> 5L,
     "burn_forecast" -> 5L,

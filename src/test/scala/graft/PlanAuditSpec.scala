@@ -332,7 +332,12 @@ class PlanAuditSpec extends SparkTestBase {
     "containment_pairs" -> 2,
     // r5 linear interpolation: locf's rollup shape + one partitioned
     // Window exchange for the four neighbor frames + sort
-    "interp_impute" -> 4)
+    "interp_impute" -> 4,
+    // r5 χ² terms: ONE corpus-sized exchange (the (term, lang) hash
+    // agg, partial-agg'd map-side); term-total window + lang rank +
+    // sort are vocab-grain re-keys of that frame; plus the two
+    // constant-size broadcast inputs' own aggs (lang totals, N)
+    "chi2_terms" -> 6)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
