@@ -268,6 +268,9 @@ object SparkEntry {
     // r5: χ² discriminative terms per language — feature selection
     // for source/quality classifiers (full oracle)
     "chi2_terms" -> (LlmQueries.chi2Terms _),
+    // r5: PMI collocation mining — phrase candidates beyond chance
+    // co-occurrence (full oracle)
+    "bigram_pmi" -> (LlmQueries.bigramPmi _),
     // r5: corpus-scale LSH cluster closure (rows-only; precision /
     // recall vs the exact bounded closure pinned in LshClusterSpec)
     "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
@@ -1603,6 +1606,26 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, term) AS rn FROM s)
         |SELECT lang, term, a AS df_in_lang, chi2 FROM r WHERE rn <= 5
         |ORDER BY lang, chi2 DESC, term""".stripMargin,
+    // PMI arithmetic is the same literal double-division order as the
+    // Spark plan; rank on the rounded statistic, (x, y) tie-breaks
+    "bigram_pmi" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |         i -> struct_pack(x := ws[i], y := ws[i+1]))) AS p
+        |  FROM d WHERE len(ws) >= 2),
+        |bc AS (SELECT p.x AS x, p.y AS y, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT t, count(*) AS cu FROM (SELECT unnest(ws) AS t FROM d) GROUP BY 1),
+        |t1 AS (SELECT sum(cu) AS t1 FROM uc),
+        |t2 AS (SELECT sum(cb) AS t2 FROM bc)
+        |SELECT b.x, b.y, b.cb AS pair_count,
+        |       round(ln((b.cb * 1.0 / t2.t2) / ((ux.cu * 1.0 / t1.t1) * (uy.cu * 1.0 / t1.t1))) + 1e-7, 4) AS pmi
+        |FROM bc b JOIN uc ux ON b.x = ux.t JOIN uc uy ON b.y = uy.t
+        |CROSS JOIN t1 CROSS JOIN t2
+        |WHERE b.cb >= 5
+        |ORDER BY pmi DESC, x, y LIMIT 10""".stripMargin,
     // §2.5 extras. The 19 rows-only queries (ann_cosine_topk,
     // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
     // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,

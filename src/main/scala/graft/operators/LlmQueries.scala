@@ -182,6 +182,54 @@ object LlmQueries {
       .orderBy(col("lang"), col("chi2").desc, col("term"))
   }
 
+  /** `bigram_pmi` — collocation extraction by pointwise mutual
+    * information: top-10 adjacent token pairs by
+    * `ln(p(xy) / (p(x)·p(y)))` with an occurrence floor (cb ≥ 5, the
+    * standard guard against PMI's low-count bias). The phrase-mining
+    * step of an NLP curation pipeline (which token pairs co-occur
+    * beyond chance — candidate multi-word expressions for tokenizer
+    * or stop-phrase lists), complementing chi2_terms (class-
+    * discriminative) and tfidf (doc-relevance). Full oracle; ranking
+    * on the r4-rounded PMI with (x, y) tie-breaks.
+    *
+    * Scale: the bigram stream is scan-side (`transform` over a
+    * `sequence`, exploded — position pairs never leave the scan task
+    * unaggregated: partial agg collapses hot pairs map-side into the
+    * ONE pair-grain exchange); unigram counts are the vocab-grain
+    * frame broadcast onto the pair frame twice (unigram_logprob's
+    * broadcast-model shape, same degrade-to-shuffle-join note past
+    * broadcast scale); totals are single-row broadcasts; top-10 is
+    * TakeOrderedAndProject. PMI arithmetic is the same literal
+    * double-division order in both engines.
+    */
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), " "), t => t =!= "")
+    val d = Tables.documents(spark, dir).select(ws.as("ws"))
+    val bg = d.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) as x, element_at(ws, i + 1) as y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val bc = bg.groupBy("x", "y").agg(count(lit(1)).as("cb"))
+    val uc = d.select(explode(col("ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val t1 = uc.agg(sum("cu").as("t1"))
+    val t2 = bc.agg(sum("cb").as("t2"))
+    bc
+      .join(broadcast(uc.select(col("t").as("x"), col("cu").as("cux"))), Seq("x"))
+      .join(broadcast(uc.select(col("t").as("y"), col("cu").as("cuy"))), Seq("y"))
+      .crossJoin(broadcast(t1))
+      .crossJoin(broadcast(t2))
+      .filter(col("cb") >= 5)
+      .select(col("x"), col("y"), col("cb").as("pair_count"),
+        r4(log((col("cb") * lit(1.0) / col("t2")) /
+          ((col("cux") * lit(1.0) / col("t1")) *
+            (col("cuy") * lit(1.0) / col("t1"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(10)
+  }
+
   /** #31 — exact dedup by normalized-text hash, per language. */
   def dedupDocs(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(lower(trim(col("text"))))

@@ -164,6 +164,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "containment_pairs" -> 5L,
     // r5 χ² discriminative terms: top-5 per lang
     "chi2_terms" -> 25L,
+    // r5 PMI collocations: global top-10
+    "bigram_pmi" -> 10L,
     // r5 LSH closure: per-lang summary (all 5 langs have clusters)
     "lsh_dedup_clusters" -> 5L,
     "burn_forecast" -> 5L,

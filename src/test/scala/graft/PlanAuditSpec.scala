@@ -337,7 +337,13 @@ class PlanAuditSpec extends SparkTestBase {
     // agg, partial-agg'd map-side); term-total window + lang rank +
     // sort are vocab-grain re-keys of that frame; plus the two
     // constant-size broadcast inputs' own aggs (lang totals, N)
-    "chi2_terms" -> 6)
+    "chi2_terms" -> 6,
+    // r5 PMI: pair-grain + vocab-grain hash aggs (partial-agg'd) +
+    // the two single-row totals; top-10 is TakeOrdered. Pre-AQE the
+    // vocab agg appears on each consumer branch (t1 + both broadcast
+    // sides) and the pair agg twice (t2 + join) before ReuseExchange
+    // folds the identical subplans — 7 printed, 4 distinct
+    "bigram_pmi" -> 7)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
