@@ -271,6 +271,9 @@ object SparkEntry {
     // r5: PMI collocation mining — phrase candidates beyond chance
     // co-occurrence (full oracle)
     "bigram_pmi" -> (LlmQueries.bigramPmi _),
+    // r5: market-basket association rules — confidence + lift over
+    // order baskets (full oracle)
+    "lift_rules" -> (RelationalQueries.liftRules _),
     // r5: corpus-scale LSH cluster closure (rows-only; precision /
     // recall vs the exact bounded closure pinned in LshClusterSpec)
     "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
@@ -1626,6 +1629,22 @@ object SparkEntry {
         |CROSS JOIN t1 CROSS JOIN t2
         |WHERE b.cb >= 5
         |ORDER BY pmi DESC, x, y LIMIT 10""".stripMargin,
+    // lift arithmetic in the same literal double order as the Spark
+    // plan; rank on the rounded lift, (a, b) tie-breaks
+    "lift_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{dir}/lineitem.parquet')),
+        |pc AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_ab,
+        |  round(n_ab * 1.0 / ca.c + 1e-7, 4) AS confidence,
+        |  round((n.n * (n_ab * 1.0)) / ((ca.c * 1.0) * cb.c) + 1e-7, 4) AS lift
+        |FROM pairs JOIN pc ca ON part_a = ca.l_partkey JOIN pc cb ON part_b = cb.l_partkey CROSS JOIN n
+        |WHERE n_ab >= 3
+        |ORDER BY lift DESC, part_a, part_b LIMIT 10""".stripMargin,
     // §2.5 extras. The 19 rows-only queries (ann_cosine_topk,
     // ann_knn_join, curate_corpus_neardup, distinct_hll, ivfpq_topk,
     // near_dup_minhash, percentile_approx_value, phash_dups, pq_topk,

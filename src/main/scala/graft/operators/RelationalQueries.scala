@@ -404,6 +404,49 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** `lift_rules` — market-basket association rules a→b over order
+    * baskets: confidence `P(b|a) = n_ab/n_a` and lift
+    * `P(ab)/(P(a)P(b)) = N·n_ab/(n_a·n_b)`, top-10 DIRECTED rules by
+    * lift with the standard minimum-support floor (n_ab ≥ 3) that
+    * keeps lift's low-count noise out. Extends copurchase_pairs
+    * (raw co-occurrence counts) to the normalized statistics a
+    * recommender/assortment report actually ranks by. Full oracle;
+    * rank on the r4-rounded lift with (a, b) tie-breaks.
+    *
+    * Scale: same order-keyed basket self-join as copurchase_pairs
+    * (pair volume = Σ basket·(basket−1), linear in orders for bounded
+    * baskets — the skew note there applies); per-part counts are the
+    * part DIMENSION broadcast twice; N is a single-row broadcast;
+    * top-10 is TakeOrderedAndProject. Lift arithmetic is the same
+    * literal double order in both engines (int64-safe: products are
+    * double before they can overflow at fact scale).
+    */
+  def liftRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pc = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val n = li.agg(countDistinct("l_orderkey").as("n"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(broadcast(pc.select(col("l_partkey").as("part_a"), col("c").as("ca"))),
+        Seq("part_a"))
+      .join(broadcast(pc.select(col("l_partkey").as("part_b"), col("c").as("cb"))),
+        Seq("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        r4(col("n_ab") * lit(1.0) / col("ca")).as("confidence"),
+        r4((col("n") * (col("n_ab") * lit(1.0))) /
+          ((col("ca") * lit(1.0)) * col("cb"))).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(10)
+  }
+
   /** `pareto_share` — revenue-concentration report (full oracle):
     * customers needed to reach 80% of revenue, the top-decile revenue
     * share, and the Gini coefficient, from the per-customer revenue

@@ -166,6 +166,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "chi2_terms" -> 25L,
     // r5 PMI collocations: global top-10
     "bigram_pmi" -> 10L,
+    // r5 association rules: global top-10 by lift
+    "lift_rules" -> 10L,
     // r5 LSH closure: per-lang summary (all 5 langs have clusters)
     "lsh_dedup_clusters" -> 5L,
     "burn_forecast" -> 5L,

@@ -343,7 +343,11 @@ class PlanAuditSpec extends SparkTestBase {
     // vocab agg appears on each consumer branch (t1 + both broadcast
     // sides) and the pair agg twice (t2 + join) before ReuseExchange
     // folds the identical subplans — 7 printed, 4 distinct
-    "bigram_pmi" -> 7)
+    "bigram_pmi" -> 7,
+    // r5 association rules: copurchase's basket-distinct + self-join
+    // pair agg, part-dimension counts broadcast (appearing per
+    // consumer branch pre-AQE), single-row N; top-10 is TakeOrdered
+    "lift_rules" -> 9)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
