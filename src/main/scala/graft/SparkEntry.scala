@@ -277,6 +277,21 @@ object SparkEntry {
     // r5: corpus-scale LSH cluster closure (rows-only; precision /
     // recall vs the exact bounded closure pinned in LshClusterSpec)
     "lsh_dedup_clusters" -> (GraphOps.lshDedupClusters _),
+    // r5: deterministic Lloyd k-means over embeddings — grid-rounded
+    // iterations replayed by the oracle's unrolled CTEs (full oracle)
+    "kmeans_assign" -> (ClusterOps.kmeansAssign _),
+    // r5: degree-ordered triangle census of the co-purchase graph
+    // (full oracle via the orientation-independent id-ordered count)
+    "triangle_parts" -> (GraphOps.triangleParts _),
+    // r5: CUSUM drift detection via the reflection identity — the
+    // sustained-shift member of the anomaly family (full oracle)
+    "cusum_changepoint" -> (SliQueries.cusumChangepoint _),
+    // r5: DSIR importance weights for targeted corpus mixing (full
+    // oracle)
+    "dsir_weights" -> (LlmQueries.dsirWeights _),
+    // r5: percent_rank/cume_dist premium-tail extraction (full
+    // oracle)
+    "price_position" -> (RelationalQueries.pricePosition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2176,5 +2191,108 @@ object SparkEntry {
         |             (a, b) -> (a * 31 + b) % 1000000007))) AS fp
         |  FROM read_parquet('{dir}/documents.parquet')) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the 3 Lloyd iterations UNROLLED as CTE pairs (assign_i,
+    // centroids_i) — every centroid coordinate and distance on the
+    // same 1e-6 grid as the Spark plan, argmin ties by cluster id
+    "kmeans_assign" ->
+      """WITH dims AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM read_parquet('{dir}/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cid, dim, round(v, 6) AS c FROM dims WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid, round(sum((v - c) * (v - c)), 6) AS d
+        |       FROM dims JOIN c0 USING (dim) GROUP BY vec_id, cid),
+        |s1 AS (SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn FROM a1),
+        |g1 AS (SELECT vec_id, cid FROM s1 WHERE rn = 1),
+        |c1 AS (SELECT cid, dim, round(avg(v), 6) AS c FROM g1 JOIN dims USING (vec_id) GROUP BY cid, dim),
+        |a2 AS (SELECT vec_id, cid, round(sum((v - c) * (v - c)), 6) AS d
+        |       FROM dims JOIN c1 USING (dim) GROUP BY vec_id, cid),
+        |s2 AS (SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn FROM a2),
+        |g2 AS (SELECT vec_id, cid FROM s2 WHERE rn = 1),
+        |c2 AS (SELECT cid, dim, round(avg(v), 6) AS c FROM g2 JOIN dims USING (vec_id) GROUP BY cid, dim),
+        |a3 AS (SELECT vec_id, cid, round(sum((v - c) * (v - c)), 6) AS d
+        |       FROM dims JOIN c2 USING (dim) GROUP BY vec_id, cid),
+        |s3 AS (SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) rn FROM a3),
+        |g3 AS (SELECT vec_id, cid, d FROM s3 WHERE rn = 1)
+        |SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_vecs,
+        |       round(avg(d) + 1e-7, 4) AS avg_sqdist,
+        |       round(max(d) + 1e-7, 4) AS max_sqdist
+        |FROM g3 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    // the id-ordered a<b<c 3-way join counts the SAME triangle set
+    // the degree-ordered Spark plan does — totals are
+    // orientation-independent
+    "triangle_parts" ->
+      """WITH e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM read_parquet('{dir}/lineitem.parquet') x
+        |  JOIN read_parquet('{dir}/lineitem.parquet') y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS deg FROM
+        |        (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |st AS (SELECT count(*) AS n_nodes,
+        |       CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+        |       CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_nodes, n_edges, n_triangles,
+        |       round(n_triangles * 3.0 / nullif(n_wedges, 0) + 1e-7, 4) AS transitivity
+        |FROM st CROSS JOIN tri""".stripMargin,
+    // CUSUM via the reflection identity: S = prefix − min(0, running
+    // min of prefix); peak-day ties on the r4 grid break by earliest
+    // day through the same row_number in both engines
+    "cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS x
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |stats AS (SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT d.event_type, d.day,
+        |         sum((d.x - s.mu) / nullif(s.sd, 0) - 0.5) OVER
+        |           (PARTITION BY d.event_type ORDER BY d.day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+        |  FROM daily d JOIN stats s USING (event_type)),
+        |s AS (
+        |  SELECT event_type, day,
+        |         round(pf - least(0, min(pf) OVER (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 1e-7, 4) AS cusum
+        |  FROM p),
+        |r AS (SELECT event_type, day, cusum,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY cusum DESC NULLS LAST, day) AS rn FROM s)
+        |SELECT event_type, max(cusum) AS max_cusum,
+        |       min(CASE WHEN rn = 1 THEN day END) AS peak_day,
+        |       CAST(sum(CASE WHEN cusum > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both models from ONE vocab rollup; log-ratio in the same
+    // literal division order as the Spark plan
+    "dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, lang,
+        |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |vocab AS (SELECT w, count(*) AS cr,
+        |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct FROM tok GROUP BY 1),
+        |tots AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM vocab),
+        |docw AS (
+        |  SELECT t.doc_id, t.source,
+        |         round(avg(ln(((v.ct + 1.0) / (s.tt + s.v)) / ((v.cr + 1.0) / (s.tr + s.v)))) + 1e-7, 4) AS wt
+        |  FROM tok t JOIN vocab v USING (w) CROSS JOIN tots s
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs, round(avg(wt) + 1e-7, 4) AS avg_weight,
+        |       CAST(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like
+        |FROM docw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "price_position" ->
+      """SELECT p_brand, p_partkey,
+        |       round(pct_rank + 1e-7, 4) AS pct_rank,
+        |       round(cume + 1e-7, 4) AS cume
+        |FROM (
+        |  SELECT p_brand, p_partkey,
+        |         percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS pct_rank,
+        |         cume_dist() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS cume
+        |  FROM read_parquet('{dir}/part.parquet')) t
+        |WHERE pct_rank >= 0.95
+        |ORDER BY p_brand, p_partkey""".stripMargin,
   )
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Det.r4
+
 import graft.sources.Tables
 
 /** Graph operators over DataFrames — connected components, the
@@ -256,5 +258,83 @@ object GraphOps {
       .select(col("part").as("lang"), col("lbl").as("cluster_id"),
         col("keep_doc_id"), col("cluster_size"), col("n_removed"))
       .orderBy("lang", "cluster_id")
+  }
+
+  /** `triangle_parts` — triangle census of the co-purchase affinity
+    * graph (full oracle): nodes = parts, edges = part pairs that
+    * co-occur in ≥ 2 orders (the support floor that separates
+    * affinity from coincidence — same graph family as
+    * copurchase_pairs/copurchase_pagerank). Reports node/edge/
+    * triangle/wedge counts and the global transitivity
+    * 3·triangles/wedges — the clustering-structure diagnostic that
+    * says whether the affinity graph HAS community structure worth
+    * mining (pagerank and CC both assume it does).
+    *
+    * Algorithm: compact-forward / degree-ordered triangle counting
+    * (Latapy 2008, standard public knowledge). Edges are oriented
+    * low→high by (degree, id); wedges join oriented edges on their
+    * source with an ordered (v1 < v2 in the same total order)
+    * condition; a closing oriented edge (v1, v2) completes each
+    * triangle EXACTLY once. The oracle counts the identical triangle
+    * set via the simpler a<b<c id-ordered 3-way join — the total is
+    * orientation-independent, which is precisely what makes the
+    * degree-ordered plan swappable in without touching results.
+    *
+    * Scale shape: the only corpus-sized exchanges build the edge list
+    * (same-order pair join + support agg — copurchase_pairs' audited
+    * plan). Everything after is EDGE-grain: degree is a partial-agg'd
+    * union count, and degree-ordering bounds the wedge join fan-out
+    * by the graph's arboricity (hub nodes never expand their full
+    * neighborhood²) — the difference between O(m^1.5) and O(Σdeg²)
+    * at 100 TB, where id-ordering would put a hub's entire
+    * neighborhood on one wedge key (the tfidf skew lesson, applied
+    * to graphs). Wedge counts come from the closed-form Σ C(deg,2)
+    * on the degree frame, not by materializing wedges.
+    */
+  def triangleParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+      .localCheckpoint() // scanned 4×: degrees + orient + wedge + close
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient low→high in the (deg, id) total order; carry the target's
+    // ord key so the wedge condition needs no extra join
+    val eo = e
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("db").as("dg"), col("b").as("id")))
+          .otherwise(struct(col("da").as("dg"), col("a").as("id")))
+          .as("vk"))
+      .select(col("u"), col("vk"), col("vk.id").as("v"))
+      // edge-grain; materialized once so the 3-way wedge/close join
+      // reads ONE oriented frame instead of replicating the
+      // orient-join subtree per branch (19 → 8 printed exchanges)
+      .localCheckpoint()
+    val tri = eo.as("e1")
+      .join(eo.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
+      .join(eo.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    // try_divide: a matching-shaped graph (all degrees 1) legitimately
+    // has zero wedges — NULL like the oracle's nullif, not an ANSI error
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        r4(try_divide(col("n_triangles") * lit(3.0), col("n_wedges")))
+          .as("transitivity"))
   }
 }

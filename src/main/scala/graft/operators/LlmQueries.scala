@@ -662,6 +662,56 @@ object LlmQueries {
       .limit(15)
   }
 
+  /** `dsir_weights` — per-document importance weights for targeted
+    * corpus mixing (full oracle): each document scores the mean
+    * log-likelihood ratio of its tokens under a TARGET unigram model
+    * (here: the `lang='en'` slice) vs the RAW-corpus model, add-1
+    * smoothed over the shared vocabulary — the Data Selection via
+    * Importance Resampling recipe (Xie et al. 2023, public
+    * knowledge; word unigrams standing in for their hashed n-gram
+    * features). Positive weight ⇒ the doc looks more like the target
+    * than the corpus average ⇒ upweight when resampling. Reported
+    * per source: the doc counts and weight mass that drive the
+    * resampling decision — the principled replacement for
+    * corpus_mix_sample's fixed source quotas.
+    *
+    * Scale shape (the unigram_logprob playbook): BOTH models come
+    * from ONE vocab-grain hash agg over the corpus (target counts
+    * ride the same frame as a conditional sum — no second scan),
+    * localCheckpoint'd and broadcast onto the token probe; totals
+    * are a single-row broadcast. The corpus is scanned exactly
+    * twice (model + probe) and never shuffles unaggregated — the
+    * only corpus-sized exchange is the (doc, source) score rollup.
+    * Past broadcast-able vocabulary the model side degrades to a
+    * shuffle join, partial-agg-collapsed (tfidf lesson).
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+    // one corpus scan builds BOTH models: raw count + target count
+    val vocab = tok.groupBy("w")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint()
+    val tots = vocab.agg(sum("cr").as("tr"), sum("ct").as("tt"),
+      count(lit(1)).as("v"))
+    val ratio = log(
+      ((col("ct") + lit(1.0)) / (col("tt") + col("v"))) /
+        ((col("cr") + lit(1.0)) / (col("tr") + col("v"))))
+    val docw = tok
+      .join(broadcast(vocab), Seq("w"))
+      .crossJoin(broadcast(tots))
+      .groupBy("doc_id", "source")
+      .agg(r4(avg(ratio)).as("wt"))
+    docw.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r4(avg("wt")).as("avg_weight"),
+        sum(when(col("wt") > 0, 1L).otherwise(0L)).as("n_target_like"))
+      .orderBy("source")
+  }
+
   /** #34 — corpus profiling: chars, tokens, source cardinality per lang. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

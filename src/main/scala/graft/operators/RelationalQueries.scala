@@ -886,4 +886,34 @@ object RelationalQueries {
         r4(col("tw").cast("double")).as("total_weight"))
       .orderBy("flag")
   }
+
+  /** `price_position` — the premium tail per brand (full oracle):
+    * every part whose retail price sits at or above the 95th
+    * percentile position within its brand, with its exact
+    * `percent_rank` and `cume_dist` — the two distribution-position
+    * window functions the coverage checklist lacked (rank/dense_rank/
+    * row_number/ntile are elsewhere). Both are rank-derived rationals
+    * of integer counts — (rank−1)/(n−1) and peers≤x/n — so the ≥0.95
+    * cut and the output values are exact IEEE quotients, identical
+    * across engines with NO rounding needed for the filter (r4 only
+    * formats the output).
+    *
+    * Scale note: the window partitions by brand — a FIXED-cardinality
+    * dimension whose per-partition row count grows with the part
+    * dimension (the pareto_share class, documented swap: the
+    * range-partitioned two-pass rank in PrefixOps replaces the
+    * per-brand sort at the scale where a brand's parts no longer fit
+    * one task; the filter and both statistics are unchanged since
+    * they derive from (rank, n) pairs).
+    */
+  def pricePosition(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    Tables.part(spark, dir)
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("pct_rank") >= 0.95)
+      .select(col("p_brand"), col("p_partkey"),
+        r4(col("pct_rank")).as("pct_rank"), r4(col("cume")).as("cume"))
+      .orderBy("p_brand", "p_partkey")
+  }
 }

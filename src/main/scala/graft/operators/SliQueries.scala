@@ -1305,4 +1305,56 @@ object SliQueries {
           .as("var_explained"))
       .orderBy("event_type")
   }
+
+  /** `cusum_changepoint` — CUSUM drift detection over the per-type
+    * daily series (full oracle): the one-sided cumulative-sum
+    * statistic `S_t = max(0, S_{t-1} + z_t − slack)` with slack 0.5σ,
+    * reporting each type's peak CUSUM, the day it peaks (the change
+    * point), and the count of days above the h=2 alarm threshold.
+    * The sustained-SHIFT detector that completes the anomaly family:
+    * zscore_anomaly fires on single-day spikes, ewma_smooth tracks
+    * the level, CUSUM accumulates many small same-direction
+    * deviations a per-day z-test never sees (the classic slow-burn
+    * SLO degradation).
+    *
+    * The recursion is NOT computed recursively: `S_t =
+    * P_t − min(0, min_{j≤t} P_j)` where `P` is the plain prefix sum
+    * of `z_t − slack` (the standard reflection identity) — so the
+    * whole statistic is two stacked running windows, no iterative
+    * plan, no sequential task chain (contrast budget_carryover,
+    * whose recurrence has no such closed form).
+    *
+    * Scale shape: one (type, day) rollup is the only corpus-sized
+    * exchange (two-phase, partial-agg'd); per-type mean/σ broadcast
+    * back onto the CALENDAR-grain daily frame; both windows and the
+    * peak-day rank partition by event_type over days — bounded by
+    * the calendar at any corpus size (the interarrival_stats
+    * precedent). Peak-day ties break on the r4 grid by earliest day,
+    * pinned identically in both engines via row_number.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("x"))
+    val stats = daily.groupBy("event_type")
+      .agg(avg("x").as("mu"), stddev_samp(col("x")).as("sd"))
+    val base = Window.partitionBy("event_type").orderBy("day")
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // try_divide: a single-day type has NULL σ, a constant series σ=0 —
+    // the whole type's CUSUM goes NULL rather than ANSI-failing
+    val y = try_divide(col("x") - col("mu"), nullif(col("sd"), lit(0.0))) - lit(0.5)
+    val withS = daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("pf", sum(y).over(run))
+      .withColumn("cusum",
+        r4(col("pf") - least(lit(0.0), min(col("pf")).over(run))))
+      .withColumn("rn",
+        row_number().over(
+          base.orderBy(col("cusum").desc_nulls_last, col("day"))))
+    withS.groupBy("event_type")
+      .agg(
+        max(col("cusum")).as("max_cusum"),
+        min(when(col("rn") === 1, col("day"))).as("peak_day"),
+        sum(when(col("cusum") > 2.0, 1L).otherwise(0L)).as("n_alarm_days"))
+      .orderBy("event_type")
+  }
 }

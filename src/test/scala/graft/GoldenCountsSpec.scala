@@ -170,6 +170,17 @@ class GoldenCountsSpec extends SparkTestBase {
     "lift_rules" -> 10L,
     // r5 LSH closure: per-lang summary (all 5 langs have clusters)
     "lsh_dedup_clusters" -> 5L,
+    // r5 clustering: k=8, no cluster empties out in 3 rounds
+    "kmeans_assign" -> 8L,
+    // r5 triangle census: single-row graph report
+    "triangle_parts" -> 1L,
+    // r5 CUSUM: one row per event type
+    "cusum_changepoint" -> 5L,
+    // r5 DSIR: one row per source
+    "dsir_weights" -> 20L,
+    // r5 percent_rank premium tail: 1 part per brand at this sf
+    // (25 brands × 40 parts ⇒ only rank 40 has pct_rank ≥ 0.95)
+    "price_position" -> 25L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -347,7 +347,29 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 association rules: copurchase's basket-distinct + self-join
     // pair agg, part-dimension counts broadcast (appearing per
     // consumer branch pre-AQE), single-row N; top-10 is TakeOrdered
-    "lift_rules" -> 9)
+    "lift_rules" -> 9,
+    // r5 clustering: assignment is scan-side against centroid
+    // literals (ZERO shuffles per iteration on the corpus side); the
+    // 2 exchanges are the k×d-grain centroid-update agg + the final
+    // k-grain report agg
+    "kmeans_assign" -> 2,
+    // r5 triangle census: edge build runs at construction behind the
+    // localCheckpoint (copurchase's audited shape); the 7 printed
+    // exchanges are all EDGE-grain — degree agg, orient joins, the
+    // wedge + closing joins, and the two single-row stat aggs
+    "triangle_parts" -> 7,
+    // r5 CUSUM: (type, day) rollup (appearing twice pre-AQE: stats
+    // branch + probe branch), the type-partitioned running windows +
+    // peak rank, and the final type-grain fold — all calendar-grain
+    // after the one corpus-sized exchange
+    "cusum_changepoint" -> 5,
+    // r5 DSIR: vocab model agg at construction (checkpointed); the 4
+    // printed are the token→(doc, source) rollup, the source-grain
+    // fold, and the broadcast sides' own single-row/vocab aggs
+    "dsir_weights" -> 4,
+    // r5 percent_rank tail: one brand-partitioned sort exchange for
+    // the window + the output sort
+    "price_position" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
