@@ -4,12 +4,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the same bench run on real executor
+    // JVMs (e.g. local-cluster[2,16,8192] — serialized shuffles and
+    // broadcasts, no shared driver heap); SPARK_GRAFT_JARS ships the
+    // library jar to those executors exactly as spark-submit --jars
+    // would (the ClusterVerify channel). Defaults unchanged: the
+    // driver's per-round bench still runs local[cpus].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configureSketchPerf(spark) // graft-owned session opts in
     // Untimed JVM/codegen warm-up on the tiny t1 fixture (BASELINE.md

@@ -292,6 +292,15 @@ object SparkEntry {
     // r5: percent_rank/cume_dist premium-tail extraction (full
     // oracle)
     "price_position" -> (RelationalQueries.pricePosition _),
+    // r5: TPC-H Q21 shape — doubly-correlated EXISTS/NOT EXISTS as
+    // co-partitioned semi+anti joins (full oracle)
+    "blame_supplier" -> (RelationalQueries.blameSupplier _),
+    // r5: log2-binned degree distribution of the co-purchase graph,
+    // exact integer bucketing (full oracle)
+    "degree_dist" -> (RelationalQueries.degreeDist _),
+    // r5: Tukey-fence robust outlier screen, fences on the r4 grid
+    // (full oracle)
+    "iqr_outliers" -> (SliQueries.iqrOutliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2294,5 +2303,52 @@ object SparkEntry {
         |  FROM read_parquet('{dir}/part.parquet')) t
         |WHERE pct_rank >= 0.95
         |ORDER BY p_brand, p_partkey""".stripMargin,
+    "blame_supplier" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM read_parquet('{dir}/lineitem.parquet') li
+        |  JOIN read_parquet('{dir}/orders.parquet') o ON li.l_orderkey = o.o_orderkey),
+        |late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l
+        |         WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY),
+        |cand AS (
+        |  SELECT lt.l_orderkey, lt.l_suppkey FROM late lt
+        |  WHERE EXISTS (SELECT 1 FROM l l2
+        |                WHERE l2.l_orderkey = lt.l_orderkey AND l2.l_suppkey <> lt.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                WHERE l3.l_orderkey = lt.l_orderkey AND l3.l_suppkey <> lt.l_suppkey))
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM cand JOIN read_parquet('{dir}/supplier.parquet') s ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    // bucket = length of the degree's binary representation − 1:
+    // floor(log2) computed exactly on integers (a floor(ln/ln) form
+    // could flip at powers of two on libm last-ulp differences)
+    "degree_dist" ->
+      """WITH e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM read_parquet('{dir}/lineitem.parquet') x
+        |  JOIN read_parquet('{dir}/lineitem.parquet') y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS deg FROM
+        |        (SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY 1)
+        |SELECT CAST(length(format('{:b}', deg)) - 1 AS BIGINT) AS bucket,
+        |       count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fences rounded to the r4 grid BEFORE comparison in both
+    // engines — an unrounded fence lets a value within an ulp flip
+    // the outlier count across summation orders
+    "iqr_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1),
+        |f AS (SELECT event_type, q1, q3,
+        |             round(q1 - 1.5 * (q3 - q1) + 1e-7, 4) AS lo,
+        |             round(q3 + 1.5 * (q3 - q1) + 1e-7, 4) AS hi FROM q)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(min(f.q1) + 1e-7, 4) AS q1, round(min(f.q3) + 1e-7, 4) AS q3
+        |FROM read_parquet('{dir}/events.parquet') e JOIN f USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -906,6 +906,80 @@ object RelationalQueries {
     * one task; the filter and both statistics are unchanged since
     * they derive from (rank, n) pairs).
     */
+  /** `blame_supplier` — the TPC-H Q21 shape (public knowledge)
+    * adapted to this schema: suppliers who were the SOLE overdue
+    * shipper on multi-supplier orders (shipdate > orderdate + 75
+    * days), top-10 by blamed-order count. The doubly-correlated
+    * EXISTS / NOT EXISTS over other rows of the same fact table —
+    * the hardest decorrelation shape in the TPC-H suite, here
+    * expressed directly as the left-semi ("some other supplier
+    * shipped this order") + left-anti ("no other supplier was
+    * late") joins Catalyst decorrelates Q21 into anyway.
+    *
+    * Scale shape: the fact-fact order join and the distinct late
+    * rollup are orderkey-keyed, and BOTH correlation joins reuse
+    * that same key — one partitioning carries the whole pipeline
+    * (no re-key, AQE-coalescible); the supplier dimension broadcasts
+    * onto the supplier-grain counts; top-10 is TakeOrdered with the
+    * (count DESC, name) total order.
+    */
+  def blameSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"), col("o_orderdate"))
+    val late = l
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val cand = late.as("lt")
+      .join(l.as("l2"),
+        col("lt.l_orderkey") === col("l2.l_orderkey") &&
+          col("lt.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+      .join(late.as("l3"),
+        col("lt.l_orderkey") === col("l3.l_orderkey") &&
+          col("lt.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    cand.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** `degree_dist` — log₂-binned degree distribution of the
+    * ≥2-support co-purchase graph: per power-of-two bucket, node
+    * count and the realized degree range. The scale-free-or-not
+    * diagnostic that complements [[graft.operators.GraphOps
+    * .triangleParts]]' closure view — a heavy-tailed degree curve is
+    * what makes degree-ORDERED triangle counting and skew-aware
+    * joins necessary in the first place (skew_profile's lesson,
+    * measured on the graph itself).
+    *
+    * The bucket is `length(bin(deg)) − 1` — floor(log₂) computed
+    * EXACTLY on the integer's binary representation, not via
+    * `floor(ln(d)/ln(2))`, whose libm last-ulp differences between
+    * engines can flip the floor at exact powers of two.
+    *
+    * Scale: edge build is the audited copurchase shape; degree is
+    * one partial-agg'd node-grain exchange; buckets are ≤64 rows.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("deg").as("min_deg"), max("deg").as("max_deg"))
+      .orderBy("bucket")
+  }
+
   def pricePosition(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
     Tables.part(spark, dir)

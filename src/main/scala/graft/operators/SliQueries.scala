@@ -1357,4 +1357,44 @@ object SliQueries {
         sum(when(col("cusum") > 2.0, 1L).otherwise(0L)).as("n_alarm_days"))
       .orderBy("event_type")
   }
+
+  /** `iqr_outliers` — Tukey-fence outlier counts per event type
+    * (full oracle): exact Q1/Q3, fences at ±1.5·IQR, and the count
+    * of values outside them. The ROBUST member of the outlier
+    * family: [[zscoreAnomaly]]'s mean/σ fences are themselves
+    * dragged by the outliers they hunt, while quartiles ignore the
+    * tails entirely — the standard first screen on a value column
+    * whose distribution is unknown.
+    *
+    * Fences are rounded to the r4 grid BEFORE the comparison in
+    * both engines: the interpolated quartiles agree cross-engine
+    * only to summation-order noise, and an unrounded fence would
+    * let a value within an ulp of it flip the count (the argmin
+    * lesson from kmeans_assign applied to a threshold).
+    *
+    * Scale: exact `percentile` buffers each group's values — the
+    * honest bounded-cardinality form (|types| groups); the documented
+    * swap is the GK plane (percentile_approx / mad_robust_gk) whose
+    * rank-ε bounds the fence drift. The probe scan is the second,
+    * inherent, corpus pass; the quartile frame broadcasts.
+    */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val q = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+    val lo = r4(col("q1") - lit(1.5) * (col("q3") - col("q1")))
+    val hi = r4(col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    ev.join(broadcast(q), Seq("event_type"))
+      .withColumn("lo", lo)
+      .withColumn("hi", hi)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        r4(min("q1")).as("q1"),
+        r4(min("q3")).as("q3"))
+      .orderBy("event_type")
+  }
 }

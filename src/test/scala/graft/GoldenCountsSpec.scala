@@ -181,6 +181,12 @@ class GoldenCountsSpec extends SparkTestBase {
     // r5 percent_rank premium tail: 1 part per brand at this sf
     // (25 brands × 40 parts ⇒ only rank 40 has pct_rank ≥ 0.95)
     "price_position" -> 25L,
+    // r5 Q21 shape: top-10 blamed suppliers
+    "blame_supplier" -> 10L,
+    // r5 degree distribution: log2 buckets 2..5 populated at this sf
+    "degree_dist" -> 4L,
+    // r5 Tukey fences: one row per event type
+    "iqr_outliers" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

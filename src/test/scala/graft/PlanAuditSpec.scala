@@ -369,7 +369,19 @@ class PlanAuditSpec extends SparkTestBase {
     "dsir_weights" -> 4,
     // r5 percent_rank tail: one brand-partitioned sort exchange for
     // the window + the output sort
-    "price_position" -> 2)
+    "price_position" -> 2,
+    // r5 Q21 shape: the fact-fact order join keys lineitem+orders,
+    // then the distinct/semi/anti chain stays on that same orderkey
+    // partitioning (no re-key); plus the supplier-grain count — the
+    // supplier dim broadcasts and top-10 is TakeOrdered
+    "blame_supplier" -> 6,
+    // r5 degree distribution: copurchase pair join + support agg +
+    // node-grain degree agg + ≤64-row bucket agg + sort
+    "degree_dist" -> 5,
+    // r5 Tukey fences: the quartile agg (broadcast back) + the probe
+    // rollup + sort — two corpus passes by design (exact quartiles
+    // need the data before the fences exist)
+    "iqr_outliers" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
