@@ -301,6 +301,20 @@ object SparkEntry {
     // r5: Tukey-fence robust outlier screen, fences on the r4 grid
     // (full oracle)
     "iqr_outliers" -> (SliQueries.iqrOutliers _),
+    // r5: TPC-H Q22 shape — scalar-subquery filter + anti join on a
+    // date-sliced fact (full oracle)
+    "idle_rich_customers" -> (RelationalQueries.idleRichCustomers _),
+    // r5: novelty-decay curve at 8-gram shingle grain — the
+    // incremental-dedup policy instrument (full oracle)
+    "shingle_novelty" -> (TextOps.shingleNovelty _),
+    // r5: top-10 most-similar source pairs by token-vector cosine —
+    // exact redundancy twin of source_overlap's MinHash estimate
+    // (full oracle)
+    "source_cosine_pairs" -> (LlmQueries.sourceCosinePairs _),
+    // r5: Gini inequality summary completing the concentration
+    // family (pareto curve, HHI) via the ranked-sum identity (full
+    // oracle)
+    "revenue_gini_by_segment" -> (RelationalQueries.revenueGiniBySegment _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2350,5 +2364,66 @@ object SparkEntry {
         |       round(min(f.q1) + 1e-7, 4) AS q1, round(min(f.q3) + 1e-7, 4) AS q3
         |FROM read_parquet('{dir}/events.parquet') e JOIN f USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "idle_rich_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT avg(c_acctbal) AS ab
+        |  FROM read_parquet('{dir}/customer.parquet') WHERE c_acctbal > 0.0),
+        |rich AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal
+        |  FROM read_parquet('{dir}/customer.parquet') CROSS JOIN avg_bal
+        |  WHERE c_acctbal > ab),
+        |idle AS (
+        |  SELECT r.* FROM rich r
+        |  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{dir}/orders.parquet') o
+        |                    WHERE o.o_custkey = r.c_custkey
+        |                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT n.n_name, count(*) AS numcust,
+        |       round(sum(i.c_acctbal) + 2e-5, 2) AS totacctbal
+        |FROM idle i JOIN read_parquet('{dir}/nation.parquet') n ON i.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ONE (bucket, shingle)-distinct frame feeds both the
+    // first-appearance min and the per-bucket totals
+    "shingle_novelty" ->
+      """WITH bs AS (
+        |  SELECT DISTINCT doc_id // 50 AS bucket,
+        |         unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+        |                i -> list_aggregate(ws[i:i+7], 'string_agg', ' ')))) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |        FROM read_parquet('{dir}/documents.parquet')) t
+        |  WHERE len(ws) >= 8),
+        |nnew AS (SELECT bucket, count(*) AS n_new FROM
+        |         (SELECT g, min(bucket) AS bucket FROM bs GROUP BY 1) f GROUP BY 1),
+        |tot AS (SELECT bucket, count(*) AS n_shingles FROM bs GROUP BY 1)
+        |SELECT t.bucket, t.n_shingles, coalesce(n.n_new, 0) AS n_new,
+        |       round(coalesce(n.n_new, 0) * 1.0 / t.n_shingles + 1e-7, 4) AS novelty
+        |FROM tot t LEFT JOIN nnew n USING (bucket)
+        |ORDER BY 1""".stripMargin,
+    // rank on the ROUNDED cosine with pair tie-breaks (a sub-ulp
+    // dot-product difference cannot reorder across engines)
+    "source_cosine_pairs" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT source, sqrt(sum(c * c * 1.0)) AS nn FROM sc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, sum(a.c * b.c * 1.0) AS dp
+        |  FROM sc a JOIN sc b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, round(p.dp / (na.nn * nb.nn) + 1e-7, 4) AS cosine
+        |FROM pairs p JOIN nrm na ON p.src_a = na.source JOIN nrm nb ON p.src_b = nb.source
+        |ORDER BY cosine DESC, src_a, src_b LIMIT 10""".stripMargin,
+    "revenue_gini_by_segment" ->
+      """WITH rev AS (
+        |  SELECT c.c_mktsegment AS seg, c.c_custkey, sum(o.o_totalprice) AS x
+        |  FROM read_parquet('{dir}/orders.parquet') o
+        |  JOIN read_parquet('{dir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT seg, x,
+        |       row_number() OVER (PARTITION BY seg ORDER BY x, c_custkey) AS r FROM rev)
+        |SELECT seg, count(*) AS n_cust,
+        |  round((2.0 * sum(r * x) - (count(*) + 1) * sum(x)) / (count(*) * sum(x)) + 1e-7, 4) AS gini,
+        |  round(sum(x) + 2e-5, 2) AS total_rev
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -712,6 +712,49 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** `source_cosine_pairs` — the top-10 most-similar source pairs by
+    * cosine over token-count vectors (full oracle): the redundancy
+    * matrix behind a mixing decision — two sources this close are
+    * near-interchangeable, so their combined quota should reflect
+    * one voice, not two ([[dsirWeights]] decides WHAT to upweight;
+    * this decides what is secretly the same thing twice). The exact
+    * counterpart of source_overlap's MinHash estimate, on frequency
+    * vectors instead of sets.
+    *
+    * Scale shape: the (source, token) count frame is built ONCE
+    * (localCheckpoint — it feeds the norms and both join sides);
+    * the pair dot-products come from a vocabulary-keyed self-join
+    * whose output is collapsed map-side into ≤ |sources|² groups —
+    * per-token fan-out is bounded by |sources|², a fixed catalog
+    * dimension, at any corpus size. Norms are source-grain and
+    * broadcast twice; top-10 is TakeOrdered on the ROUNDED cosine
+    * with pair tie-breaks (a sub-ulp dot-product difference cannot
+    * reorder ranks across engines).
+    */
+  def sourceCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+    val sc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val nrm = sc.groupBy("source")
+      .agg(sqrt(sum(col("c") * col("c") * lit(1.0))).as("nn"))
+    val pairs = sc.as("a")
+      .join(sc.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.c") * col("b.c") * lit(1.0)).as("dp"))
+    pairs
+      .join(broadcast(nrm.select(col("source").as("src_a"), col("nn").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(nrm.select(col("source").as("src_b"), col("nn").as("nb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        r4(col("dp") / (col("na") * col("nb"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("src_a"), col("src_b"))
+      .limit(10)
+  }
+
   /** #34 — corpus profiling: chars, tokens, source cardinality per lang. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

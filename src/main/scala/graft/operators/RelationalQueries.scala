@@ -947,6 +947,70 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** `revenue_gini_by_segment` — Gini coefficient of per-customer
+    * revenue within each market segment (full oracle): the
+    * single-number inequality summary that completes the
+    * concentration family — pareto_share draws the cumulative curve,
+    * supplier_hhi squares the shares, Gini integrates the curve via
+    * the classic ranked-sum identity `G = (2·Σ r·x − (n+1)·Σx) /
+    * (n·Σx)`. Ranks are `row_number` over (revenue, custkey) — an
+    * exact-tie rank swap moves Σ r·x by (Δr)(Δx) ≈ 0, so the r4
+    * grid is insensitive to cross-engine tie order.
+    *
+    * Scale: the per-customer revenue rollup is the one fact-sized
+    * exchange; the ranked sum is a segment-partitioned
+    * customer-DIMENSION window (pareto_share class, same documented
+    * two-pass PrefixOps swap past dimension scale); the output is
+    * segment-grain.
+    */
+  def revenueGiniBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum("o_totalprice").as("x"))
+    val w = Window.partitionBy("seg").orderBy(col("x"), col("c_custkey"))
+    val n = count(lit(1))
+    rev.withColumn("r", row_number().over(w))
+      .groupBy("seg")
+      .agg(
+        n.as("n_cust"),
+        r4((lit(2.0) * sum(col("r") * col("x")) - (n + lit(1)) * sum(col("x"))) /
+          (n * sum(col("x")))).as("gini"),
+        r2(sum("x")).as("total_rev"))
+      .orderBy("seg")
+  }
+
+  /** `idle_rich_customers` — the TPC-H Q22 shape (public knowledge)
+    * adapted to this schema: customers with above-average positive
+    * account balance and NO order since 2000-01-01, rolled up per
+    * nation — the "dormant high-value accounts" report. Exercises
+    * the Q22 operator combo: an uncorrelated scalar subquery (the
+    * global average balance) feeding a filter, plus an anti join
+    * against a date-filtered fact slice.
+    *
+    * Scale shape: the average is a single-row broadcast; the recent-
+    * order slice pushes its date bound into the orders scan
+    * (PushedFilters) and anti-joins on custkey — customer-dimension
+    * keyed, AQE-sizable; the nation dimension broadcasts onto the
+    * nation-grain rollup.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ab = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("ab"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"), r2(sum("c_acctbal")).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
   /** `degree_dist` — log₂-binned degree distribution of the
     * ≥2-support co-purchase graph: per power-of-two bucket, node
     * count and the realized degree range. The scale-free-or-not

@@ -662,4 +662,45 @@ object TextOps {
       sum(when(col("cov") >= 0.5, 1).otherwise(0)).as("n_heavy_dup"))
       .orderBy("source")
   }
+
+  /** `shingle_novelty` — novelty-decay curve at 8-gram shingle grain
+    * (full oracle): per ingestion bucket (doc_id div 50, the
+    * vocab_growth grain), the distinct-shingle count and the
+    * fraction appearing for the FIRST time in that bucket. The
+    * dedup-policy instrument over TIME that [[dupNgramCoverage]]'s
+    * corpus-static view can't give: a falling novelty curve says
+    * each new crawl slice re-collects mostly known text — exactly
+    * when incremental dedup (BloomDedup) starts paying for itself.
+    *
+    * Scale shape: ONE (bucket, shingle)-grain distinct frame feeds
+    * both sides (first-bucket min and per-bucket totals) — built
+    * once behind a localCheckpoint, so the corpus-sized shingle
+    * exchange happens exactly once; everything after is
+    * shingle-vocabulary- or bucket-grain. No windows anywhere (the
+    * vocab_growth cumsum lesson does not arise: novelty is a
+    * per-bucket ratio, not a running total). The bucket width is the
+    * corpus-growth knob — widen it with corpus size to keep the
+    * curve plot-sized.
+    */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), " "), t => t =!= "")
+    val docs = Tables.documents(spark, dir)
+      .select(expr("doc_id div 50").as("bucket"), ws.as("ws"))
+      .filter(size(col("ws")) >= 8)
+    val bs = docs.select(col("bucket"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - lit(7)),
+        i => array_join(slice(col("ws"), i, lit(8)), " ")))).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val nnew = bs.groupBy("g").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val tot = bs.groupBy("bucket").agg(count(lit(1)).as("n_shingles"))
+    tot.join(nnew, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        r4(coalesce(col("n_new"), lit(0L)) * lit(1.0) / col("n_shingles"))
+          .as("novelty"))
+      .orderBy("bucket")
+  }
 }

@@ -187,6 +187,14 @@ class GoldenCountsSpec extends SparkTestBase {
     "degree_dist" -> 4L,
     // r5 Tukey fences: one row per event type
     "iqr_outliers" -> 5L,
+    // r5 Q22 shape: 5 nations have dormant rich customers at this sf
+    "idle_rich_customers" -> 5L,
+    // r5 novelty decay: 10 ingestion buckets (500 docs / 50)
+    "shingle_novelty" -> 10L,
+    // r5 source redundancy: global top-10 pairs
+    "source_cosine_pairs" -> 10L,
+    // r5 Gini: one row per market segment
+    "revenue_gini_by_segment" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

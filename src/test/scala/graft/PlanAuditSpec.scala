@@ -381,7 +381,22 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 Tukey fences: the quartile agg (broadcast back) + the probe
     // rollup + sort — two corpus passes by design (exact quartiles
     // need the data before the fences exist)
-    "iqr_outliers" -> 3)
+    "iqr_outliers" -> 3,
+    // r5 Q22 shape: custkey anti-join exchange pair + nation-grain
+    // rollup; the balance average and nation dim broadcast
+    "idle_rich_customers" -> 3,
+    // r5 novelty decay: the (bucket, shingle)-distinct exchange runs
+    // at construction (checkpointed); printed are the two bucket-
+    // grain rollups, their join, and the sort
+    "shingle_novelty" -> 4,
+    // r5 source redundancy: (source, token) model agg at
+    // construction (checkpointed); printed are the vocab-keyed pair
+    // join's exchanges and the ≤|sources|²-group rollup —
+    // TakeOrdered needs no sort exchange
+    "source_cosine_pairs" -> 3,
+    // r5 Gini: customer-revenue rollup (the fact exchange), the
+    // segment-partitioned rank window, segment-grain fold
+    "revenue_gini_by_segment" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
