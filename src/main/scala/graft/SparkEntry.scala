@@ -315,6 +315,13 @@ object SparkEntry {
     // family (pareto curve, HHI) via the ranked-sum identity (full
     // oracle)
     "revenue_gini_by_segment" -> (RelationalQueries.revenueGiniBySegment _),
+    // r5: Newman degree-assortativity of the co-purchase graph —
+    // the third graph-structure diagnostic beside degree_dist and
+    // triangle_parts (full oracle)
+    "degree_assortativity" -> (GraphOps.degreeAssortativity _),
+    // r5: character-distribution entropy per lang — the encoding-
+    // health signal token stats can't see (full oracle)
+    "char_entropy" -> (TextOps.charEntropy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2425,5 +2432,33 @@ object SparkEntry {
         |  round((2.0 * sum(r * x) - (count(*) + 1) * sum(x)) / (count(*) * sum(x)) + 1e-7, 4) AS gini,
         |  round(sum(x) + 2e-5, 2) AS total_rev
         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "degree_assortativity" ->
+      """WITH e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM read_parquet('{dir}/lineitem.parquet') x
+        |  JOIN read_parquet('{dir}/lineitem.parquet') y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS deg FROM
+        |        (SELECT a AS n FROM e UNION ALL SELECT b FROM e) t GROUP BY 1),
+        |de AS (
+        |  SELECT da.deg AS dx, db.deg AS dy
+        |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+        |  UNION ALL
+        |  SELECT db.deg, da.deg
+        |  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n)
+        |SELECT count(*) AS n_ends, round(corr(dx, dy) + 1e-7, 4) AS assortativity,
+        |       round(avg(dx) + 1e-7, 4) AS avg_deg
+        |FROM de""".stripMargin,
+    "char_entropy" ->
+      """WITH cc AS (
+        |  SELECT lang, c, count(*) AS n FROM (
+        |    SELECT lang, unnest(string_split_regex(text, '')) AS c
+        |    FROM read_parquet('{dir}/documents.parquet')) t
+        |  WHERE c <> '' GROUP BY 1, 2),
+        |lt AS (SELECT lang, sum(n) AS t FROM cc GROUP BY 1)
+        |SELECT cc.lang, count(*) AS n_chars_distinct,
+        |       round(-sum((cc.n * 1.0 / lt.t) * ln(cc.n * 1.0 / lt.t)) + 1e-7, 4) AS char_entropy
+        |FROM cc JOIN lt USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

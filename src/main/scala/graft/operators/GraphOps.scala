@@ -291,15 +291,25 @@ object GraphOps {
     * to graphs). Wedge counts come from the closed-form Σ C(deg,2)
     * on the degree frame, not by materializing wedges.
     */
-  def triangleParts(spark: SparkSession, dir: String): DataFrame = {
+  /** The ≥2-support co-purchase edge list (a < b, one row per
+    * undirected edge) — shared by [[triangleParts]],
+    * [[degreeAssortativity]] and RelationalQueries.degreeDist. The
+    * same-order pair join + support agg is copurchase_pairs' audited
+    * corpus-sized shape; everything downstream of it is edge-grain.
+    */
+  private[operators] def supportEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    val e = li.as("x").join(li.as("y"),
+    li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
       .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("a", "b")
+  }
+
+  def triangleParts(spark: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(spark, dir)
       .localCheckpoint() // scanned 4×: degrees + orient + wedge + close
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -336,5 +346,52 @@ object GraphOps {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         r4(try_divide(col("n_triangles") * lit(3.0), col("n_wedges")))
           .as("transitivity"))
+  }
+
+  /** `degree_assortativity` — Pearson correlation of endpoint degrees
+    * over the ≥2-support co-purchase edge list, both directions (full
+    * oracle): Newman's degree-assortativity coefficient (public
+    * knowledge). Positive ⇒ hubs attach to hubs (a dense core —
+    * degree-ordering and salting become mandatory), negative ⇒
+    * hub-and-spoke. With degree_dist (the marginal) and
+    * triangle_parts (the closure), this completes the three
+    * first-order graph-structure diagnostics a planner wants before
+    * choosing a join strategy ON the graph itself.
+    *
+    * Scale: edge build is the shared audited shape; the two degree
+    * joins are node-grain. The Pearson statistic over the symmetric
+    * 2·|E| endpoint list is computed CLOSED-FORM from one pass of
+    * edge-grain moment sums (Sy=Sx and Syy=Sxx by symmetry, so
+    * r = (n·2Σdadb − Sx²)/(n·Σ(da²+db²) − Sx²)) — no doubled union
+    * branch, no second scan. The ORACLE deliberately runs DuckDB's
+    * `corr()` over the materialized both-direction endpoint list —
+    * the hash match across the two algorithms validates the moment
+    * algebra itself (the label_separation precedent). Products fold
+    * through doubles so degree sums can't overflow int64 at graph
+    * scale (the chi2 lesson).
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(spark, dir)
+      .localCheckpoint() // scanned 3×: degrees + both endpoint joins
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val j = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+    val s = j.agg(
+      count(lit(1)).as("cnt"),
+      sum(col("da") * lit(1.0) * col("db")).as("sab"),
+      sum((col("da") + col("db")) * lit(1.0)).as("s1"),
+      sum(col("da") * lit(1.0) * col("da") +
+        col("db") * lit(1.0) * col("db")).as("s2"))
+    val n = col("cnt") * lit(2.0)
+    // try_divide: a degree-regular graph has zero degree variance —
+    // NULL like corr() on a constant column, not an ANSI error
+    s.select(
+      (col("cnt") * 2).as("n_ends"),
+      r4(try_divide(
+        n * (lit(2.0) * col("sab")) - col("s1") * col("s1"),
+        n * col("s2") - col("s1") * col("s1"))).as("assortativity"),
+      r4(try_divide(col("s1"), n)).as("avg_deg"))
   }
 }

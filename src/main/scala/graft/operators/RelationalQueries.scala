@@ -1029,13 +1029,7 @@ object RelationalQueries {
     * one partial-agg'd node-grain exchange; buckets are ≤64 rows.
     */
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val e = GraphOps.supportEdges(spark, dir)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))

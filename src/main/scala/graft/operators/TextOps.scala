@@ -682,6 +682,35 @@ object TextOps {
     * corpus-growth knob — widen it with corpus size to keep the
     * curve plot-sized.
     */
+  /** `char_entropy` — Shannon entropy of the CHARACTER distribution
+    * per language (full oracle): the encoding-health signal token
+    * stats can't see — mojibake, double-encoded UTF-8, or binary
+    * spill inflates the character alphabet and pushes entropy far
+    * off a language's natural band, while [[graft.operators
+    * .LlmQueries.entropyTtr]]'s token-level entropy stays blind to
+    * it (garbled bytes still form "tokens"). The standard cheap
+    * pre-filter before language-ID in a curation pipeline.
+    *
+    * Scale: the char stream is a scan-side split+explode collapsed
+    * map-side into the (lang, char)-grain agg — the exchange carries
+    * |langs|×|alphabet| rows per partition, never the corpus;
+    * per-lang totals broadcast back onto that same small frame.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("lang", "c").agg(count(lit(1)).as("n"))
+    val lt = cc.groupBy("lang").agg(sum("n").as("t"))
+    cc.join(broadcast(lt), Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_chars_distinct"),
+        r4(-sum((col("n") * lit(1.0) / col("t")) *
+          log(col("n") * lit(1.0) / col("t")))).as("char_entropy"))
+      .orderBy("lang")
+  }
+
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val ws = filter(split(col("text"), " "), t => t =!= "")
     val docs = Tables.documents(spark, dir)

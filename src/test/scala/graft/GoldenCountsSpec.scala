@@ -195,6 +195,10 @@ class GoldenCountsSpec extends SparkTestBase {
     "source_cosine_pairs" -> 10L,
     // r5 Gini: one row per market segment
     "revenue_gini_by_segment" -> 5L,
+    // r5 assortativity: single-row graph report
+    "degree_assortativity" -> 1L,
+    // r5 char entropy: one row per lang
+    "char_entropy" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -396,7 +396,16 @@ class PlanAuditSpec extends SparkTestBase {
     "source_cosine_pairs" -> 3,
     // r5 Gini: customer-revenue rollup (the fact exchange), the
     // segment-partitioned rank window, segment-grain fold
-    "revenue_gini_by_segment" -> 3)
+    "revenue_gini_by_segment" -> 3,
+    // r5 assortativity: edge build runs at construction behind the
+    // checkpoint; printed are the node-grain degree agg (per
+    // consumer branch pre-AQE), the two endpoint joins, and the
+    // single-row moment fold
+    "degree_assortativity" -> 5,
+    // r5 char entropy: the (lang, char)-grain agg (appearing on the
+    // totals branch and the probe branch pre-AQE), the lang-grain
+    // totals, their join, and the sort — alphabet-grain throughout
+    "char_entropy" -> 5)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
