@@ -570,9 +570,14 @@ object SparkEntry {
         |      FROM read_parquet('{dir}/events.parquet')) t
         |GROUP BY GROUPING SETS ((event_type), (day), ())
         |ORDER BY gid, event_type, day""".stripMargin,
+    // deltas keyed by (event_type, day) — the interarrival_stats
+    // re-keying discipline (one lost delta per type per day boundary),
+    // mirrored exactly by the Spark window's partition key
     "window_lag_delta" ->
       """WITH d AS (
-        |  SELECT event_type, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+        |  SELECT event_type, value - lag(value) OVER (
+        |    PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        |    ORDER BY ts, event_id) AS delta
         |  FROM read_parquet('{dir}/events.parquet'))
         |SELECT event_type, count(delta) AS n_deltas, round((avg(abs(delta))) + 1e-7, 4) AS avg_abs_delta
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2337,9 +2342,13 @@ object SparkEntry {
         |                WHERE l2.l_orderkey = lt.l_orderkey AND l2.l_suppkey <> lt.l_suppkey)
         |    AND NOT EXISTS (SELECT 1 FROM late l3
         |                WHERE l3.l_orderkey = lt.l_orderkey AND l3.l_suppkey <> lt.l_suppkey))
-        |SELECT s.s_name, count(*) AS numwait
+        |-- group by the KEY (s_suppkey), not s_name, mirroring the
+        |-- Spark side's l_suppkey grouping: a duplicate supplier name
+        |-- must yield two rows in both engines, not merge here
+        |-- (r5 advice); min(s_name) is the key's unique name
+        |SELECT min(s.s_name) AS s_name, count(*) AS numwait
         |FROM cand JOIN read_parquet('{dir}/supplier.parquet') s ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+        |GROUP BY s.s_suppkey ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
     // bucket = length of the degree's binary representation − 1:
     // floor(log2) computed exactly on integers (a floor(ln/ln) form
     // could flip at powers of two on libm last-ulp differences)

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (local
+    // iteration only — the driver always calls with 2 args)
+    val only: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(",").toSet)
+    def keep(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +22,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configureSketchPerf(spark) // graft-owned session opts in
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -40,7 +45,7 @@ object Verify {
     // dumped SQL is directly runnable by DuckDB with no view setup.
     val absDir = Paths.get(sfDir).toAbsolutePath.normalize.toString
       .stripSuffix("/")
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{dir}", absDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

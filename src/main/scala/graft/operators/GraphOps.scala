@@ -260,6 +260,23 @@ object GraphOps {
       .orderBy("lang", "cluster_id")
   }
 
+  /** The ≥2-support co-purchase edge list (a < b, one row per
+    * undirected edge) — shared by [[triangleParts]],
+    * [[degreeAssortativity]] and RelationalQueries.degreeDist. The
+    * same-order pair join + support agg is copurchase_pairs' audited
+    * corpus-sized shape; everything downstream of it is edge-grain.
+    */
+  private[operators] def supportEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("a", "b")
+  }
+
   /** `triangle_parts` — triangle census of the co-purchase affinity
     * graph (full oracle): nodes = parts, edges = part pairs that
     * co-occur in ≥ 2 orders (the support floor that separates
@@ -291,23 +308,6 @@ object GraphOps {
     * to graphs). Wedge counts come from the closed-form Σ C(deg,2)
     * on the degree frame, not by materializing wedges.
     */
-  /** The ≥2-support co-purchase edge list (a < b, one row per
-    * undirected edge) — shared by [[triangleParts]],
-    * [[degreeAssortativity]] and RelationalQueries.degreeDist. The
-    * same-order pair join + support agg is copurchase_pairs' audited
-    * corpus-sized shape; everything downstream of it is edge-grain.
-    */
-  private[operators] def supportEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-    li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("a", "b")
-  }
-
   def triangleParts(spark: SparkSession, dir: String): DataFrame = {
     val e = supportEdges(spark, dir)
       .localCheckpoint() // scanned 4×: degrees + orient + wedge + close

@@ -887,25 +887,6 @@ object RelationalQueries {
       .orderBy("flag")
   }
 
-  /** `price_position` — the premium tail per brand (full oracle):
-    * every part whose retail price sits at or above the 95th
-    * percentile position within its brand, with its exact
-    * `percent_rank` and `cume_dist` — the two distribution-position
-    * window functions the coverage checklist lacked (rank/dense_rank/
-    * row_number/ntile are elsewhere). Both are rank-derived rationals
-    * of integer counts — (rank−1)/(n−1) and peers≤x/n — so the ≥0.95
-    * cut and the output values are exact IEEE quotients, identical
-    * across engines with NO rounding needed for the filter (r4 only
-    * formats the output).
-    *
-    * Scale note: the window partitions by brand — a FIXED-cardinality
-    * dimension whose per-partition row count grows with the part
-    * dimension (the pareto_share class, documented swap: the
-    * range-partitioned two-pass rank in PrefixOps replaces the
-    * per-brand sort at the scale where a brand's parts no longer fit
-    * one task; the filter and both statistics are unchanged since
-    * they derive from (rank, n) pairs).
-    */
   /** `blame_supplier` — the TPC-H Q21 shape (public knowledge)
     * adapted to this schema: suppliers who were the SOLE overdue
     * shipper on multi-supplier orders (shipdate > orderdate + 75
@@ -1038,6 +1019,25 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** `price_position` — the premium tail per brand (full oracle):
+    * every part whose retail price sits at or above the 95th
+    * percentile position within its brand, with its exact
+    * `percent_rank` and `cume_dist` — the two distribution-position
+    * window functions the coverage checklist lacked (rank/dense_rank/
+    * row_number/ntile are elsewhere). Both are rank-derived rationals
+    * of integer counts — (rank−1)/(n−1) and peers≤x/n — so the ≥0.95
+    * cut and the output values are exact IEEE quotients, identical
+    * across engines with NO rounding needed for the filter (r4 only
+    * formats the output).
+    *
+    * Scale note: the window partitions by brand — a FIXED-cardinality
+    * dimension whose per-partition row count grows with the part
+    * dimension (the pareto_share class, documented swap: the
+    * range-partitioned two-pass rank in PrefixOps replaces the
+    * per-brand sort at the scale where a brand's parts no longer fit
+    * one task; the filter and both statistics are unchanged since
+    * they derive from (rank, n) pairs).
+    */
   def pricePosition(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy("p_retailprice")
     Tables.part(spark, dir)

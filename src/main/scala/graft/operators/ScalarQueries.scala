@@ -154,24 +154,66 @@ object ScalarQueries {
   /** #71 — distribution windows: `ntile(4)` quartile buckets per
     * event_type over a TOTAL order (value, event_id — ties broken so
     * both engines bucket identically), with `percent_rank` and
-    * `cume_dist` read out at each quartile's edge. Covers the three
-    * distribution-ranking window functions the surface didn't yet
-    * exercise; one shuffle on the partition key like every window
-    * query.
+    * `cume_dist` read out at each quartile's edge.
+    *
+    * SEMANTICS are the window functions' (the oracle literally runs
+    * `ntile/percent_rank/cume_dist OVER (PARTITION BY event_type
+    * ORDER BY value, event_id)`), but the PLAN is not a raw-grain
+    * window: event_type has ~5 values, so `Window.partitionBy(
+    * event_type)` over the raw events table sorts ~corpus/5 rows in
+    * ONE task per type — the r5-verdict finding this query carried.
+    * Instead the readouts are DERIVED from a (type, value)-grain
+    * histogram:
+    *
+    *  - under the total (value, event_id) order, rank ==
+    *    row_number, so `percent_rank = (rn−1)/(N−1)` and
+    *    `cume_dist = rn/N`; each quartile's max is taken at its last
+    *    position `q_end`, a pure function of the per-type row count
+    *    N (ntile gives the first N mod 4 buckets ⌈N/4⌉ rows, the
+    *    rest ⌊N/4⌋) — bit-identical to the engines' own division;
+    *  - a value group occupying positions [cum−cnt+1, cum] (cum =
+    *    running count in value order, via [[PrefixOps.prefixSumBy]]'s
+    *    sliced two-pass — no per-type single-task sort) contributes
+    *    `overlap` rows to each quartile range it straddles, so
+    *    per-quartile n and avg(value) fall out of a (type, quartile)
+    *    re-agg; tied rows are interchangeable w.r.t. value, so which
+    *    event_ids land where cannot affect any output.
+    *
+    * Scale: the histogram agg collapses map-side; prefixSumBy's
+    * frames are slice-local or (|types|×P)-bounded; the 4-row-per-
+    * type quartile frame broadcasts. Nothing sorts more than one
+    * slice in one task. A single degenerate-N guard (N=1 ⇒
+    * percent_rank 0, the window functions' own convention) replaces
+    * the engines' implicit behavior.
     */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("prank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    val h = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("cnt"))
+    val hc = PrefixOps.prefixSumBy(h, "event_type", "value", "cnt", "cum")
+    val quarts = h.groupBy("event_type").agg(sum("cnt").as("n_total"))
+      .select(col("event_type"), col("n_total"),
+        explode(expr("sequence(1L, 4L)")).as("quartile"))
+      .withColumn("__base", expr("n_total div 4"))
+      .withColumn("__rem", col("n_total") % 4)
+      .withColumn("q_end",
+        col("quartile") * col("__base") + least(col("quartile"), col("__rem")))
+      .withColumn("q_start",
+        (col("quartile") - 1) * col("__base") +
+          least(col("quartile") - 1, col("__rem")) + 1)
+      .drop("__base", "__rem")
+    hc.withColumn("lo", col("cum") - col("cnt") + 1)
+      .join(broadcast(quarts), Seq("event_type"))
+      .filter(col("cum") >= col("q_start") && col("lo") <= col("q_end"))
+      .withColumn("overlap",
+        least(col("cum"), col("q_end")) - greatest(col("lo"), col("q_start")) + 1)
       .groupBy("event_type", "quartile")
       .agg(
-        count(lit(1)).as("n"),
-        r4(avg("value")).as("avg_value"),
-        r4(max("prank")).as("max_prank"),
-        r4(max("cume")).as("max_cume"))
+        sum("overlap").as("n"),
+        r4(sum(col("value") * col("overlap")) / sum("overlap")).as("avg_value"),
+        r4(max(when(col("n_total") === 1, lit(0.0)).otherwise(
+          (col("q_end") - 1).cast("double") / (col("n_total") - 1))))
+          .as("max_prank"),
+        r4(max(col("q_end").cast("double") / col("n_total"))).as("max_cume"))
       .orderBy("event_type", "quartile")
   }
 
@@ -306,9 +348,22 @@ object ScalarQueries {
         |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 
-  /** #28 — first-difference of the series via lag (burn-rate style). */
+  /** #28 — first-difference of the series via lag (burn-rate style).
+    *
+    * Deltas are defined WITHIN (event_type, day), not per type
+    * globally: a sequence statistic only partitions if its key does
+    * (the [[graft.operators.SliQueries.interarrivalStats]]
+    * discipline — event_type alone has ~5 values, so the per-type
+    * form sorts ~corpus/5 rows in one task at scale, the r5-verdict
+    * finding). The (type, day) key re-partitions with the calendar
+    * at the cost of one documented lost delta per type per day
+    * boundary (first row of each day has no prior row in its
+    * partition), pinned by WindowRekeySpec's constructed midnight
+    * fixture; the oracle keys identically.
+    */
   def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
     Tables.events(spark, dir)
       .withColumn("delta", col("value") - lag("value", 1).over(w))
       .groupBy("event_type")

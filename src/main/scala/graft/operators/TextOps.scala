@@ -663,25 +663,6 @@ object TextOps {
       .orderBy("source")
   }
 
-  /** `shingle_novelty` — novelty-decay curve at 8-gram shingle grain
-    * (full oracle): per ingestion bucket (doc_id div 50, the
-    * vocab_growth grain), the distinct-shingle count and the
-    * fraction appearing for the FIRST time in that bucket. The
-    * dedup-policy instrument over TIME that [[dupNgramCoverage]]'s
-    * corpus-static view can't give: a falling novelty curve says
-    * each new crawl slice re-collects mostly known text — exactly
-    * when incremental dedup (BloomDedup) starts paying for itself.
-    *
-    * Scale shape: ONE (bucket, shingle)-grain distinct frame feeds
-    * both sides (first-bucket min and per-bucket totals) — built
-    * once behind a localCheckpoint, so the corpus-sized shingle
-    * exchange happens exactly once; everything after is
-    * shingle-vocabulary- or bucket-grain. No windows anywhere (the
-    * vocab_growth cumsum lesson does not arise: novelty is a
-    * per-bucket ratio, not a running total). The bucket width is the
-    * corpus-growth knob — widen it with corpus size to keep the
-    * curve plot-sized.
-    */
   /** `char_entropy` — Shannon entropy of the CHARACTER distribution
     * per language (full oracle): the encoding-health signal token
     * stats can't see — mojibake, double-encoded UTF-8, or binary
@@ -690,6 +671,15 @@ object TextOps {
     * .LlmQueries.entropyTtr]]'s token-level entropy stays blind to
     * it (garbled bytes still form "tokens"). The standard cheap
     * pre-filter before language-ID in a curation pipeline.
+    *
+    * Character = Unicode CODE POINT in both engines (the r5-advice
+    * check): Spark's `split(text, "")` produces zero-width regex
+    * matches that never land inside a surrogate pair, so emoji and
+    * supplementary CJK survive intact — empirically verified against
+    * DuckDB's `string_split_regex(text, '')` (same per-code-point
+    * list on 😀 / 𪚥) and pinned by CorpusStatsSpec's non-BMP
+    * fixture, so a Spark regex-engine change would fail CI, not
+    * silently diverge on exactly the mojibake this query detects.
     *
     * Scale: the char stream is a scan-side split+explode collapsed
     * map-side into the (lang, char)-grain agg — the exchange carries
@@ -711,6 +701,25 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** `shingle_novelty` — novelty-decay curve at 8-gram shingle grain
+    * (full oracle): per ingestion bucket (doc_id div 50, the
+    * vocab_growth grain), the distinct-shingle count and the
+    * fraction appearing for the FIRST time in that bucket. The
+    * dedup-policy instrument over TIME that [[dupNgramCoverage]]'s
+    * corpus-static view can't give: a falling novelty curve says
+    * each new crawl slice re-collects mostly known text — exactly
+    * when incremental dedup (BloomDedup) starts paying for itself.
+    *
+    * Scale shape: ONE (bucket, shingle)-grain distinct frame feeds
+    * both sides (first-bucket min and per-bucket totals) — built
+    * once behind a localCheckpoint, so the corpus-sized shingle
+    * exchange happens exactly once; everything after is
+    * shingle-vocabulary- or bucket-grain. No windows anywhere (the
+    * vocab_growth cumsum lesson does not arise: novelty is a
+    * per-bucket ratio, not a running total). The bucket width is the
+    * corpus-growth knob — widen it with corpus size to keep the
+    * curve plot-sized.
+    */
   def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val ws = filter(split(col("text"), " "), t => t =!= "")
     val docs = Tables.documents(spark, dir)

@@ -157,4 +157,32 @@ class CorpusStatsSpec extends SparkTestBase {
       assert(r.getDouble(4) >= 0.0)
     }
   }
+
+  test("char_entropy: characters are CODE POINTS — non-BMP chars (emoji, " +
+    "supplementary CJK) survive intact and entropy matches the hand computation") {
+    // "a😀😀b": code points a(1), 😀(2), b(1), total 4 → 3 distinct,
+    // H = −(¼ln¼·2 + ½ln½). A code-UNIT split would see the surrogate
+    // halves of 😀 as two distinct chars (4 distinct, different H) —
+    // the r5-advice cross-engine divergence this pins CLOSED: DuckDB's
+    // string_split_regex(text, '') is per-code-point, and so is
+    // Spark's split(text, '') (zero-width regex matches never land
+    // inside a surrogate pair; verified empirically on 😀 / 𪚥).
+    val d = tmpDocs(Seq((1L, "a😀😀b", "emoji", "s1", 4L),
+      (2L, "中𪚥𪚥𪚥x", "cjk", "s2", 5L)))
+    val out = TextOps.charEntropy(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("emoji").getLong(1) == 3L,
+      s"emoji alphabet ${out("emoji").getLong(1)} != 3 (surrogate split?)")
+    val hEmoji = math.round((-(2 * 0.25 * math.log(0.25) +
+      0.5 * math.log(0.5)) + 1e-7) * 1e4) / 1e4
+    assert(out("emoji").getDouble(2) == hEmoji,
+      s"emoji H ${out("emoji").getDouble(2)} != $hEmoji")
+    // 中(1) 𪚥(3) x(1), total 5 → 3 distinct
+    assert(out("cjk").getLong(1) == 3L,
+      s"cjk alphabet ${out("cjk").getLong(1)} != 3 (surrogate split?)")
+    val hCjk = math.round((-(2 * 0.2 * math.log(0.2) +
+      0.6 * math.log(0.6)) + 1e-7) * 1e4) / 1e4
+    assert(out("cjk").getDouble(2) == hCjk,
+      s"cjk H ${out("cjk").getDouble(2)} != $hCjk")
+  }
 }

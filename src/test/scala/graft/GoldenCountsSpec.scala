@@ -178,8 +178,10 @@ class GoldenCountsSpec extends SparkTestBase {
     "cusum_changepoint" -> 5L,
     // r5 DSIR: one row per source
     "dsir_weights" -> 20L,
-    // r5 percent_rank premium tail: 1 part per brand at this sf
-    // (25 brands × 40 parts ⇒ only rank 40 has pct_rank ≥ 0.95)
+    // r5 percent_rank premium tail: the sf0.001 fixture has 4–12
+    // parts per brand, and at each of those sizes exactly the
+    // top-ranked part clears pct_rank ≥ 0.95 — one qualifying part
+    // per brand × 25 brands (verified against DuckDB)
     "price_position" -> 25L,
     // r5 Q21 shape: top-10 blamed suppliers
     "blame_supplier" -> 10L,

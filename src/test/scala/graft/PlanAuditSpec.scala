@@ -141,7 +141,9 @@ class PlanAuditSpec extends SparkTestBase {
     "string_funcs" -> 2, "date_funcs" -> 2, "math_funcs" -> 2,
     "json_extract_agg" -> 2, "percentile_value" -> 2,
     "props_map_agg" -> 2, "grouping_sets_mix" -> 3,
-    "window_lag_delta" -> 2, "moving_avg_rows" -> 3,
+    // window_lag_delta: (type, day)-keyed window exchange + type-grain
+    // re-agg + sort (the r5 re-key added the day component)
+    "window_lag_delta" -> 3, "moving_avg_rows" -> 3,
     "topk_words" -> 1, "dedup_docs" -> 3, "near_dup_pairs" -> 2,
     "cosine_topk" -> 0, "text_stats" -> 3, "ngram_jaccard" -> 2,
     "emb_near_dup" -> 1, "knn_join_exact" -> 2,
@@ -166,7 +168,12 @@ class PlanAuditSpec extends SparkTestBase {
     "pivot_day_type" -> 3, "unpivot_type_stats" -> 5,
     "stratified_sample" -> 2, "quantile_sketch_rollup" -> 2,
     "gap_fill_minutes" -> 3, "weekly_retention" -> 6,
-    "ntile_quartiles" -> 2, "tfidf_top_terms" -> 8,
+    // ntile_quartiles (r5 histogram rewrite): every exchange is
+    // bounded-grain except the (type, value) histogram agg and the
+    // (type, slice)-keyed cumsum — prefixSumBy's bounds/partials/
+    // offsets frames and the quartile-edge frame are |types|- or
+    // (|types|*P)-grain, the final re-agg is 4*|types| rows
+    "ntile_quartiles" -> 9, "tfidf_top_terms" -> 8,
     "seq_pack_buckets" -> 2, "repetition_stats" -> 4,
     "contamination_check" -> 5, "pii_scrub" -> 2,
     "above_brand_avg" -> 4, "range_frame_daily" -> 3,
@@ -475,5 +482,113 @@ class PlanAuditSpec extends SparkTestBase {
         "unpinned unpartitioned Windows (single-task at scale):\n", "\n", ""))
     val stale = unpartitionedWindowPins.keySet.filter(q => counts(q) == 0)
     assert(stale.isEmpty, s"stale unpartitioned-Window pins: $stale")
+  }
+
+  /** r5-verdict blind spot: the tripwire above catches
+    * `partitionSpec.isEmpty`, but a Window partitioned ONLY by a
+    * bounded DIMENSION (event_type ~5 values, lang ~4, …) over
+    * corpus-grain input is the same single-task sort wearing a
+    * partition key — at 100 TB each of the ~5 tasks sorts ~corpus/5
+    * rows (the window_lag_delta / ntile_quartiles finding; both now
+    * re-keyed). Cardinality isn't statically knowable, so the
+    * discipline is a PIN LIST: every window whose partition key
+    * references ONLY bounded-dimension columns must be pinned here
+    * with the (key, grain) pair that justifies it — i.e. WHY its
+    * input grain is bounded (calendar rollup, dimension table,
+    * k-limited list) rather than corpus-proportional. A window whose
+    * key includes any data-proportional component (a day, a slice id,
+    * an order key — projected to `_w…` attributes or named columns
+    * not in the dimension set) passes untouched.
+    */
+  private val boundedDims = Set(
+    "event_type", "lang", "source", "label", "grp", "segment", "variant",
+    "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+    "c_mktsegment", "p_brand", "p_type", "r_name", "n_name")
+
+  /** value = the GRAIN justification. Prefix `[wgl]` additionally
+    * asserts the plan contains WindowGroupLimit — the rank≤k filter
+    * was lowered to a map-side partial top-k, so the final per-key
+    * sort sees ≤ k×tasks rows, not the corpus.
+    */
+  private val boundedDimWindowPins: Map[String, String] = Map(
+    // calendar-bounded input: the window runs over a (type, day/
+    // minute/hour) rollup, so per-key rows are bounded by the
+    // calendar, not the corpus
+    "sli_rolling_7d" -> "day-grain rollup (calendar-bounded)",
+    "rolling_p95" -> "day-grain rollup (calendar-bounded)",
+    "gap_fill_minutes" -> "minute-grid rollup (calendar-bounded)",
+    "zscore_anomaly" -> "day-grain rollup (calendar-bounded)",
+    "burn_rate_alerts" -> "hour-grain rollup (calendar-bounded)",
+    "breach_streaks" -> "day-grain rollup (calendar-bounded)",
+    "flap_rate" -> "day-grain rollup (calendar-bounded)",
+    "locf_impute" -> "day-grid rollup (calendar-bounded)",
+    "interp_impute" -> "day-grid rollup (calendar-bounded)",
+    "cusum_changepoint" -> "day-grain rollup (calendar-bounded)",
+    "ewma_smooth" -> "day-grain rollup (calendar-bounded)",
+    "value_autocorr" -> "day-grain rollup (calendar-bounded)",
+    "seasonal_decompose" -> "day-grain rollup (calendar-bounded)",
+    "moving_avg_rows" -> "minute-grain rollup (calendar-bounded)",
+    "range_frame_daily" -> "day-grain rollup (calendar-bounded)",
+    // histogram-bucket input: the window ranks (type, bucket) counts
+    // — the bucket domain is the grain, not the corpus
+    "quantile_disc_mode" -> "bucket-grain mode rank (domain-bounded)",
+    // rank≤k windows lowered to WindowGroupLimit (asserted): the
+    // final sort sees the partial top-k survivors only
+    "stratified_sample" -> "[wgl] rank<=10 per lang (group-limit lowered)",
+    "chi2_terms" -> "[wgl] rank<=5 per lang (group-limit lowered)",
+    "zipf_slope" -> "[wgl] rank<=100 per source (group-limit lowered)",
+    "rank_parts" -> "[wgl] dense_rank<=3 per brand (group-limit lowered)",
+    // prefixSumBy offsets frame: |types| x shuffle.partitions rows,
+    // data-size constant (the corpus-grain cumsum itself is keyed by
+    // (type, slice)) — the ntile_quartiles r5 fix
+    "ntile_quartiles" -> "PrefixOps.prefixSumBy offsets frame (|types|*P rows)",
+    // corpus-grain percent_rank kept exact by design (the probe set
+    // needs ranks within the FULL per-source distribution); the
+    // scaladoc documents the two-pass rank swap past that
+    "quantile_norm_chars" -> "corpus-grain exact percent_rank (documented two-pass swap)",
+    // part-dimension ranked curve: grows with the catalog, not the
+    // fact corpus; scaladoc documents the PrefixOps swap (the
+    // pareto_share_prefix variant demonstrates the swap end-to-end)
+    "price_position" -> "part-dimension percent_rank (documented swap)")
+
+  test("no bounded-dimension-keyed Window over an unbounded grain (r5 tripwire)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    def dimKeyed(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExecBase if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(e =>
+              e.references.nonEmpty &&
+                e.references.forall(a => boundedDims.contains(a.name))) =>
+          Seq(w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+            .mkString("(", ",", ")"))
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      here ++ kids.flatMap(dimKeyed)
+    }
+    val keys = SparkEntry.queries.keys.toSeq.sorted.map { q =>
+      q -> dimKeyed(
+        SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+    }.toMap
+    val offenders = keys.filter { case (q, ks) =>
+      ks.nonEmpty && !boundedDimWindowPins.contains(q) }
+    assert(offenders.isEmpty,
+      offenders.toSeq.sortBy(_._1).map { case (q, ks) => s"$q: keys ${ks.mkString(" ")}" }
+        .mkString("unpinned bounded-dimension Windows (per-key single-task at scale):\n",
+          "\n", ""))
+    val stale = boundedDimWindowPins.keySet.filter(q => keys(q).isEmpty)
+    assert(stale.isEmpty, s"stale bounded-dimension-Window pins: $stale")
+    // [wgl] pins: the bounded grain CLAIM is that the rank filter
+    // lowered to WindowGroupLimit — verify it mechanically
+    boundedDimWindowPins.filter(_._2.startsWith("[wgl]")).keys.foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q pinned as group-limit-lowered but plan has no WindowGroupLimit")
+    }
   }
 }

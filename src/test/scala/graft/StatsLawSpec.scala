@@ -506,6 +506,53 @@ class StatsLawSpec extends SparkTestBase {
     assert(SliQueries.interarrivalStats(spark, d2).collect().isEmpty)
   }
 
+  test("window_lag_delta: constructed deltas compute exactly; the midnight boundary cuts one delta") {
+    // one type, one day: values 10/30/70 at 06:00/06:10/06:30 →
+    // deltas 20/40: n_deltas 2, avg_abs 30
+    val d = tmpEvents(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 06:00:00"), 1L, "view", 10.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 06:10:00"), 1L, "view", 30.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 06:30:00"), 1L, "view", 70.0, "{}")))
+    val r = ScalarQueries.windowLagDelta(spark, d).collect()(0)
+    assert(r.getLong(1) == 2L, s"n_deltas ${r.getLong(1)}")
+    assert(r.getDouble(2) == 30.0, s"avg_abs_delta ${r.getDouble(2)}")
+    // same values straddling midnight: the 23:50→00:10 delta is CUT by
+    // the (type, day) re-key (the r5 interarrival_stats discipline) —
+    // only the intra-day 00:10→00:30 delta (40) remains
+    val d2 = tmpEvents(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 23:50:00"), 1L, "view", 10.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 00:10:00"), 1L, "view", 30.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-02 00:30:00"), 1L, "view", 70.0, "{}")))
+    val r2 = ScalarQueries.windowLagDelta(spark, d2).collect()(0)
+    assert(r2.getLong(1) == 1L, s"boundary delta not cut: n=${r2.getLong(1)}")
+    assert(r2.getDouble(2) == 40.0, s"avg_abs_delta ${r2.getDouble(2)}")
+  }
+
+  test("ntile_quartiles: histogram-derived readouts equal the naive per-type window exactly") {
+    // the r5 rewrite derives ntile/percent_rank/cume_dist from a
+    // (type, value)-grain histogram + prefix sum; this law pins the
+    // derivation against the window functions themselves on the sf
+    // fixture (same total (value, event_id) order, row-for-row)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val naive = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value") + lit(1e-7), 4).as("avg_value"),
+        round(max("prank") + lit(1e-7), 4).as("max_prank"),
+        round(max("cume") + lit(1e-7), 4).as("max_cume"))
+      .orderBy("event_type", "quartile")
+      .collect().map(_.toSeq).toSeq
+    val derived = ScalarQueries.ntileQuartiles(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(derived == naive,
+      s"derived != naive:\n${derived.mkString("\n")}\nvs\n${naive.mkString("\n")}")
+  }
+
   test("dq_profile: clean fixture profiles clean; constructed null is counted; " +
     "varchar min/max stay null") {
     val out = ScalarQueries.dqProfile(spark, sf).collect()
