@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Executor-loss chaos run (r5 verdict #2): on a `local-cluster[2,4]`
+  * master — real executor JVMs — SIGKILL one executor process MID-
+  * QUERY and assert the query still completes with the same result
+  * after Spark's task retries / stage re-attempts / shuffle-fetch
+  * recovery. The step between "runs on 2 JVMs" (ClusterVerify) and
+  * "survives a flaky fleet": executor churn is routine at 1000
+  * executors, and a query that only works when every JVM lives to
+  * the end does not work at 100 TB.
+  *
+  * Three representative queries, per the verdict's ask:
+  *  - `supplier_nation_rev` — shuffle-heavy fact join + agg: the kill
+  *    loses map outputs, forcing FetchFailed → parent-stage re-run;
+  *  - `dedup_clusters` — iterative connected components with
+  *    per-round lineage cuts: run with `spark.graft.checkpointDir`
+  *    set, so [[graft.operators.Checkpoints.cut]] uses RELIABLE
+  *    checkpoints — executor-resident localCheckpoint blocks would
+  *    be irrecoverable here (Spark documents exactly that failure),
+  *    which is the whole reason the reliable plane exists;
+  *  - `distinct_hll` — the TypedImperativeAggregate sketch plane:
+  *    partial sketches serialize, die with the executor, and must
+  *    recompute to the same registers (HLL max-merge is order-
+  *    insensitive, so recovery cannot shift the estimate).
+  *
+  * Determinism claim being tested: every query is a pure function of
+  * its input partitions, so re-executed tasks reproduce their
+  * results; numeric compare uses the ClusterModeSpec tolerance (r4-
+  * rounded sums can knife-edge across merge orders; real corruption
+  * is orders louder).
+  *
+  * The kill is a real `Process.destroyForcibly` (SIGKILL) of a
+  * CoarseGrainedExecutorBackend child process — no cooperative
+  * shutdown, no shuffle-file cleanup, exactly what an OOM-killed or
+  * preempted executor looks like. The standalone master relaunches a
+  * replacement, which the run waits for between queries.
+  */
+object ChaosVerify {
+
+  private def canon(v: Any): Any = v match {
+    case r: Row => r.toSeq.map(canon)
+    case s: scala.collection.Seq[_] => s.map(canon)
+    case a: Array[_] => a.toSeq.map(canon)
+    case f: Float => f.toDouble
+    case other => other
+  }
+
+  private def numEq(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) ||
+      math.abs(a - b) <= 2e-4 + 1e-6 * math.max(math.abs(a), math.abs(b))
+
+  private def valEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Double, y: Double) => numEq(x, y)
+    case (x: Seq[_], y: Seq[_]) =>
+      x.length == y.length && x.lazyZip(y).forall(valEq)
+    case _ => a == b
+  }
+
+  /** SIGKILL one executor backend process; returns its pid, or -1 if
+    * none found (the assertion on removals catches that).
+    */
+  private def killOneExecutor(): Long = {
+    val victims = ProcessHandle.current().descendants().iterator().asScala
+      .filter(_.info().commandLine().orElse("")
+        .contains("CoarseGrainedExecutorBackend"))
+      .toSeq
+    victims.headOption match {
+      case Some(p) => val pid = p.pid(); p.destroyForcibly(); pid
+      case None => -1L
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    new java.io.File(outDir).mkdirs()
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.jars", sys.env.getOrElse("GRAFT_JAR",
+        "target/scala-2.13/servicelevelreportingspark_2.13-0.1.0.jar"))
+      // the fault-tolerant lineage-cut plane: without this,
+      // dedup_clusters' checkpoint blocks die with the executor
+      .config("spark.graft.checkpointDir", s"$outDir/ckpt")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configureSketchPerf(spark)
+
+    @volatile var removed = 0
+    @volatile var taskFailures = 0
+    @volatile var stageReattempts = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+        removed += 1
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.reason != org.apache.spark.Success) taskFailures += 1
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (s.stageInfo.attemptNumber() > 0) stageReattempts += 1
+    })
+
+    def execs: Int =
+      spark.sparkContext.statusTracker.getExecutorInfos.length - 1
+    def awaitExecs(n: Int, timeoutSec: Int = 90): Boolean = {
+      val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
+      while (execs < n && System.nanoTime() < deadline) Thread.sleep(200)
+      execs >= n
+    }
+    require(awaitExecs(2), "2 executor JVMs never registered")
+
+    val queries = Seq("supplier_nation_rev", "dedup_clusters", "distinct_hll")
+    var problems = List.empty[String]
+    var kills = 0
+
+    queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // baseline on the healthy 2-executor cluster
+      val baseline = fn(spark, sfDir).collect().map(canon).sortBy(_.toString)
+      if (!awaitExecs(2)) problems ::= s"$name: cluster not healthy pre-chaos"
+      val removedBefore = removed
+      val killer = new Thread(() => {
+        Thread.sleep(400) // let the query's first stages start
+        if (killOneExecutor() > 0) kills += 1
+      })
+      killer.start()
+      try {
+        val chaos = fn(spark, sfDir).collect().map(canon).sortBy(_.toString)
+        killer.join()
+        if (chaos.length != baseline.length)
+          problems ::= s"$name: ${chaos.length} vs ${baseline.length} rows"
+        else chaos.lazyZip(baseline).collectFirst {
+          case (c, b) if !valEq(c, b) => s"$name: chaos $c != baseline $b"
+        }.foreach(problems ::= _)
+      } catch {
+        case e: Throwable =>
+          killer.join()
+          problems ::= s"$name: query died under executor loss: ${e.getMessage}"
+      }
+      // the kill must have actually been observed by the scheduler
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (removed == removedBefore && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      if (removed == removedBefore)
+        problems ::= s"$name: no executor-removed event observed (vacuous run)"
+      awaitExecs(2) // wait for the master's replacement before the next query
+    }
+
+    def js(xs: List[String]) = xs.map("\"" + _.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/chaos_info.json"),
+      s"""{"executors":$execs,"kills":$kills,"removed":$removed,""" +
+        s""""task_failures":$taskFailures,"stage_reattempts":$stageReattempts,""" +
+        s""""queries":${queries.size},"problems":${js(problems.reverse)}}""")
+    spark.stop()
+    if (problems.nonEmpty) sys.exit(1)
+  }
+}

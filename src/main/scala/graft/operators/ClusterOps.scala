@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
+
 import graft.functions.Det.r4
 import graft.sources.Tables
 
@@ -72,7 +74,7 @@ object ClusterOps {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .localCheckpoint()
+      .cut()
 
     // init: the k lowest vec_ids, on the same 1e-6 grid as updates
     var centroids: Array[(Int, Array[Double])] =

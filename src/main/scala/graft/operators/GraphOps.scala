@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
+
 import graft.functions.Det.r4
 
 import graft.sources.Tables
@@ -50,7 +52,7 @@ object GraphOps {
     val sym = edges
       .select(col("part"), col("a").as("s"), col("b").as("d"))
       .union(edges.select(col("part"), col("b").as("s"), col("a").as("d")))
-      .localCheckpoint()
+      .cut()
     // r5: the FIRST propagation folds into label init for free —
     // with labels = node ids, "min over self and neighbors' labels"
     // is a plain agg over the edge list (no label-frame join yet):
@@ -60,7 +62,7 @@ object GraphOps {
     var labels = sym.select(col("part"), col("d").as("node"), col("s").as("lbl"))
       .union(sym.select(col("part"), col("s").as("node"), col("s").as("lbl")))
       .groupBy(col("part"), col("node")).agg(min("lbl").as("lbl"))
-      .localCheckpoint()
+      .cut()
     // pointer jump: lbl := lbl(lbl). A label is always a live node
     // id, and labels only decrease, so the jump is monotone-safe;
     // left join + coalesce covers the already-minimal root. (r5 note:
@@ -95,7 +97,7 @@ object GraphOps {
         .join(nbrMin, Seq("part", "node"), "left")
         .select(col("part"), col("node"), col("lbl").as("old"),
           coalesce(least(col("lbl"), col("nlbl")), col("lbl")).as("lbl"))
-      val next = jump(prop).localCheckpoint()
+      val next = jump(prop).cut()
       val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
       labels = next.select(col("part"), col("node"), col("lbl"))
       converged = changed == 0L
@@ -310,7 +312,7 @@ object GraphOps {
     */
   def triangleParts(spark: SparkSession, dir: String): DataFrame = {
     val e = supportEdges(spark, dir)
-      .localCheckpoint() // scanned 4×: degrees + orient + wedge + close
+      .cut() // scanned 4×: degrees + orient + wedge + close
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // orient low→high in the (deg, id) total order; carry the target's
@@ -329,7 +331,7 @@ object GraphOps {
       // edge-grain; materialized once so the 3-way wedge/close join
       // reads ONE oriented frame instead of replicating the
       // orient-join subtree per branch (19 → 8 printed exchanges)
-      .localCheckpoint()
+      .cut()
     val tri = eo.as("e1")
       .join(eo.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
@@ -372,7 +374,7 @@ object GraphOps {
     */
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val e = supportEdges(spark, dir)
-      .localCheckpoint() // scanned 3×: degrees + both endpoint joins
+      .cut() // scanned 3×: degrees + both endpoint joins
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val j = e

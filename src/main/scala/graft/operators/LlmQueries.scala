@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
+
 import graft.functions.Det.r4
 import graft.sources.Tables
 
@@ -386,7 +388,7 @@ object LlmQueries {
     // corpus scan (tot derives from it without a rescan); the probe
     // below is the second, inherent, scan of the corpus
     val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .cut()
     val tot = vocab.agg(sum("cnt").cast("double").as("n"))
     val doc = tk
       .join(broadcast(vocab), Seq("tok"))
@@ -427,7 +429,7 @@ object LlmQueries {
       .filter(col("tok") =!= "")
       .groupBy("source", "tok")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .cut()
     val stot = sc.groupBy("source").agg(sum("c").cast("double").as("n"))
     val ctot = sc.groupBy("tok").agg(sum("c").cast("double").as("cc"))
     val tot = sc.agg(sum("c").cast("double").as("nn"))
@@ -693,7 +695,7 @@ object LlmQueries {
     val vocab = tok.groupBy("w")
       .agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-      .localCheckpoint()
+      .cut()
     val tots = vocab.agg(sum("cr").as("tr"), sum("ct").as("tt"),
       count(lit(1)).as("v"))
     val ratio = log(
@@ -736,7 +738,7 @@ object LlmQueries {
       .select(col("source"),
         explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
     val sc = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .cut()
     val nrm = sc.groupBy("source")
       .agg(sqrt(sum(col("c") * col("c") * lit(1.0))).as("nn"))
     val pairs = sc.as("a")

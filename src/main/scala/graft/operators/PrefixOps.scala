@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
+
 /** Distributed prefix (cumulative) sums — the scale-safe replacement
   * for `sum(x).over(Window.orderBy(k))` when the ordered grain grows
   * with the corpus.
@@ -55,7 +57,7 @@ object PrefixOps {
     // materialize it ONCE — without this the whole upstream plan
     // (vocab_growth's bigram first-appearance agg) re-executes per
     // pass. localCheckpoint also cuts lineage, the GraphOps pattern.
-    val snap = df.localCheckpoint()
+    val snap = df.cut()
     val bounds = snap.agg(min(col(orderCol)).cast("double").as("__lo"),
       max(col(orderCol)).cast("double").as("__hi"))
     val withPid = snap.crossJoin(broadcast(bounds))
@@ -99,7 +101,7 @@ object PrefixOps {
   def prefixSumBy(df: DataFrame, partCol: String, orderCol: String,
       valueCol: String, outCol: String): DataFrame = {
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val snap = df.localCheckpoint()
+    val snap = df.cut()
     val bounds = snap.groupBy(col(partCol)).agg(
       min(col(orderCol)).cast("double").as("__lo"),
       max(col(orderCol)).cast("double").as("__hi"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
+
 import graft.functions.Det.{r2, r4}
 import graft.sources.Tables
 
@@ -651,7 +653,7 @@ object RelationalQueries {
       .distinct()
       .localCheckpoint(true, diskOnly)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // node-grain: tiny, memory is fine
+      .cut() // node-grain: tiny, memory is fine
     val nDf = deg.agg(count(lit(1)).as("n"))
     val shares = edges.join(broadcast(deg), "src")
       .select(col("src"), col("dst"), col("deg"))
@@ -671,7 +673,7 @@ object RelationalQueries {
         .select(col("src").as("node"),
           (lit(0.15) / col("n") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
-      ranks = updated.localCheckpoint()
+      ranks = updated.cut()
     }
     ranks
       .select(col("node").as("part"), r4(col("rank") * 1000).as("rank_pm"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Checkpoints._
+
 import graft.functions.Det.r4
 import graft.sources.Tables
 
@@ -730,7 +732,7 @@ object TextOps {
         sequence(lit(1), size(col("ws")) - lit(7)),
         i => array_join(slice(col("ws"), i, lit(8)), " ")))).as("g"))
       .distinct()
-      .localCheckpoint()
+      .cut()
     val nnew = bs.groupBy("g").agg(min("bucket").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_new"))
     val tot = bs.groupBy("bucket").agg(count(lit(1)).as("n_shingles"))
