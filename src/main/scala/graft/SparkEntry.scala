@@ -265,6 +265,7 @@ object SparkEntry {
     // r5: directed containment |A∩B|/|A| — the near-superset
     // relation Jaccard misses (subsumed-doc detection; full oracle)
     "containment_pairs" -> (LlmQueries.containmentPairs _),
+    "containment_lsh" -> (DedupOps.containmentLsh _),
     // r5: χ² discriminative terms per language — feature selection
     // for source/quality classifiers (full oracle)
     "chi2_terms" -> (LlmQueries.chi2Terms _),

@@ -162,6 +162,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "dup_ngram_coverage" -> 20L,
     // r5 directed containment: one row per lang
     "containment_pairs" -> 5L,
+    // r6 LSH-Ensemble twin: per-lang report, all 5 langs have pairs
+    "containment_lsh" -> 5L,
     // r5 χ² discriminative terms: top-5 per lang
     "chi2_terms" -> 25L,
     // r5 PMI collocations: global top-10

@@ -337,6 +337,10 @@ class PlanAuditSpec extends SparkTestBase {
     // groupBy+self-join here) + doc rollup + source rollup + sort
     "dup_ngram_coverage" -> 4,
     "containment_pairs" -> 2,
+    // r6 LSH-Ensemble twin: sketch agg runs behind the cut(); printed
+    // are the candidate distinct, the verify joins' exchange, and the
+    // lang-grain report agg
+    "containment_lsh" -> 3,
     // r5 linear interpolation: locf's rollup shape + one partitioned
     // Window exchange for the four neighbor frames + sort
     "interp_impute" -> 4,

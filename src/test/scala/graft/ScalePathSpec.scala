@@ -290,3 +290,42 @@ class AnnFilteredSpec extends SparkTestBase {
       s"label predicate not pushed to the assign parquet reader: $scan")
   }
 }
+
+/** r5 verdict #3 — the LSH-Ensemble containment twin is EXECUTABLE:
+  * recall/precision of `containment_lsh`'s size-stratified MinHash
+  * path against the exact all-pairs directed-containment ground
+  * truth on the full sf fixture, plus the structural no-all-pairs
+  * guarantee.
+  */
+class ContainmentLshSpec extends SparkTestBase {
+  test("containment_lsh: precision 1.0 and recall >= 0.85 vs exact all-pairs truth") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val got = DedupOps.containmentLshPairs(docs)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact directed truth: same formula, string token sets, full corpus
+    val t = docs.select(col("doc_id"), col("lang"), col("toks"),
+      size(col("toks")).as("n"))
+    val a = t.filter(col("n") >= 20)
+      .select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_ws"), col("n").as("n_a"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"), col("toks").as("b_ws"))
+    val truth = a.join(b, col("lang") === col("b_lang") && col("a_id") =!= col("b_id"))
+      .filter(size(array_intersect(col("a_ws"), col("b_ws"))) * lit(1.0) / col("n_a") >= 0.9)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth is empty — fixture changed?")
+    assert((got -- truth).isEmpty,
+      s"false positives (exact verify broken?): ${(got -- truth).take(5)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.85,
+      s"recall $recall < 0.85 (|truth|=${truth.size}, |got|=${got.size})")
+  }
+
+  test("containment_lsh: bucket-join plan — no cartesian/broadcast-nested-loop anywhere") {
+    val p = SparkEntry.queries("containment_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment_lsh degenerated to an all-pairs join")
+  }
+}
