@@ -619,61 +619,88 @@ object RelationalQueries {
   def copurchasePagerank(spark: SparkSession, dir: String): DataFrame = {
     // The per-(order, part) pre-distinct looks redundant (the edge
     // distinct subsumes it) but is MEASURED faster kept: it shrinks
-    // the join build side and its removal cost ~1.9 s at sf0.1.
+    // the join build side and its removal cost ~0.9 s at sf0.1.
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    // r5: emit BOTH edge orientations from ONE self-join pass
-    // (pk =!= pk) instead of building the a<b half and unioning its
-    // swap — the union form ran the whole join+distinct subtree twice
-    // (4.1 s → ~2 s at sf0.1, the query's dominant stage). Same edge
-    // set: for a ≠ b the join yields (a,b) AND (b,a) directly.
-    // (An adjacency-packed variant — groupBy(ok) collect_list →
-    // scan-side pair expansion → collect_set per src — was measured
-    // SLOWER here: the object-hash set agg over edge-scale rows costs
-    // more than the extra join exchange it saves. Kept relational.)
-    // Corpus-proportional frames checkpoint to DISK_ONLY blocks
-    // (Spark 4's storage-level overload): default MEMORY_AND_DISK
-    // checkpoint unrolls through the unified memory pool, and at sf3
-    // (72 M edges) that unroll squeezed the edge-distinct's hash
-    // aggregation into AGGREGATE_OUT_OF_MEMORY. Disk-resident blocks
-    // cost ~a second of NVMe scan per iteration at that scale and
-    // leave the whole execution pool to the aggs — the same
-    // discipline a real cluster's executor-storage sizing buys.
-    // Lineage is still cut (unlike persist()), so per-iteration plans
-    // stay constant-size. (Measured alternatives: MEMORY_AND_DISK_SER
-    // still heap-OOMs at sf3; persist(DISK_ONLY)'s columnar cache
-    // halves the sf3 iteration scans but its UNCUT lineage adds ~50%
-    // at sf0.1 through per-iteration re-planning — row-serialized
-    // disk checkpoint blocks are the right local trade.)
+    // r6: dedup the a<b HALF, then emit both orientations with a
+    // scan-side explode — the dedup exchange (the query's dominant
+    // stage) carries HALF the pair rows of the r5 both-orientation
+    // form, and the explode adds no shuffle (measured 4.2 → 2.0 s
+    // warm at sf0.1). Same edge set either way.
+    // The half frame checkpoints to DISK_ONLY blocks (Spark 4's
+    // storage-level overload): default MEMORY_AND_DISK checkpoint
+    // unrolls through the unified memory pool, and at sf3 (72 M
+    // edges) that unroll squeezed the pair-distinct's hash
+    // aggregation into AGGREGATE_OUT_OF_MEMORY — disk-resident
+    // blocks leave the whole execution pool to the agg.
     val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val half = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y"))
       .distinct()
       .localCheckpoint(true, diskOnly)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = half.select(col("x").as("src"))
+      .unionAll(half.select(col("y").as("src")))
+      .groupBy("src").agg(count(lit(1)).as("deg"))
       .cut() // node-grain: tiny, memory is fine
     val nDf = deg.agg(count(lit(1)).as("n"))
-    val shares = edges.join(broadcast(deg), "src")
+    // The per-iteration frame (src, dst, deg), both orientations.
+    // Storage ADAPTS to the measured edge count (the srpChunkBits
+    // precedent): memory-resident below 16 M rows — the 10 iteration
+    // scans cost ~0.15 s each from memory vs ~1.5 s total extra from
+    // row-serialized disk at sf0.1 — DISK_ONLY above, where the
+    // unroll pressure and block size make executor memory the scarce
+    // resource (the validated sf3 configuration). half is already
+    // materialized, so the count is a metadata-cheap action.
+    val sharesLevel =
+      if (half.count() * 2 > 16000000L) diskOnly
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shares = half
+      .select(explode(array(
+        struct(col("x").as("src"), col("y").as("dst")),
+        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .join(broadcast(deg), "src")
       .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(true, diskOnly)
+      .localCheckpoint(true, sharesLevel)
+    // 0.15/n teleport term precomputed ONCE (node-grain) instead of a
+    // crossJoin per iteration
+    val base = deg.crossJoin(broadcast(nDf))
+      .select(col("src").as("node"), (lit(0.15) / col("n")).as("base"))
+      .cut()
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
     // Checkpoint cadence: every iteration. (Every-2nd was tried per
     // the r4 verdict and measured EQUAL — the two contrib aggs per
     // materialization cost the same as one-per-action twice — so the
-    // simpler lineage wins. The per-iteration cost is the honest
-    // job floor: broadcast-ranks build + edge-scale partial agg.)
-    for (i <- 1 to 10) {
-      val contrib = shares.join(broadcast(ranks), col("src") === col("node"))
-        .groupBy("dst").agg(sum(col("rank") / col("deg")).as("contrib"))
-      val updated = deg.crossJoin(broadcast(nDf))
-        .join(contrib, col("src") === col("dst"), "left")
-        .select(col("src").as("node"),
-          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
-            .as("rank"))
-      ranks = updated.cut()
+    // simpler lineage wins.)
+    // r6 loop tuning, scoped with save/restore: every exchange inside
+    // the loop is NODE-grain (the contrib agg output and the 20 k-row
+    // rank checkpoints) — at 32 shuffle partitions the 10 iterations
+    // are dominated by task-launch rounds, and AQE's per-stage
+    // re-planning costs more than it saves on sub-second stages
+    // (measured: 3.2 → 2.1 s for the loop at sf0.1). The edge-scale
+    // work (scan + map-side partial agg) has no exchange, so the
+    // narrow setting never touches corpus-sized data.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      for (i <- 1 to 10) {
+        val contrib = shares.join(broadcast(ranks), col("src") === col("node"))
+          .groupBy("dst").agg(sum(col("rank") / col("deg")).as("contrib"))
+        val updated = base
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (col("base") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
+              .as("rank"))
+        ranks = updated.cut()
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
     }
     ranks
       .select(col("node").as("part"), r4(col("rank") * 1000).as("rank_pm"))
