@@ -130,6 +130,7 @@ object SparkEntry {
     // revenue-concentration report
     "funnel_steps" -> (SliQueries.funnelSteps _),
     "pareto_share" -> (RelationalQueries.paretoShare _),
+    "pareto_share_prefix" -> (RelationalQueries.paretoSharePrefix _),
     // temporal/graph analytics wave (all full oracle): conversion
     // latency distribution, sweep-line session concurrency,
     // histogram-exact fulfillment percentiles, iterative PageRank
@@ -904,6 +905,24 @@ object SparkEntry {
         |       round(count(tp)*1.0/count(tc) + 1e-7, 4) AS click_to_purchase
         |FROM per_user""".stripMargin,
     "pareto_share" ->
+      """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev
+        |             FROM read_parquet('{dir}/orders.parquet') GROUP BY 1),
+        |ranked AS (
+        |  SELECT o_custkey, rev,
+        |         row_number() OVER (ORDER BY rev DESC, o_custkey) AS i_desc,
+        |         sum(rev) OVER (ORDER BY rev DESC, o_custkey ROWS UNBOUNDED PRECEDING) AS cum_rev,
+        |         count(*) OVER () AS n, sum(rev) OVER () AS tot
+        |  FROM rev)
+        |SELECT max(n) AS n_customers,
+        |       CAST(sum(CASE WHEN round(cum_rev/tot + 1e-7, 4) < 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_to_80pct,
+        |       round(sum(CASE WHEN i_desc <= ceil(n/10.0) THEN rev ELSE 0 END)/max(tot) + 1e-7, 4) AS top_decile_share,
+        |       round(sum((2*(n+1-i_desc) - n - 1)*rev)/(max(n)*max(tot)) + 1e-7, 4) AS gini
+        |FROM ranked""".stripMargin,
+    // pareto_share_prefix: SAME oracle as pareto_share — the variant's
+    // range-partitioned two-pass rank/cumsum must reproduce the
+    // sequential window's hashes (cross-slice reassociation ~1e-13,
+    // inside the r4 grid), which is the point of declaring it
+    "pareto_share_prefix" ->
       """WITH rev AS (SELECT o_custkey, sum(o_totalprice) AS rev
         |             FROM read_parquet('{dir}/orders.parquet') GROUP BY 1),
         |ranked AS (

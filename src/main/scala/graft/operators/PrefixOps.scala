@@ -81,6 +81,56 @@ object PrefixOps {
       .drop("__pid", "__offset")
   }
 
+  /** Ranked-DESCENDING form for `(value DESC, id ASC)` total orders —
+    * the shape of every ranked-curve query (pareto, RFM, Gini,
+    * price-position): adds `outRank` (row_number) and `outCum`
+    * (running sum of `valueCol`), both in descending-value order with
+    * the id tie-break. Same two-pass scheme: slices descend with the
+    * value (`pid = floor((hi − v)·P/span)` — big values land in slice
+    * 0), TIED values land in the SAME slice (pid is a pure function
+    * of the value), so the tie-break never crosses a slice boundary
+    * and the cross-slice rank/cumsum is exact; per-slice (count, sum)
+    * partials give each slice its rank and sum offsets through one
+    * bounded exclusive scan.
+    *
+    * The running double differs from the naive single-task window
+    * only by summation REASSOCIATION across slice boundaries
+    * (relative ~1e-16·n) — far inside the r4 grid every consumer
+    * rounds to, which is what lets `pareto_share_prefix` keep
+    * `pareto_share`'s exact oracle.
+    */
+  def rankedPrefix(df: DataFrame, valueCol: String, idCol: String,
+      outRank: String, outCum: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val snap = df.cut()
+    val bounds = snap.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    val withPid = snap.crossJoin(broadcast(bounds))
+      .withColumn("__pid", least(lit(p - 1), greatest(lit(0),
+        floor((col("__hi") - col(valueCol).cast("double")) * p /
+          (col("__hi") - col("__lo") + 1.0d)).cast("int"))))
+      .drop("__lo", "__hi")
+    val partials = withPid.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pc"), sum(col(valueCol)).as("__ps"))
+    val offsets = partials
+      .withColumn("__offc",
+        coalesce(sum("__pc").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offs",
+        coalesce(sum("__ps").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select("__pid", "__offc", "__offs")
+    val w = Window.partitionBy("__pid")
+      .orderBy(col(valueCol).desc, col(idCol))
+    withPid.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outRank, row_number().over(w) + col("__offc"))
+      .withColumn(outCum,
+        sum(col(valueCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + col("__offs"))
+      .drop("__pid", "__offc", "__offs")
+  }
+
   /** Grouped form: `outCol` = running sum of `valueCol` in ascending
     * `orderCol` order WITHIN each `partCol` group — the scale-safe
     * replacement for `sum(x).over(Window.partitionBy(dim).orderBy(k))`

@@ -499,6 +499,41 @@ object RelationalQueries {
         * col("rev")) / (max("n") * max("tot"))).as("gini"))
   }
 
+  /** `pareto_share_prefix` — the SAME report as [[paretoShare]]
+    * computed through [[PrefixOps.rankedPrefix]]'s range-partitioned
+    * two-pass rank/cumsum instead of the unpartitioned window: the
+    * documented swap for the whole ranked-curve family (pareto / RFM
+    * / Gini / price-position), demonstrated END-TO-END — it carries
+    * pareto_share's exact oracle, so the driver's hash gate proves
+    * the swap preserves results, not just a spec's tolerance.
+    *
+    * What changes: rank and running revenue come from slice-local
+    * windows plus broadcast slice offsets (every task sorts only its
+    * own revenue range — the shape that still works when the
+    * customer dimension outgrows one task), and n/tot come from a
+    * plain aggregate instead of OVER (). The running double differs
+    * from the sequential window only by cross-slice summation
+    * reassociation (~1e-13 relative here) — inside the r4 grid the
+    * 0.8 threshold and every output round to, hence the shared
+    * oracle. ParetoPrefixSpec additionally pins row-for-row equality
+    * with the window form.
+    */
+  def paretoSharePrefix(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
+    val ranked = PrefixOps.rankedPrefix(rev, "rev", "o_custkey",
+      "i_desc", "cum_rev")
+    val totals = rev.agg(count(lit(1)).as("n"), sum("rev").as("tot"))
+    ranked.crossJoin(broadcast(totals)).agg(
+      max("n").as("n_customers"),
+      (sum(when(r4(col("cum_rev") / col("tot")) < 0.8, 1L).otherwise(0L)) + 1L)
+        .as("n_to_80pct"),
+      r4(sum(when(col("i_desc") <= ceil(col("n") / lit(10.0)), col("rev"))
+        .otherwise(0.0)) / max("tot")).as("top_decile_share"),
+      r4(sum((lit(2) * (col("n") + lit(1) - col("i_desc")) - col("n") - lit(1))
+        * col("rev")) / (max("n") * max("tot"))).as("gini"))
+  }
+
   /** `ship_latency` — order-to-ship latency distribution per order
     * priority (full oracle): days from `o_orderdate` to each line's
     * `l_shipdate`; count, mean, exact interpolated median and p95.

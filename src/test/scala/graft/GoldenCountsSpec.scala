@@ -132,6 +132,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "copurchase_pairs" -> 20L,
     "funnel_steps" -> 1L,
     "pareto_share" -> 1L,
+    // r6 PrefixOps swap demonstration: same single-row report
+    "pareto_share_prefix" -> 1L,
     "time_to_convert" -> 1L,
     "peak_concurrency" -> 30L,
     "ship_latency" -> 5L,

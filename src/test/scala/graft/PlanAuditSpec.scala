@@ -215,6 +215,10 @@ class PlanAuditSpec extends SparkTestBase {
     // final; pareto = customer-grain agg + the documented
     // single-partition global window + single-row final
     "funnel_steps" -> 3, "pareto_share" -> 4,
+    // r6 swap variant: customer-rev agg + slice partials + slice-keyed
+    // rank/cumsum windows + single-row report fold (offsets/bounds
+    // frames broadcast; base frame behind the cut)
+    "pareto_share_prefix" -> 9,
     // t2c shares funnel's single user-window exchange + final agg;
     // peak = sessionize user exchange + day-partitioned sweep window
     // + day agg/sort; ship = histogram agg + priority window + sort
@@ -452,7 +456,9 @@ class PlanAuditSpec extends SparkTestBase {
     // customer-grain ranked curve / ntiles: bounded by the customer
     // DIMENSION, not the fact corpus; the scaladocs document the
     // two-pass swap past dimension-broadcast scale
-    "pareto_share" -> "customer-dimension ranked curve (documented swap)",
+    "pareto_share" -> "customer-dimension ranked curve (swap DEMONSTRATED: pareto_share_prefix)",
+    // slice-count-grain offsets frame inside PrefixOps.rankedPrefix
+    "pareto_share_prefix" -> "rankedPrefix offsets frame (<= shuffle.partitions rows)",
     "rfm_segments" -> "customer-dimension ntiles (documented swap)",
     // in-lane rank over each top-50 candidate list (k-bounded: the
     // Windows sit ABOVE TakeOrderedAndProject(50), so their input is

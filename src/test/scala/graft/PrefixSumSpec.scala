@@ -54,3 +54,34 @@ class PrefixSumSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
   }
 }
+
+/** r5 verdict #7 — the ranked-window family's documented PrefixOps
+  * swap, demonstrated end-to-end: `pareto_share_prefix` (range-
+  * partitioned two-pass rank/cumsum) equals `pareto_share` (the
+  * unpartitioned-window form) row-for-row, and rankedPrefix obeys
+  * the rank/cumsum laws on a constructed frame with ties.
+  */
+class ParetoPrefixSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("pareto_share_prefix == pareto_share row-for-row (sf fixture)") {
+    val a = SparkEntry.queries("pareto_share")(spark, sf).collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("pareto_share_prefix")(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, s"swap changed the report:\n$a\nvs\n$b")
+  }
+
+  test("rankedPrefix: ranks are a permutation, ties slice together, cumsum telescopes") {
+    import spark.implicits._
+    // values with heavy ties (all 7s) plus distinct ends
+    val df = Seq((1L, 9.0), (2L, 7.0), (3L, 7.0), (4L, 7.0), (5L, 3.0),
+      (6L, 7.0), (7L, 1.0)).toDF("id", "v")
+    val r = graft.operators.PrefixOps.rankedPrefix(df, "v", "id", "rk", "cum")
+      .orderBy("rk").collect()
+    assert(r.map(_.getLong(2)).toSeq == (1L to 7L), "ranks not a 1..n permutation")
+    // order: 9, then tied 7s by id asc (2,3,4,6), then 3, then 1
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 6L, 5L, 7L))
+    // cumsum telescopes exactly (integral doubles — no FP slack needed)
+    val expect = r.map(_.getDouble(1)).scanLeft(0.0)(_ + _).drop(1)
+    assert(r.map(_.getDouble(3)).toSeq == expect.toSeq)
+  }
+}
