@@ -172,8 +172,13 @@ object AnnOps {
     val r = nBits / bands
     require(bands * r == nBits && nBits <= 63, s"bad LSH shape ($nBits, $bands)")
     val mask = (1L << r) - 1
+    // hyperplane width follows the DATA's dimensionality (r6: the
+    // d-scaling row runs d=512 through the same lane) — one
+    // single-row probe, the IvfIndex seed-probe pattern
+    val dim = vecs.select(size(col("emb")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(64)
     val keyed = vecs
-      .withColumn("sig", srpSignature(col("emb"), nBits = nBits))
+      .withColumn("sig", srpSignature(col("emb"), dim = dim, nBits = nBits))
       .select(col("vec_id"),
         posexplode(array((0 until bands).map(c =>
           shiftright(col("sig"), r * c).bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
@@ -327,21 +332,31 @@ object AnnOps {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double"))))
-      // try_divide: a zero-norm (dead) embedding must degrade to NULL like
-      // the DuckDB oracle, not raise DIVIDE_BY_ZERO under ANSI (r4 advice).
-      .withColumn("u", transform(col("embedding"),
-        x => try_divide(x.cast("double"), col("nrm"))))
-    val dims = e.select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(sum("x").as("s"))
+    // r6 (caught by the d-scaling bench row): ALL per-element
+    // arithmetic happens AFTER the explode. The previous
+    // `transform(embedding, x => x / nrm)` form let CollapseProject
+    // substitute the full norm FOLD into the lambda body — the O(d)
+    // norm re-evaluated per ELEMENT, O(d²) per row, and the array was
+    // evaluated twice (dims + counts branches): measured 69× cost at
+    // 8× dims (92.7 s at d=512). Post-explode, `nrm` is a Generate
+    // child attribute computed once per VECTOR, and the normalized
+    // value is one division per exploded row — O(d) per row total
+    // (re-measured 1.7 s at d=512, ~1.3× the d=64 cost).
+    // try_divide: a zero-norm (dead) embedding must degrade to NULL
+    // like the DuckDB oracle, not raise DIVIDE_BY_ZERO (r4 advice).
+    val ex = e
+      .select(col("label"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("u", try_divide(col("x").cast("double"), col("nrm")))
+    val dims = ex.groupBy("label", "pos").agg(sum("u").as("s"))
     val s2 = dims.groupBy("label").agg(sum(col("s") * col("s")).as("s2"))
     val globalDims = dims.groupBy("pos").agg(sum("s").as("gs"))
     val cross = dims.join(broadcast(globalDims), "pos")
       .groupBy("label")
       .agg(sum(col("s") * (col("gs") - col("s"))).as("crossdot"))
-    val counts = e
-      .select(col("label"),
-        aggregate(col("u"), lit(0.0), (a, x) => a + x * x).as("uu"))
-      .groupBy("label").agg(count(lit(1)).as("n"), sum("uu").as("sumsq"))
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n"))
+      .join(ex.groupBy("label").agg(sum(col("u") * col("u")).as("sumsq")),
+        "label")
     val total = counts.agg(sum("n").as("nTotal"))
     counts.join(s2, "label").join(cross, "label")
       .crossJoin(broadcast(total))

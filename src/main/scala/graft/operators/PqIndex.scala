@@ -40,7 +40,9 @@ object PqIndex {
   val FormatVersion = 1
 
   val M = 8      // subspaces
-  val SubDim = 8 // dims per subspace (M * SubDim = embedding dim)
+  // dims per subspace is DERIVED from the data (embedding dim / M) —
+  // the r6 d-scaling row runs the same plane at d=512 (SubDim 64)
+  // with no code change; 64-dim corpora keep SubDim 8 as before
   val K = 16     // centroids per subspace (codes fit 4 bits; stored tinyint)
   val TrainIters = 3
 
@@ -69,9 +71,10 @@ object PqIndex {
     */
   def encode(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column = {
     val cb = typedlit(codebook)
+    val subDim = codebook.head.head.length // dim/M, carried by the codebook
     transform(sequence(lit(0), lit(M - 1)), m =>
       array_min(transform(sequence(lit(0), lit(K - 1)), k =>
-        struct(l2sq(slice(emb, m * SubDim + 1, lit(SubDim)), cent(cb, m, k)).as("d"),
+        struct(l2sq(slice(emb, m * subDim + 1, lit(subDim)), cent(cb, m, k)).as("d"),
           k.as("c"))))
         .getField("c").cast("tinyint"))
   }
@@ -97,10 +100,12 @@ object PqIndex {
       lit(0.0), (acc, x) => acc + x)
 
   /** Build the per-query ADC lookup table from a codebook. */
-  def lutFor(q: Seq[Double], codebook: Seq[Seq[Seq[Double]]]): Seq[Double] =
+  def lutFor(q: Seq[Double], codebook: Seq[Seq[Seq[Double]]]): Seq[Double] = {
+    val subDim = codebook.head.head.length
     for (m <- 0 until M; c <- 0 until K)
-      yield codebook(m)(c).zip(q.slice(m * SubDim, (m + 1) * SubDim))
+      yield codebook(m)(c).zip(q.slice(m * subDim, (m + 1) * subDim))
         .map { case (a, b) => a * b }.sum
+  }
 
   /** Train per-subspace codebooks: Lloyd iterations over the exploded
     * (subspace, subvector) frame — assignment is the same
@@ -117,11 +122,14 @@ object PqIndex {
     // ANSI-strict — so cycle the available seeds (duplicate centroids
     // are harmless: argmin picks the first, empty clusters keep theirs).
     val seeds = Seq.tabulate(K)(i => seedRows(i % seedRows.length))
+    val dim = seedRows.head.length
+    require(dim % M == 0, s"embedding dim $dim not divisible by M=$M")
+    val subDim = dim / M
     var cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(M)(m =>
-      seeds.map(_.slice(m * SubDim, (m + 1) * SubDim)))
+      seeds.map(_.slice(m * subDim, (m + 1) * subDim)))
     val subs = emb.select(
       posexplode(array((0 until M).map(m =>
-        slice(col("emb"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "s")))
+        slice(col("emb"), m * subDim + 1, subDim)): _*)).as(Seq("m", "s")))
     (0 until iters).foreach { _ =>
       val cbLit = typedlit(cb)
       val assigned = subs.withColumn("code",

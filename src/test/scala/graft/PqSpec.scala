@@ -44,7 +44,7 @@ class PqSpec extends SparkTestBase {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val tiny = (1 to 5).map(i =>
-      (i.toLong, s"v$i", Seq.fill(PqIndex.M * PqIndex.SubDim)(rnd.nextGaussian())))
+      (i.toLong, s"v$i", Seq.fill(64)(rnd.nextGaussian())))
       .toDF("vec_id", "label", "emb")
     val cb = PqIndex.trainCodebooks(tiny)
     assert(cb.length == PqIndex.M)
@@ -134,5 +134,42 @@ class PqSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       "pq_topk should be scan + broadcasts + TakeOrdered only")
     assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
+
+/** r5 verdict #8 — the vector lanes' OTHER axis: dimensionality.
+  * The PQ plane derives dims-per-subspace from the data (dim / M),
+  * so the same code quantizes 64-dim and 512-dim corpora; this pins
+  * the derivation on a non-default dim (m=8 × subDim=2 = 16) —
+  * train, encode, reconstruct, and the ADC ≡ reconstruction-dot
+  * identity all at d=16.
+  */
+class PqDimSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import graft.operators.{AnnOps, PqIndex}
+
+  test("PQ plane is dimension-agnostic: d=16 trains, encodes, and keeps ADC == dot(reconstruct)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d16 = (1 to 40).map(i =>
+      (i.toLong, s"v$i", Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "label", "emb")
+    val cb = PqIndex.trainCodebooks(d16)
+    assert(cb.length == PqIndex.M && cb.forall(_.length == PqIndex.K))
+    assert(cb.forall(_.forall(_.length == 2)), "subDim must be dim/M = 2")
+    val q = Seq.fill(16)(rnd.nextGaussian())
+    val lut = PqIndex.lutFor(q, cb)
+    assert(lut.length == PqIndex.M * PqIndex.K)
+    val cbook = typedlit(cb)
+    val out = d16
+      .select(PqIndex.encode(col("emb"), cb).as("codes"))
+      .select(col("codes"),
+        PqIndex.reconstruct(col("codes"), cbook).as("rec"))
+      .select(size(col("rec")).as("len"),
+        abs(PqIndex.adcDot(col("codes"), lut) -
+          AnnOps.dot(typedlit(q), col("rec"))).as("err"))
+      .agg(max("len"), min("len"), max("err")).collect()(0)
+    assert(out.getInt(0) == 16 && out.getInt(1) == 16,
+      s"reconstructed length ${out.getInt(0)}/${out.getInt(1)} != 16")
+    assert(out.getDouble(2) < 1e-9, s"ADC != dot(reconstruct): ${out.getDouble(2)}")
   }
 }

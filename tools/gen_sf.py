@@ -13,6 +13,8 @@ tokens from the fixed 31-word vocab, embeddings = unit-normalized
 
 NOT the driver's generator: per-query golden counts do NOT transfer;
 only timing does. Usage: python3 tools/gen_sf.py 1.0 /tmp/graft_sf1
+Optional 3rd arg: embedding dimensionality (default 64) — the
+BASELINE d-scaling row (r5 verdict #8) generates a d=512 twin.
 """
 import sys
 
@@ -42,7 +44,7 @@ def write(out, name, table):
     print(f'  {name}: {table.num_rows} rows')
 
 
-def main(sf: float, out: str) -> None:
+def main(sf: float, out: str, emb_dim: int = 64) -> None:
     rng = np.random.default_rng(42)
     n_events = int(1_000_000 * sf)
     n_users = int(15_000 * sf)
@@ -85,7 +87,7 @@ def main(sf: float, out: str) -> None:
     }))
 
     # embeddings — unit-normalized gaussians (std 1/8 per dim), f32
-    emb = rng.standard_normal((n_vecs, 64)).astype('float32')
+    emb = rng.standard_normal((n_vecs, emb_dim)).astype('float32')
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     write(out, 'embeddings', pa.table({
         'vec_id': pa.array(np.arange(n_vecs, dtype='int64')),
@@ -159,4 +161,5 @@ def main(sf: float, out: str) -> None:
 if __name__ == '__main__':
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = sys.argv[2] if len(sys.argv) > 2 else f'/tmp/graft_sf{sys.argv[1]}'
-    main(sf, out)
+    emb_dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    main(sf, out, emb_dim)
