@@ -324,6 +324,32 @@ object SparkEntry {
     // r5: character-distribution entropy per lang — the encoding-
     // health signal token stats can't see (full oracle)
     "char_entropy" -> (TextOps.charEntropy _),
+    // r6: TPC-H Q10 shape — returned-item revenue by customer, agg
+    // BEFORE the dim joins (full oracle)
+    "returned_revenue" -> (RelationalQueries.returnedRevenue _),
+    // r6: TPC-H Q17 decorrelation shape — correlated per-part avg
+    // threshold, one partkey partitioning end-to-end (full oracle)
+    "small_qty_revenue" -> (RelationalQueries.smallQtyRevenue _),
+    // r6: TPC-H Q18 shape — group-HAVING qty rollup, 20-row result
+    // broadcast AT the customer dimension (full oracle)
+    "bulk_orders" -> (RelationalQueries.bulkOrders _),
+    // r6: TPC-H Q15 shape — max-revenue supplier over a shipdate
+    // window via single-row broadcast max (full oracle)
+    "top_supplier_window" -> (RelationalQueries.topSupplierWindow _),
+    // r6: TPC-H Q14 shape — PROMO revenue share per ship month,
+    // conditional share in one agg (full oracle)
+    "promo_share_monthly" -> (RelationalQueries.promoShareMonthly _),
+    // r6: TPC-H Q8 shape — national market share inside a regional
+    // market, two dim chains off one fact row (full oracle)
+    "nation_market_share" -> (RelationalQueries.nationMarketShare _),
+    // r6: Population Stability Index of the per-type value
+    // distribution between month halves — the drift monitor (full
+    // oracle)
+    "psi_drift" -> (SliQueries.psiDrift _),
+    // r6: token-length survival curve (CCDF at power-of-2
+    // thresholds) per lang — the seq-len budget instrument (full
+    // oracle)
+    "length_survival" -> (TextOps.lengthSurvival _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2489,5 +2515,100 @@ object SparkEntry {
         |SELECT cc.lang, count(*) AS n_chars_distinct,
         |       round(-sum((cc.n * 1.0 / lt.t) * ln(cc.n * 1.0 / lt.t)) + 1e-7, 4) AS char_entropy
         |FROM cc JOIN lt USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)) + 2e-5, 2) AS revenue
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{dir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |JOIN read_parquet('{dir}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+        |  FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1)
+        |SELECT p.p_brand, count(*) AS n_small,
+        |       round(sum(l.l_extendedprice) / 7.0 + 2e-5, 2) AS avg_yearly
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN pa ON l.l_partkey = pa.l_partkey
+        |JOIN read_parquet('{dir}/part.parquet') p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_quantity < pa.lim
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bulk_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM read_parquet('{dir}/lineitem.parquet')
+        |  GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+        |       big.total_qty
+        |FROM big
+        |JOIN read_parquet('{dir}/orders.parquet') o ON big.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{dir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "top_supplier_window" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)) + 2e-5, 2) AS total_rev
+        |  FROM read_parquet('{dir}/lineitem.parquet')
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, rev.total_rev
+        |FROM rev JOIN read_parquet('{dir}/supplier.parquet') s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "promo_share_monthly" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)) + 1e-7, 4) AS promo_share,
+        |       round(sum(l_extendedprice * (1 - l_discount)) + 2e-5, 2) AS total_rev
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/part.parquet') p ON l.l_partkey = p.p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "nation_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       round(100.0 * sum(CASE WHEN sn.n_name = 'NATION_3'
+        |                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+        |             / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-7, 4) AS mkt_share,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 2e-5, 2) AS region_rev
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{dir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |JOIN read_parquet('{dir}/nation.parquet') cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN read_parquet('{dir}/region.parquet') r ON cn.n_regionkey = r.r_regionkey
+        |JOIN read_parquet('{dir}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey
+        |JOIN read_parquet('{dir}/nation.parquet') sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE r.r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "psi_drift" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         least(greatest(CAST(floor(value / 10) AS BIGINT), 0), 19) AS bucket,
+        |         count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS n1,
+        |         count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS n2
+        |  FROM read_parquet('{dir}/events.parquet')
+        |  GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n1) AS t1, sum(n2) AS t2, count(*) AS nb
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT b.event_type, t.nb,
+        |             (n1 + 0.5) / (t1 + 0.5 * nb) AS p1,
+        |             (n2 + 0.5) / (t2 + 0.5 * nb) AS p2
+        |      FROM b JOIN t ON b.event_type = t.event_type)
+        |SELECT event_type, max(nb) AS n_buckets,
+        |       round(sum((p2 - p1) * ln(p2 / p1)) + 1e-7, 4) AS psi
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "length_survival" ->
+      """WITH n AS (
+        |  SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        |  FROM read_parquet('{dir}/documents.parquet'))
+        |SELECT lang, CAST(thr AS BIGINT) AS threshold,
+        |       count(*) FILTER (n_tok >= thr) AS n_ge,
+        |       round(count(*) FILTER (n_tok >= thr) * 1.0 / count(*) + 1e-7, 4) AS share
+        |FROM n CROSS JOIN (VALUES (8), (16), (32), (64), (128), (256)) t(thr)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

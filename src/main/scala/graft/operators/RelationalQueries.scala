@@ -1112,4 +1112,204 @@ object RelationalQueries {
         r4(col("pct_rank")).as("pct_rank"), r4(col("cume")).as("cume"))
       .orderBy("p_brand", "p_partkey")
   }
+
+  /** `returned_revenue` — the TPC-H Q10 shape (public knowledge)
+    * adapted to this schema: top-20 customers by revenue lost to
+    * returned items (`l_returnflag = 'R'`) over one order year, with
+    * the customer's nation — the "who is returning the most" report
+    * of a returns desk.
+    *
+    * Scale shape: both fact scans are pre-filtered AT THE SCAN
+    * (returnflag equality and the orderdate year range both land in
+    * PushedFilters); the fact-fact join is orderkey-keyed; revenue is
+    * aggregated to CUSTKEY grain BEFORE any dimension joins, so the
+    * customer join (custkey-keyed shuffle — customer is
+    * corpus-proportional, never broadcast) carries one row per
+    * customer, not per lineitem; nation broadcasts onto it; top-20 is
+    * TakeOrdered on the rounded (revenue DESC, custkey) total order.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val lost = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(r2(sum("rev")).as("revenue"))
+    lost
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** `small_qty_revenue` — the TPC-H Q17 decorrelation shape (public
+    * knowledge): per brand, the yearly-average revenue carried by
+    * "trickle" lineitems whose quantity is below 20% of their part's
+    * mean quantity — the classic correlated scalar subquery
+    * (`l_quantity < 0.2 * (SELECT avg … WHERE same part)`) expressed
+    * directly as the per-part aggregate + join Catalyst decorrelates
+    * it into.
+    *
+    * Scale shape: the per-part average, the fact probe, and the part
+    * dimension are ALL partkey-keyed — one partitioning carries the
+    * whole pipeline (no re-key; part is corpus-proportional, so the
+    * dim hop is a co-keyed shuffle join, not a broadcast); the final
+    * agg collapses to the 25-row brand grain map-side.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = l.groupBy("l_partkey")
+      .agg((lit(0.2) * avg("l_quantity")).as("lim"))
+      .withColumnRenamed("l_partkey", "pa_partkey")
+    l.join(perPart, col("l_partkey") === col("pa_partkey"))
+      .filter(col("l_quantity") < col("lim"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        r2(sum("l_extendedprice") / 7.0).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
+  /** `bulk_orders` — the TPC-H Q18 shape (public knowledge): orders
+    * whose total quantity across all lines exceeds 300 units, with
+    * their customer — the large-volume-order audit (group-HAVING on
+    * a fact rollup re-joined to both parents).
+    *
+    * Scale shape: the lineitem rollup and the orders join share the
+    * orderkey partitioning (no re-key); the HAVING cut drops all but
+    * the extreme tail before anything wide is carried; top-20 is
+    * TakeOrdered on (o_totalprice DESC, o_orderkey); the customer
+    * names attach AFTER the cut by broadcasting the 20-row result
+    * against the customer table — the corpus-sized dimension is
+    * probed, never shuffled.
+    */
+  def bulkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val top = big
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+    broadcast(top)
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** `top_supplier_window` — the TPC-H Q15 shape (public knowledge):
+    * the supplier(s) with the maximum revenue over a 3-month shipdate
+    * window — the scalar-subquery-max-over-a-view report.
+    *
+    * Scale shape: the shipdate range is scan-pruned; revenue
+    * collapses to supplier grain map-side; the max is a single-row
+    * frame cross-broadcast back onto the supplier-grain rollup (the
+    * view is computed ONCE and reused for both sides via a local
+    * checkpoint-free self-reference — Spark re-runs the cheap rollup,
+    * each run identical because the r2 grid fixes summation noise
+    * before the equality compare); the supplier dimension broadcasts.
+    */
+  def topSupplierWindow(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** `promo_share_monthly` — the TPC-H Q14 shape (public knowledge):
+    * per ship month over one year, the percentage of revenue carried
+    * by PROMO-type parts — the marketing-effect monitor (conditional
+    * share inside a time-bucketed agg).
+    *
+    * Scale shape: the shipdate year is scan-pruned; the part hop is a
+    * partkey-keyed shuffle join (part is corpus-proportional — only
+    * `p_type` rides along); the agg collapses to the 12-row month
+    * grain map-side. The share is a ratio of two sums computed in the
+    * SAME agg — one pass, no self-join.
+    */
+  def promoShareMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val promoRev = sum(when(col("p_type") === "PROMO",
+      col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+    val totalRev = sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(r4(promoRev * 100.0 / totalRev).as("promo_share"),
+        r2(totalRev).as("total_rev"))
+      .orderBy("month")
+  }
+
+  /** `nation_market_share` — the TPC-H Q8 shape (public knowledge):
+    * within the EUROPE customer market, the share of lineitem revenue
+    * supplied by NATION_3, per order year — the national-market-share
+    * trend (two independent dimension chains hanging off the same
+    * fact row: the customer side scopes the market, the supplier side
+    * defines the share).
+    *
+    * Scale shape: the customer-side chain (customer ⋈ nation ⋈
+    * region, region-filtered) reduces to a custkey frame via
+    * broadcast dim hops BEFORE touching facts; the fact-fact join is
+    * orderkey-keyed, then one custkey re-key scopes the market; the
+    * supplier→nation mapping broadcasts onto the surviving rows
+    * (repo convention: supplier-grain frames broadcast, customer
+    * never does); the agg collapses to the ~7-row year grain
+    * map-side. Share and total come from ONE conditional agg.
+    */
+  def nationMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val eurCust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supNat = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val natRev = sum(when(col("supp_nation") === "NATION_3",
+      col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+    val totRev = sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(eurCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(r4(natRev * 100.0 / totRev).as("mkt_share"),
+        r2(totRev).as("region_rev"))
+      .orderBy("o_year")
+  }
 }

@@ -1397,4 +1397,49 @@ object SliQueries {
         r4(min("q3")).as("q3"))
       .orderBy("event_type")
   }
+
+  /** `psi_drift` — Population Stability Index of the per-type value
+    * distribution between the first and second half of the observed
+    * month (full oracle): the standard drift score
+    * `Σ_b (p2_b − p1_b)·ln(p2_b/p1_b)` monitoring teams alarm on
+    * (≳0.1 = moderate shift, ≳0.25 = major). Complements
+    * cusum_changepoint (WHEN the level moved) with a
+    * distribution-SHAPE delta between two fixed windows.
+    *
+    * Buckets are hist_buckets' fixed [0,200)/width-10 clamp grid —
+    * identical IEEE arithmetic in both engines — restricted to
+    * buckets OBSERVED in either half (a bucket absent from both
+    * halves carries no evidence); proportions are Laplace-smoothed
+    * (`(n + 0.5)/(N + 0.5·B)`) so a bucket empty on one side
+    * contributes a finite term instead of ln(0) — the textbook PSI
+    * smoothing, applied identically in the oracle.
+    *
+    * Scale shape: ONE corpus scan collapsing map-side into the
+    * (type, bucket) conditional-count grain (≤ |types|·20 rows);
+    * everything after — per-type totals, the smoothing join, the PSI
+    * sum — runs on that bounded frame. The two halves come from
+    * conditional aggregation, not two scans.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val b = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        least(greatest(floor(col("value") / 10), lit(0)), lit(19))
+          .cast("long").as("bucket"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n2"))
+    val t = b.groupBy("event_type")
+      .agg(sum("n1").as("t1"), sum("n2").as("t2"),
+        count(lit(1)).as("nb"))
+    b.join(t, Seq("event_type"))
+      .select(col("event_type"), col("nb"),
+        ((col("n1") + 0.5) / (col("t1") + lit(0.5) * col("nb"))).as("p1"),
+        ((col("n2") + 0.5) / (col("t2") + lit(0.5) * col("nb"))).as("p2"))
+      .groupBy("event_type")
+      .agg(max("nb").as("n_buckets"),
+        r4(sum((col("p2") - col("p1")) * log(col("p2") / col("p1"))))
+          .as("psi"))
+      .orderBy("event_type")
+  }
 }

@@ -743,4 +743,41 @@ object TextOps {
           .as("novelty"))
       .orderBy("bucket")
   }
+
+  /** `length_survival` — per-language token-length survival curve
+    * (full oracle): for each power-of-two threshold 8…256, the count
+    * and share of documents with at least that many tokens — the
+    * CCDF a training-data team reads before fixing a sequence-length
+    * budget (seq_pack_buckets bins the chosen budget; this curve is
+    * how the budget gets chosen: "keeping ≥128-token docs only
+    * retains 4% of de"). Token count is token_count's exact
+    * whitespace split, so the two reports share a definition.
+    *
+    * Scale shape: ONE corpus scan collapsing map-side into a
+    * |langs|-row wide frame of conditional counts — the thresholds
+    * are SIX `sum(when)` columns in the same agg, NOT a 6× explode of
+    * the corpus; the long (lang, threshold) layout is unfolded from
+    * the wide frame afterwards (≤ |langs|·6 rows). An empty tail
+    * (no doc reaches 256) is a 0-count row, not an absent one — the
+    * curve always has the same x-axis.
+    */
+  def lengthSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(8, 16, 32, 64, 128, 256)
+    val nTok = size(filter(split(col("text"), " "), t => t =!= ""))
+    val aggCols = count(lit(1)).as("n_docs") +:
+      thresholds.map(t =>
+        sum(when(col("n_tok") >= t, 1L).otherwise(0L)).as(s"ge_$t"))
+    val wide = Tables.documents(spark, dir)
+      .select(col("lang"), nTok.as("n_tok"))
+      .groupBy("lang")
+      .agg(aggCols.head, aggCols.tail: _*)
+    wide
+      .select(col("lang"), explode(array(thresholds.map(t => struct(
+        lit(t.toLong).as("threshold"),
+        col(s"ge_$t").as("n_ge"),
+        r4(col(s"ge_$t") * lit(1.0) / col("n_docs")).as("share"))): _*))
+        .as("s"))
+      .select(col("lang"), col("s.threshold"), col("s.n_ge"), col("s.share"))
+      .orderBy("lang", "threshold")
+  }
 }

@@ -205,6 +205,24 @@ class GoldenCountsSpec extends SparkTestBase {
     "degree_assortativity" -> 1L,
     // r5 char entropy: one row per lang
     "char_entropy" -> 5L,
+    // r6 Q10 shape: top-20 cut (1996 'R'-flag customers exceed 20)
+    "returned_revenue" -> 20L,
+    // r6 Q17 shape: one row per brand (all 25 brands have trickle
+    // lines at sf0.001)
+    "small_qty_revenue" -> 25L,
+    // r6 Q18 shape: 5 orders exceed 300 total qty at sf0.001 (< the
+    // 20-row cut; the count grows with the corpus into the cut)
+    "bulk_orders" -> 5L,
+    // r6 Q15 shape: a single supplier holds the 3-month max
+    "top_supplier_window" -> 1L,
+    // r6 Q14 shape: 12 ship months in 1996
+    "promo_share_monthly" -> 12L,
+    // r6 Q8 shape: 7 order years (1995–2001)
+    "nation_market_share" -> 7L,
+    // r6 PSI drift: one row per event type
+    "psi_drift" -> 5L,
+    // r6 survival curve: 5 langs × 6 thresholds
+    "length_survival" -> 30L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -288,9 +288,13 @@ class PlanAuditSpec extends SparkTestBase {
     // sort; autocorr = day rollup + lag window + moment agg (sort
     // rides the window partitioning)
     "type_corr_matrix" -> 4, "value_autocorr" -> 3,
-    // embedding-geometry + corpus-growth wave: label_separation's 10
-    // exchanges are ALL labels×dims/label-grain (the posexplode
-    // partial agg is the only corpus-width stage; the pair join the
+    // embedding-geometry + corpus-growth wave: label_separation's 12
+    // exchanges are ALL labels×dims/label-grain (the r6 post-explode
+    // rewrite that fixed the O(d²) lambda-fold added a second
+    // corpus-width partial agg — the per-label Σu² moment now
+    // aggregates from the exploded frame directly instead of a
+    // pre-collapsed array column; both corpus-width stages are
+    // map-side partial aggs with bounded output; the pair join the
     // algebra replaces would be the real cost); vocab_growth =
     // bigram-grain first-appearance agg (2-phase) + bucket rollup +
     // bucket-grain running sum + left join
@@ -298,7 +302,7 @@ class PlanAuditSpec extends SparkTestBase {
     // run once at PrefixOps' localCheckpoint build; the printed plan
     // is checkpoint-scan → bounds agg + slice partials/offsets +
     // slice-partitioned cumsum + final sort
-    "label_separation" -> 10, "vocab_growth" -> 6,
+    "label_separation" -> 12, "vocab_growth" -> 6,
     // planning diagnostics: tagged single-column scans union into the
     // (key, value) frequency rollup (2-phase — hot keys collapse
     // map-side) + key-grain stats + sort
@@ -420,7 +424,27 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 char entropy: the (lang, char)-grain agg (appearing on the
     // totals branch and the probe branch pre-AQE), the lang-grain
     // totals, their join, and the sort — alphabet-grain throughout
-    "char_entropy" -> 5)
+    "char_entropy" -> 5,
+    // r6 TPC-H-shape wave. returned_revenue: the custkey revenue agg
+    // is the one exchange at this SF (the orderkey fact-fact join and
+    // both dim hops broadcast; at scale AQE keeps the custkey agg as
+    // the only post-join exchange since the join emits custkey rows).
+    // small_qty_revenue: per-part avg (2-phase pre-AQE) + the final
+    // 25-row brand rollup — the probe and part joins reuse the
+    // partkey partitioning. bulk_orders: orderkey qty rollup +
+    // 20-row TakeOrdered re-sort after the broadcast name attach.
+    // top_supplier_window: the suppkey rollup appears on the rev and
+    // max branches pre-AQE (2 each, 2-phase) — all supplier-grain.
+    // promo_share_monthly: 12-row month agg pair (2-phase).
+    // nation_market_share: orderkey join pair + custkey market re-key
+    // + year-grain agg. psi_drift: (type,bucket) conditional agg
+    // (2-phase) + type totals + bounded join + sort.
+    // length_survival: the |langs|-row wide conditional agg (2-phase)
+    // — the explode runs on the bounded frame after it.
+    "returned_revenue" -> 1, "small_qty_revenue" -> 3,
+    "bulk_orders" -> 2, "top_supplier_window" -> 4,
+    "promo_share_monthly" -> 2, "nation_market_share" -> 4,
+    "psi_drift" -> 4, "length_survival" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

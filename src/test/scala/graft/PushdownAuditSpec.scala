@@ -50,7 +50,22 @@ class PushdownAuditSpec extends SparkTestBase {
     "near_dup_pairs" -> Seq(
       ("documents", Seq("LessThan(doc_id,300)"))),
     "emb_near_dup" -> Seq(
-      ("embeddings", Seq("LessThan(vec_id,400)"))))
+      ("embeddings", Seq("LessThan(vec_id,400)"))),
+    // r6 Q10 shape: returnflag equality on lineitem AND the order-year
+    // range on orders — each fact scan pre-filtered independently
+    "returned_revenue" -> Seq(
+      ("lineitem", Seq("EqualTo(l_returnflag,R)")),
+      ("orders", Seq("GreaterThanOrEqual(o_orderdate,", "LessThan(o_orderdate,"))),
+    // r6 Q15 shape: the 3-month shipdate window row-group-skips
+    "top_supplier_window" -> Seq(
+      ("lineitem", Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,"))),
+    // r6 Q14 shape: the ship-year range row-group-skips
+    "promo_share_monthly" -> Seq(
+      ("lineitem", Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,"))),
+    // r6 Q8 shape: the region literal reaches the region reader (the
+    // market scope cuts at the smallest dim, before any fact touch)
+    "nation_market_share" -> Seq(
+      ("region", Seq("EqualTo(r_name,EUROPE)"))))
 
   private def scanLines(name: String): Seq[String] = {
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
