@@ -350,6 +350,22 @@ object SparkEntry {
     // thresholds) per lang — the seq-len budget instrument (full
     // oracle)
     "length_survival" -> (TextOps.lengthSurvival _),
+    // r6: TPC-H Q2 shape — correlated per-part min price decorrelated
+    // onto one partkey partitioning (full oracle)
+    "cheapest_supplier" -> (RelationalQueries.cheapestSupplier _),
+    // r6: TPC-H Q7 shape — bilateral nation trade volume, dim-side
+    // nation filters before any fact touch (full oracle)
+    "nation_trade_volume" -> (RelationalQueries.nationTradeVolume _),
+    // r6: TPC-H Q11 shape — group-HAVING against a broadcast global
+    // scalar threshold (full oracle)
+    "major_parts" -> (RelationalQueries.majorParts _),
+    // r6: TPC-H Q16 shape — count-distinct suppliers with a NOT-IN
+    // exclusion anti-joined on the collapsed grain (full oracle)
+    "supplier_variety" -> (RelationalQueries.supplierVariety _),
+    // r6: TPC-H Q20 shape — nested correlated-threshold dominance
+    // filter, two-level rollup on one partkey partitioning (full
+    // oracle)
+    "dominant_suppliers" -> (RelationalQueries.dominantSuppliers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2610,5 +2626,68 @@ object SparkEntry {
         |       round(count(*) FILTER (n_tok >= thr) * 1.0 / count(*) + 1e-7, 4) AS share
         |FROM n CROSS JOIN (VALUES (8), (16), (32), (64), (128), (256)) t(thr)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cheapest_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         round(avg(l_extendedprice / l_quantity) + 2e-5, 2) AS unit_price
+        |  FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, min(unit_price) AS best_price FROM ps GROUP BY 1)
+        |SELECT p.p_partkey, s.s_suppkey, s.s_name, m.best_price
+        |FROM ps
+        |JOIN m ON ps.l_partkey = m.l_partkey AND ps.unit_price = m.best_price
+        |JOIN read_parquet('{dir}/part.parquet') p ON ps.l_partkey = p.p_partkey
+        |JOIN read_parquet('{dir}/supplier.parquet') s ON ps.l_suppkey = s.s_suppkey
+        |WHERE p.p_type = 'PROMO'
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "nation_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       count(*) AS n_lines,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)) + 2e-5, 2) AS volume
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        |JOIN read_parquet('{dir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        |JOIN read_parquet('{dir}/nation.parquet') cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN read_parquet('{dir}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey
+        |JOIN read_parquet('{dir}/nation.parquet') sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_12')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_12')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "major_parts" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)) + 2e-5, 2) AS part_rev
+        |  FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1)
+        |SELECT p.p_partkey, p.p_name, pr.part_rev
+        |FROM pr JOIN read_parquet('{dir}/part.parquet') p ON pr.l_partkey = p.p_partkey
+        |WHERE pr.part_rev > (SELECT round(avg(part_rev) * 1.5 + 2e-5, 2) FROM pr)
+        |ORDER BY part_rev DESC, p_partkey""".stripMargin,
+    "supplier_variety" ->
+      """SELECT p.p_type, CAST(floor(p.p_size / 10) AS BIGINT) AS band,
+        |       count(DISTINCT l.l_suppkey) AS n_supp
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/part.parquet') p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM read_parquet('{dir}/supplier.parquet')
+        |  WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dominant_suppliers" ->
+      """WITH psq AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+        |  FROM read_parquet('{dir}/lineitem.parquet')
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(q) AS tq FROM psq GROUP BY 1),
+        |dom AS (
+        |  SELECT psq.l_suppkey, count(*) AS n_parts_dominated
+        |  FROM psq JOIN pt ON psq.l_partkey = pt.l_partkey
+        |  WHERE psq.q > 0.5 * pt.tq
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, dom.n_parts_dominated
+        |FROM dom
+        |JOIN read_parquet('{dir}/supplier.parquet') s ON dom.l_suppkey = s.s_suppkey
+        |JOIN read_parquet('{dir}/nation.parquet') n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
   )
 }

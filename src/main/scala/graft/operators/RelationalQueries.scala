@@ -1312,4 +1312,176 @@ object RelationalQueries {
         r2(totRev).as("region_rev"))
       .orderBy("o_year")
   }
+
+  /** `cheapest_supplier` — the TPC-H Q2 shape (public knowledge)
+    * restated without a partsupp table: for every PROMO part, the
+    * supplier(s) whose observed average unit sale price
+    * (`l_extendedprice / l_quantity`) is the part's minimum — the
+    * correlated-scalar-min subquery Catalyst decorrelates into a
+    * per-group min + equality join, the procurement desk's "who
+    * sells this cheapest" report.
+    *
+    * Scale shape: one (partkey, suppkey)-grain avg from a single fact
+    * scan (2-phase hash agg), the per-part min on the partkey-grain
+    * frame, and the equality join back — all three partkey-keyed, so
+    * the decorrelation rides one partitioning. The equality compares
+    * on the r2 grid (identical in the oracle) so per-engine summation
+    * order can't flip a min tie. The part filter lands in the part
+    * scan's PushedFilters; part and supplier are corpus-proportional
+    * dims — partkey/suppkey-keyed joins, never assumed broadcastable.
+    */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(r2(avg(col("l_extendedprice") / col("l_quantity")))
+        .as("unit_price"))
+    val m = ps.groupBy("l_partkey").agg(min("unit_price").as("best_price"))
+    ps.join(m.select(col("l_partkey").as("m_partkey"), col("best_price")),
+        col("l_partkey") === col("m_partkey") &&
+          col("unit_price") === col("best_price"))
+      .join(Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("best_price"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  /** `nation_trade_volume` — the TPC-H Q7 shape (public knowledge):
+    * shipping volume between two trading nations per order year, both
+    * directions kept separate — the bilateral-trade report whose plan
+    * signature is TWO independent dim chains off the same fact row
+    * with a SYMMETRIC pair predicate.
+    *
+    * Scale shape: each side's nation filter is applied AT THE
+    * DIMENSION (supplier and customer each broadcast-join their tiny
+    * nation dim and drop to the two nations of interest BEFORE any
+    * fact touch), so the fact joins run against two heavily
+    * pre-reduced key sets; the pair predicate needs no OR evaluation
+    * post-join — restricting each side to {A,B} and dropping the
+    * diagonal (`supp_nation <> cust_nation`) is equivalent and keeps
+    * both joins pure equi-joins. Year grain collapses map-side.
+    */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_3", "NATION_12")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(nations: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"), r2(sum("rev")).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "o_year")
+  }
+
+  /** `major_parts` — the TPC-H Q11 shape (public knowledge): parts
+    * whose revenue exceeds 1.5× the average per-part revenue — a
+    * group-HAVING filter against a GLOBAL scalar, the "important
+    * stock" report whose plan signature is a single-row aggregate
+    * broadcast back onto the grouped frame.
+    *
+    * Scale shape: one fact scan collapses to partkey grain (2-phase);
+    * the global threshold is a single-row agg over that partkey-grain
+    * frame, cross-broadcast back onto it (the rollup is recomputed
+    * per branch pre-AQE — cheap, and deterministic because both
+    * branches round to the r2 grid before comparing, so summation
+    * order can't flip a borderline part); the name attach joins the
+    * corpus-proportional part dim partkey-keyed.
+    */
+  def majorParts(spark: SparkSession, dir: String): DataFrame = {
+    val pr = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("part_rev"))
+    val thr = pr.agg(r2(avg("part_rev") * 1.5).as("cut"))
+    pr.join(broadcast(thr), col("part_rev") > col("cut"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_name"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("part_rev"))
+      .orderBy(col("part_rev").desc, col("p_partkey"))
+  }
+
+  /** `supplier_variety` — the TPC-H Q16 shape (public knowledge):
+    * how many distinct suppliers serve each (part type, size band),
+    * excluding an undesirable supplier set (here: `s_acctbal < 1000`,
+    * standing in for Q16's complaint suppliers) — count-distinct over
+    * a join with a NOT-IN exclusion.
+    *
+    * Scale shape: the fact first collapses to the bounded
+    * (type, band, suppkey) distinct grain (2-phase hash agg — the
+    * dedup happens map-side at the scan, so the exclusion join never
+    * sees fact-grain rows); the NOT IN is a left-anti join ON THE
+    * COLLAPSED frame, suppkey-keyed (the exclusion list is
+    * corpus-proportional — an acctbal slice of supplier — so it is
+    * NOT assumed broadcastable); the part hop is partkey-keyed. The
+    * exclusion predicate lands in the supplier scan's PushedFilters.
+    */
+  def supplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 1000).select("s_suppkey")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"),
+          floor(col("p_size") / 10).cast("long").as("band")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_type", "band", "l_suppkey").distinct()
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_type", "band")
+      .agg(count(lit(1)).as("n_supp"))
+      .orderBy("p_type", "band")
+  }
+
+  /** `dominant_suppliers` — the TPC-H Q20 shape (public knowledge)
+    * restated without partsupp: suppliers who shipped MORE THAN HALF
+    * of some part's total 1996 quantity — the nested-IN-with-
+    * correlated-threshold pattern (supplier IN (… WHERE qty >
+    * 0.5 × (SELECT sum …))), decorrelated into a two-level rollup +
+    * ratio filter + distinct projection.
+    *
+    * Scale shape: the 1996 window is scan-pruned; the fact collapses
+    * to (partkey, suppkey) grain map-side; the part total is a
+    * partkey-grain re-agg of that frame and the threshold join rides
+    * the same partkey partitioning. Quantities are integral doubles,
+    * so the sums and the 0.5× compare are EXACT in both engines — no
+    * rounding grid needed. The final distinct-supplier projection is
+    * a suppkey-grain agg; supplier and nation attach after it
+    * (suppkey-keyed join + broadcast nation).
+    */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val psq = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("q"))
+    val pt = psq.groupBy("l_partkey").agg(sum("q").as("tq"))
+    psq.join(pt.select(col("l_partkey").as("t_partkey"), col("tq")),
+        col("l_partkey") === col("t_partkey"))
+      .filter(col("q") > col("tq") * 0.5)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts_dominated"))
+      .join(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_parts_dominated"))
+      .orderBy("s_suppkey")
+  }
 }

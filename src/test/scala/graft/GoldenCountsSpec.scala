@@ -223,6 +223,23 @@ class GoldenCountsSpec extends SparkTestBase {
     "psi_drift" -> 5L,
     // r6 survival curve: 5 langs × 6 thresholds
     "length_survival" -> 30L,
+    // r6 Q2 shape: 39 (part, cheapest-supplier) rows over the 33
+    // PROMO parts with sales at sf0.001 (r2-grid min ties keep >1
+    // supplier for some parts)
+    "cheapest_supplier" -> 39L,
+    // r6 Q7 shape: NATION_3↔NATION_12 trade in 13 of the 14
+    // (direction, year) cells at sf0.001
+    "nation_trade_volume" -> 13L,
+    // r6 Q11 shape: 2 parts clear 1.5× the average part revenue at
+    // sf0.001 (the synthetic revenue distribution is near-uniform)
+    "major_parts" -> 2L,
+    // r6 Q16 shape: 6 types × 6 size bands, one (type, band) cell
+    // empty at sf0.001
+    "supplier_variety" -> 35L,
+    // r6 Q20 shape: all 10 sf0.001 suppliers dominate ≥1 part's 1996
+    // quantity (10 suppliers over 200 parts ⇒ majority holders are
+    // common; the share thins as supplier count scales)
+    "dominant_suppliers" -> 10L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

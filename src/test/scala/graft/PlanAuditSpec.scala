@@ -444,7 +444,23 @@ class PlanAuditSpec extends SparkTestBase {
     "returned_revenue" -> 1, "small_qty_revenue" -> 3,
     "bulk_orders" -> 2, "top_supplier_window" -> 4,
     "promo_share_monthly" -> 2, "nation_market_share" -> 4,
-    "psi_drift" -> 4, "length_survival" -> 2)
+    "psi_drift" -> 4, "length_survival" -> 2,
+    // r6 decorrelation-shape wave 2. cheapest_supplier: the
+    // (partkey,suppkey) avg + partkey min re-agg + the (partkey,
+    // price)-keyed equality join pair — every exchange partkey-led;
+    // dim hops broadcast at this SF. nation_trade_volume: year-grain
+    // agg (2-phase) + sort — the nation-filtered dim sides broadcast.
+    // major_parts: the partkey rollup appears on the probe and
+    // threshold branches pre-AQE (2-phase each) — all partkey/
+    // single-row grain. supplier_variety: (type,band,suppkey)
+    // distinct + (type,band) re-agg + sort (exclusion anti-join
+    // broadcasts at this SF, suppkey-keyed at scale).
+    // dominant_suppliers: (partkey,suppkey) qty agg + partkey total
+    // re-agg + the partkey threshold join re-key + suppkey dominance
+    // agg + sort.
+    "cheapest_supplier" -> 4, "nation_trade_volume" -> 2,
+    "major_parts" -> 4, "supplier_variety" -> 3,
+    "dominant_suppliers" -> 5)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>

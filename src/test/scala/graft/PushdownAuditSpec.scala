@@ -65,7 +65,17 @@ class PushdownAuditSpec extends SparkTestBase {
     // r6 Q8 shape: the region literal reaches the region reader (the
     // market scope cuts at the smallest dim, before any fact touch)
     "nation_market_share" -> Seq(
-      ("region", Seq("EqualTo(r_name,EUROPE)"))))
+      ("region", Seq("EqualTo(r_name,EUROPE)"))),
+    // r6 Q2 shape: the part-type literal reaches the part reader
+    "cheapest_supplier" -> Seq(
+      ("part", Seq("EqualTo(p_type,PROMO)"))),
+    // r6 Q16 shape: the exclusion predicate reaches the supplier
+    // reader (the NOT-IN side scans only the excluded slice)
+    "supplier_variety" -> Seq(
+      ("supplier", Seq("LessThan(s_acctbal,"))),
+    // r6 Q20 shape: the 1996 window row-group-skips the fact scan
+    "dominant_suppliers" -> Seq(
+      ("lineitem", Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,"))))
 
   private def scanLines(name: String): Seq[String] = {
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
