@@ -7,8 +7,8 @@ import graft.sources.Tables
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,10 +21,8 @@ object Profile {
     }
     t("docs+tokens")(docs.count())
     t("sketches")(DedupOps.docSketches(docs).count())
-    t("bandKeys")(DedupOps.lshBandKeys(DedupOps.docSketches(docs)).count())
-    t("candidates")(DedupOps.minhashCandidates(DedupOps.docSketches(docs)).count())
-    t("pairs")(DedupOps.minhashPairs(docs).count())
-    t("pairs2")(DedupOps.minhashPairs(docs).count())
+    t("containment pairs")(DedupOps.containmentLshPairs(docs).count())
+    t("containment pairs 2")(DedupOps.containmentLshPairs(docs).count())
     spark.stop()
   }
 }

@@ -224,33 +224,82 @@ object DedupOps {
     * coarse token distribution, so without the stratum condition a
     * common-vocabulary corpus would pile into few buckets).
     */
-  def containmentLshPairs(docs: DataFrame, t: Double = 0.9): DataFrame = {
+  def containmentLshPairs(docs: DataFrame, t: Double = 0.9,
+      aMinTok: Int = 20): DataFrame = {
     import graft.operators.Checkpoints._
     val r = 2
     val bands2 = K / r // 32 bands of 2 rows
     val sk = docSketches(docs)
       .withColumn("stratum", (length(bin(col("n_tok"))) - 1).cast("int"))
       .cut() // scanned by two key frames + both verify sides
+    // A-side eligibility (|A| ≥ aMinTok distinct tokens) and the
+    // |A∩B| ≤ |B| ⇒ C ≤ n_b/n_a integer prune are pushed INTO the
+    // candidate generator: a pair failing them in BOTH orientations
+    // can never verify, so dropping it at the collision probe (a
+    // two-int compare) instead of after the distinct shuffle is free
+    // recall-wise and removes the dominant shuffle volume — measured
+    // 87M → 43M collision rows and 57 s → ~20 s at sf0.1 (the corpus
+    // whose shared vocabulary makes every band bucket dense).
+    def feasible(nA: Column, nB: Column): Column =
+      nB >= lit(t) * nA && nA >= lit(aMinTok)
     val keys2 = sk.select(col("doc_id"), col("lang"), col("stratum"),
+      col("n_tok"),
       posexplode(array((0 until bands2).map { b =>
         xxhash64(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)
       }: _*)).as(Seq("band", "bucket")))
-    val keys1 = sk.select(col("doc_id"), col("lang"), col("stratum"),
-      posexplode(array((0 until K).map(i =>
-        xxhash64(lit(1000 + i), col(s"m$i"))): _*))
-        .as(Seq("band", "bucket")))
-    def collide(keys: DataFrame, strataCond: Column): DataFrame =
-      keys.as("l").join(keys.as("r"),
+    // gap ≤ 1 lane: UNDIRECTED discovery — each colliding pair is
+    // generated once (doc_id <), deduped across its ≤32 colliding
+    // bands, and only then expanded into the orientation(s) that can
+    // verify (emitting both orientations before the dedup doubled
+    // the distinct shuffle for nothing). A probe-time first-agreeing-
+    // band filter (carrying each doc's 32-long band-hash vector and
+    // testing `l.band === firstAgree`) was tried and REJECTED: the
+    // per-probe array compares fall out of whole-stage codegen's hot
+    // path and measured 5× slower than paying the distinct exchange.
+    val undirected = keys2.as("l").join(keys2.as("r"),
         col("l.band") === col("r.band") &&
           col("l.bucket") === col("r.bucket") &&
           col("l.lang") === col("r.lang") &&
-          col("l.doc_id") =!= col("r.doc_id") && strataCond)
-        .select(col("l.lang").as("lang"),
-          col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
-    val cands = collide(keys2, abs(col("l.stratum") - col("r.stratum")) <= 1)
-      .unionAll(collide(keys1, col("r.stratum") - col("l.stratum") >= 2))
+          col("l.doc_id") < col("r.doc_id") &&
+          abs(col("l.stratum") - col("r.stratum")) <= 1 &&
+          (feasible(col("l.n_tok"), col("r.n_tok")) ||
+            feasible(col("r.n_tok"), col("l.n_tok"))))
+      .select(col("l.lang").as("lang"),
+        col("l.doc_id").as("x_id"), col("r.doc_id").as("y_id"),
+        col("l.n_tok").as("n_x"), col("r.n_tok").as("n_y"))
       .distinct()
-    val aSide = sk.filter(col("n_tok") >= 20).select(col("doc_id").as("a_id"),
+    val near = undirected.filter(feasible(col("n_x"), col("n_y")))
+      .select(col("lang"), col("x_id").as("a_id"), col("y_id").as("b_id"))
+      .unionAll(undirected.filter(feasible(col("n_y"), col("n_x")))
+        .select(col("lang"), col("y_id").as("a_id"), col("x_id").as("b_id")))
+    // gap ≥ 2 lane: DIRECTED by construction — the l side is the
+    // contained A (so only A-eligible docs key it) and the r side
+    // sits ≥2 strata up (n_b ≥ 2^(stratum_a+2) > t·n_a always, so
+    // the size prune is implied). Restricting each side's key frame
+    // kills the giant single-value buckets a shared vocabulary piles
+    // into singleton bands: the old unrestricted self-join probed
+    // ~100M in-bucket pairs to keep 178k (56 s at sf0.1); the
+    // restricted frames are empty-to-tiny unless the corpus actually
+    // HAS cross-stratum size ratios ≥ 4.
+    val minAStratum = 31 - Integer.numberOfLeadingZeros(aMinTok)
+    def keys1(frame: DataFrame): DataFrame =
+      frame.select(col("doc_id"), col("lang"), col("stratum"),
+        posexplode(array((0 until K).map(i =>
+          xxhash64(lit(1000 + i), col(s"m$i"))): _*))
+          .as(Seq("band", "bucket")))
+    val far = keys1(sk.filter(col("n_tok") >= aMinTok)).as("l")
+      .join(keys1(sk.filter(col("stratum") >= minAStratum + 2)).as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.lang") === col("r.lang") &&
+          col("r.stratum") - col("l.stratum") >= 2)
+      .select(col("l.lang").as("lang"),
+        col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+    // the two lanes are stratum-disjoint (|Δ| ≤ 1 vs Δ ≥ 2): union
+    // needs no cross-lane dedup
+    val cands = near.unionAll(far)
+    val aSide = sk.filter(col("n_tok") >= aMinTok).select(col("doc_id").as("a_id"),
       col("hs").as("a_hs"), col("n_tok").as("n_a"))
     val bSide = sk.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
       col("n_tok").as("n_b"))
