@@ -366,6 +366,9 @@ object SparkEntry {
     // filter, two-level rollup on one partkey partitioning (full
     // oracle)
     "dominant_suppliers" -> (RelationalQueries.dominantSuppliers _),
+    // r6: near-dup pairs crossing the hash_split boundary — the
+    // in-corpus split-contamination check (full oracle)
+    "split_leakage" -> (TextOps.splitLeakage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2689,5 +2692,20 @@ object SparkEntry {
         |JOIN read_parquet('{dir}/supplier.parquet') s ON dom.l_suppkey = s.s_suppkey
         |JOIN read_parquet('{dir}/nation.parquet') n ON s.s_nationkey = n.n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+    "split_leakage" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 10 THEN 'train'
+        |              WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 13 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         list_distinct(string_split(text, ' ')) AS ws
+        |  FROM read_parquet('{dir}/documents.parquet') WHERE doc_id < 300)
+        |SELECT a.lang, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+        |       round(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-7, 4) AS leak_rate
+        |FROM docs a JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
+        |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

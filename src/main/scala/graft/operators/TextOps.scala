@@ -780,4 +780,50 @@ object TextOps {
       .select(col("lang"), col("s.threshold"), col("s.n_ge"), col("s.share"))
       .orderBy("lang", "threshold")
   }
+
+  /** `split_leakage` — near-duplicate pairs that CROSS the
+    * [[hashSplit]] train/val/test boundary (full oracle): the
+    * in-corpus contamination check a training pipeline runs before
+    * shipping splits — a near-dup of a test document sitting in train
+    * silently inflates eval. Pairs are near_dup_pairs' exact
+    * token-set Jaccard ≥ 0.8 on the same bounded slice
+    * (doc_id < 300, O(n²) by construction); each side's split is the
+    * SAME pure content-hash bucket hashSplit ships, so the three
+    * reports (split sizes, near-dup pairs, leakage) are consistent by
+    * definition. On a content-hash split, near-dups land across
+    * splits at roughly the cross-split mass rate (~50% here) — the
+    * measured number IS the lesson: dedup must run BEFORE splitting,
+    * which is exactly the curate_corpus_neardup → hash_split order.
+    *
+    * Scale shape: the pair generator is the bounded exact slice; the
+    * unbounded twin is the existing near_dup_minhash LSH kill-list
+    * joined to the split map (both sides doc_id-keyed,
+    * output-linear), documented here and executable via
+    * DedupOps.nearDupMinhash + hashSplit's bucket column. The split
+    * attach rides the pair join's own doc_id keys (two joins on the
+    * ≤slice-sized pair frame).
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (instr(lit("0123456789abcdef"),
+      substring(md5(col("text")), 1, 1)) - 1).cast("int")
+    val splitCol = when(bucket < 10, lit("train"))
+      .when(bucket < 13, lit("val")).otherwise(lit("test"))
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), splitCol.as("split"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+    val pairs = LlmQueries.exactJaccardPairs(
+      docs.select("doc_id", "lang", "ws"), 0.8)
+    val splits = docs.select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")), "a_id")
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")), "b_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a_split") =!= col("b_split"), 1L).otherwise(0L))
+          .as("n_cross"),
+        r4(sum(when(col("a_split") =!= col("b_split"), 1L).otherwise(0L)) *
+          lit(1.0) / count(lit(1))).as("leak_rate"))
+      .orderBy("lang")
+  }
 }

@@ -240,6 +240,8 @@ class GoldenCountsSpec extends SparkTestBase {
     // quantity (10 suppliers over 200 parts ⇒ majority holders are
     // common; the share thins as supplier count scales)
     "dominant_suppliers" -> 10L,
+    // r6 split leakage: one row per lang on the bounded slice
+    "split_leakage" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

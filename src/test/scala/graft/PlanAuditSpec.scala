@@ -346,9 +346,12 @@ class PlanAuditSpec extends SparkTestBase {
     "dup_ngram_coverage" -> 4,
     "containment_pairs" -> 2,
     // r6 LSH-Ensemble twin: sketch agg runs behind the cut(); printed
-    // are the candidate distinct, the verify joins' exchange, and the
-    // lang-grain report agg
-    "containment_lsh" -> 3,
+    // are the near lane's undirected-pair distinct, the far lane's
+    // distinct, the verify joins' exchange pair, and the lang-grain
+    // report agg (the r6 perf rework split the lanes: A/B-eligibility
+    // pushed into both key frames, orientation expansion after the
+    // dedup — 57.6 -> 15.7 s at sf0.1 with identical output)
+    "containment_lsh" -> 5,
     // r5 linear interpolation: locf's rollup shape + one partitioned
     // Window exchange for the four neighbor frames + sort
     "interp_impute" -> 4,
@@ -460,7 +463,10 @@ class PlanAuditSpec extends SparkTestBase {
     // agg + sort.
     "cheapest_supplier" -> 4, "nation_trade_volume" -> 2,
     "major_parts" -> 4, "supplier_variety" -> 3,
-    "dominant_suppliers" -> 5)
+    "dominant_suppliers" -> 5,
+    // r6 split leakage: the bounded-slice pair join's exchange + the
+    // lang rollup (the split attach rides broadcast at this SF)
+    "split_leakage" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
