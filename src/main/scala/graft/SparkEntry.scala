@@ -369,6 +369,9 @@ object SparkEntry {
     // r6: near-dup pairs crossing the hash_split boundary — the
     // in-corpus split-contamination check (full oracle)
     "split_leakage" -> (TextOps.splitLeakage _),
+    // r6: Efraimidis–Spirakis deterministic weighted sampling without
+    // replacement, content-hash uniforms (full oracle)
+    "weighted_sample" -> (TextOps.weightedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2707,5 +2710,18 @@ object SparkEntry {
         |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
         |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT) AS u48
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars, u48,
+        |         row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY ln((u48 + 0.5) / 281474976710656.0) / n_chars DESC, doc_id) AS rank
+        |  FROM d)
+        |SELECT lang, rank, doc_id, n_chars AS weight, u48
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
   )
 }

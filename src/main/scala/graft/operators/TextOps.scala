@@ -373,6 +373,49 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** `weighted_sample` — deterministic weighted sampling WITHOUT
+    * replacement (Efraimidis–Spirakis 2006, public knowledge; full
+    * oracle): the top-10 docs per language by the ES key
+    * `ln(u) / w`, where `u` is a pure content-hash uniform (first 48
+    * md5 bits, the [[corpusMixSample]] discipline widened to 48 bits
+    * so ties are impossible in practice) and the weight `w` is
+    * `n_chars` — longer documents proportionally likelier, the
+    * "sample by token mass" draw a mixing pipeline uses when a source
+    * quota is expressed in tokens rather than documents. ln-form
+    * instead of the paper's u^(1/w): identical ordering, no pow
+    * precision skew across engines. Like hashSplit/corpusMixSample,
+    * inclusion is a pure function of content — reproducible across
+    * engines, cluster sizes, re-runs; stable under appends unless new
+    * content actually displaces a winner.
+    *
+    * Scale shape: one scan computes the key; `row_number ≤ 10` over
+    * the lang window lowers to WindowGroupLimit (asserted by the
+    * bounded-dimension pin), so every task keeps a local top-10 and
+    * the final per-lang sort sees ≤ 10×tasks survivors — the same
+    * [wgl] discipline as stratified_sample, never a corpus-grain
+    * per-lang sort. The exact u48 integer rides along in the output
+    * for auditability (the float key is internal).
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u48 = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    val u = (u48.cast("double") + 0.5) / lit(281474976710656.0) // 2^48
+    // try_divide per the DirtyInputSpec policy: a degenerate
+    // zero-length doc yields a NULL key and sorts out of the sample
+    // (DuckDB's -inf does the same), instead of killing the batch
+    // under ANSI
+    val esKey = try_divide(log(u), col("n_chars").cast("double"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("es_key").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        u48.as("u48"), esKey.as("es_key"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars").as("weight"), col("u48"))
+      .orderBy("lang", "rank")
+  }
+
   /** `curate_corpus` — the end-to-end curation pipeline as ONE
     * declarative flow (the flagship "switch your pipeline to this
     * engine" query): exact content dedup (keep the min-doc_id

@@ -242,6 +242,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "dominant_suppliers" -> 10L,
     // r6 split leakage: one row per lang on the bounded slice
     "split_leakage" -> 5L,
+    // r6 ES weighted sample: 10 winners per lang
+    "weighted_sample" -> 50L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -466,7 +466,10 @@ class PlanAuditSpec extends SparkTestBase {
     "dominant_suppliers" -> 5,
     // r6 split leakage: the bounded-slice pair join's exchange + the
     // lang rollup (the split attach rides broadcast at this SF)
-    "split_leakage" -> 2)
+    "split_leakage" -> 2,
+    // r6 ES weighted sample: the lang-window exchange (WindowGroupLimit
+    // lowers the rank<=10 map-side) + the final sort
+    "weighted_sample" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -591,6 +594,7 @@ class PlanAuditSpec extends SparkTestBase {
     // rank≤k windows lowered to WindowGroupLimit (asserted): the
     // final sort sees the partial top-k survivors only
     "stratified_sample" -> "[wgl] rank<=10 per lang (group-limit lowered)",
+    "weighted_sample" -> "[wgl] rank<=10 per lang (group-limit lowered)",
     "chi2_terms" -> "[wgl] rank<=5 per lang (group-limit lowered)",
     "zipf_slope" -> "[wgl] rank<=100 per source (group-limit lowered)",
     "rank_parts" -> "[wgl] dense_rank<=3 per brand (group-limit lowered)",
