@@ -372,12 +372,44 @@ object SparkEntry {
     // r6: Efraimidis–Spirakis deterministic weighted sampling without
     // replacement, content-hash uniforms (full oracle)
     "weighted_sample" -> (TextOps.weightedSample _),
+    // r6: 3-core of the co-purchase graph — synchronous peel to
+    // fixpoint, oracle replays the peel unrolled (full oracle)
+    "kcore_parts" -> (GraphOps.kcoreParts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (`{dir}` = sf directory, resolved by
     * Verify). Omit for non-SQL-expressible ops.
     */
+  /** kcore_parts oracle: the identical ≥2-support edge build, then
+    * the SAME synchronous peel unrolled to a fixed 14 rounds (the
+    * kmeans_assign unrolled-CTE-replay discipline) — KcoreSpec pins
+    * that the engine's fixpoint loop converges strictly within this
+    * depth at the test SFs, so fixed-depth replay ≡ fixpoint.
+    */
+  private def kcoreOracle: String = {
+    // AS MATERIALIZED: each e_i is referenced 3× by the next round —
+    // DuckDB's default CTE inlining would expand the parquet scan
+    // 3^14 times (observed as a too-many-open-files blowup)
+    val rounds = (0 until 14).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1 HAVING count(*) >= 3),
+         |e${i + 1} AS MATERIALIZED (SELECT e$i.a, e$i.b FROM e$i JOIN k$i ka ON e$i.a = ka.n JOIN k$i kb ON e$i.b = kb.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM read_parquet('{dir}/lineitem.parquet') x
+       |  JOIN read_parquet('{dir}/lineitem.parquet') y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$rounds,
+       |nodes AS (SELECT DISTINCT n FROM (SELECT a AS n FROM e14 UNION ALL SELECT b FROM e14))
+       |SELECT (SELECT count(*) FROM nodes) AS core_nodes,
+       |       (SELECT count(*) FROM e14) AS core_edges,
+       |       round(CASE WHEN (SELECT count(*) FROM nodes) = 0 THEN 0.0
+       |                  ELSE 2.0 * (SELECT count(*) FROM e14) / (SELECT count(*) FROM nodes)
+       |             END + 1e-7, 4) AS avg_core_degree""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "sli_filter_project" ->
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, round((value) + 2e-5, 2) AS value
@@ -2723,5 +2755,6 @@ object SparkEntry {
         |  FROM d)
         |SELECT lang, rank, doc_id, n_chars AS weight, u48
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    "kcore_parts" -> kcoreOracle,
   )
 }

@@ -244,6 +244,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "split_leakage" -> 5L,
     // r6 ES weighted sample: 10 winners per lang
     "weighted_sample" -> 50L,
+    // r6 k-core: single-row report
+    "kcore_parts" -> 1L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

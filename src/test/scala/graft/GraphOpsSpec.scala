@@ -121,4 +121,22 @@ class GraphOpsSpec extends SparkTestBase {
       assert(rs.map(_.getLong(1)).distinct.length == rs.length)
     }
   }
+
+  test("kcore_parts: fixpoint within the oracle's unrolled depth; core laws hold") {
+    val row = GraphOps.kcoreParts(spark, sf).collect().head
+    // the DuckDB oracle replays the peel unrolled to 14 rounds — the
+    // live loop must converge STRICTLY within that, or the fixed-depth
+    // replay no longer equals the fixpoint (the contract the hash
+    // match rides on)
+    assert(graft.operators.KcoreRounds.last > 0 &&
+      graft.operators.KcoreRounds.last < 14,
+      s"peel used ${graft.operators.KcoreRounds.last} rounds (oracle depth 14)")
+    val (nodes, edges) = (row.getLong(0), row.getLong(1))
+    // core law: every survivor has >=3 core neighbors => avg degree >=3
+    // (vacuous on an empty core, which is a legal fixpoint)
+    if (nodes > 0) {
+      assert(edges * 2 >= nodes * 3, s"avg core degree < k: $row")
+      assert(row.getDouble(2) >= 3.0, s"avg_core_degree < k: $row")
+    } else assert(edges == 0L && row.getDouble(2) == 0.0)
+  }
 }

@@ -469,7 +469,12 @@ class PlanAuditSpec extends SparkTestBase {
     "split_leakage" -> 2,
     // r6 ES weighted sample: the lang-window exchange (WindowGroupLimit
     // lowers the rank<=10 map-side) + the final sort
-    "weighted_sample" -> 2)
+    "weighted_sample" -> 2,
+    // r6 k-core: the peel rounds run behind per-round cut()s; the
+    // printed report plan is checkpoint-scan -> the node distinct's
+    // exchange pair (partial+final over the unioned endpoints) + the
+    // global count collapse -> single-row crossJoin
+    "kcore_parts" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
