@@ -56,7 +56,11 @@ object Bench {
     // change), which drowned round-over-round comparison. The median
     // keeps one-off hiccups out while staying honest about steady
     // state; a query that errors reports -1.
-    val Passes = 3
+    // SPARK_GRAFT_PASSES overrides for big-SF scale rows where 3
+    // passes would take an hour (the sf3/sf10 single-pass rows are
+    // disclosed as such in BASELINE.md); the driver's per-round bench
+    // keeps the median-of-3 default.
+    val Passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those
     // queries (the driver never sets it — full set by default).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
