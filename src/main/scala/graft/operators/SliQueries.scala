@@ -1420,15 +1420,32 @@ object SliQueries {
     * sum — runs on that bounded frame. The two halves come from
     * conditional aggregation, not two scans.
     */
-  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiFromBuckets(psiBucketCounts(Tables.events(spark, dir)))
+
+  /** The ONE corpus-sized stage of [[psiDrift]]: collapse events into
+    * (type, bucket) conditional counts for the two halves. Shared
+    * with the STREAMING twin (StreamingQueries.psiBuckets runs this
+    * exact aggregation incrementally — a plain running agg, no
+    * window), so the live drift monitor and the batch report are the
+    * same arithmetic by construction.
+    */
+  private[graft] def psiBucketCounts(events: DataFrame): DataFrame = {
     val cut = lit("2024-01-16").cast("timestamp")
-    val b = Tables.events(spark, dir)
+    events
       .groupBy(col("event_type"),
         least(greatest(floor(col("value") / 10), lit(0)), lit(19))
           .cast("long").as("bucket"))
       .agg(
         sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n1"),
         sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n2"))
+  }
+
+  /** The bounded PSI finisher over a (type, bucket, n1, n2) frame
+    * (≤ |types|·20 rows — per-type totals, Laplace smoothing, the
+    * PSI sum). Batch and stream both read their counts through this.
+    */
+  private[graft] def psiFromBuckets(b: DataFrame): DataFrame = {
     val t = b.groupBy("event_type")
       .agg(sum("n1").as("t1"), sum("n2").as("t2"),
         count(lit(1)).as("nb"))

@@ -149,4 +149,17 @@ object StreamingQueries {
         col("user_id"),
         unix_millis(col("session_window.start")).as("session_start_ms"),
         col("n_events"))
+
+  /** Streaming twin of `psi_drift`'s corpus stage: the SAME
+    * (type, bucket) conditional-count aggregation
+    * (SliQueries.psiBucketCounts), run incrementally as a plain
+    * running aggregate — bounded state (≤ |types|·20 groups), no
+    * window, complete output. A live deployment sinks this frame and
+    * reads the PSI through the SAME bounded finisher the batch
+    * report uses (SliQueries.psiFromBuckets), so the alarm a monitor
+    * fires mid-stream and the nightly batch report can never
+    * disagree on arithmetic — StreamingSpec pins the equivalence.
+    */
+  def psiBuckets(events: DataFrame): DataFrame =
+    graft.operators.SliQueries.psiBucketCounts(events)
 }

@@ -113,4 +113,19 @@ class StreamingSpec extends SparkTestBase {
     assert(back.select(countDistinct("event_id")).collect().head.getLong(0)
       == orig.count())
   }
+
+  test("streaming PSI buckets through the shared finisher == batch psi_drift") {
+    // localCheckpoint: the finisher self-joins its input, and a
+    // memory-sink View carries fixed expr ids that break self-join
+    // attribute dedup — the checkpoint mints fresh ones
+    val counts = runToCompletion(
+      StreamingQueries.psiBuckets(StreamingQueries.eventsStream(spark, sf)),
+      "psi_equiv").localCheckpoint()
+    val got = SliQueries.psiFromBuckets(counts)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expect = SliQueries.psiDrift(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.length && got.sameElements(expect),
+      s"stream PSI ${got.toSeq} != batch ${expect.toSeq}")
+  }
 }
