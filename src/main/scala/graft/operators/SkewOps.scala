@@ -33,6 +33,44 @@ object SkewOps {
       .drop("__salt_p", "__salt_b")
   }
 
+  /** [[saltedEquiJoin]] with the salt applied ONLY to detected hot
+    * keys — the production form when the build side is too large to
+    * replicate wholesale. One counting pass over the probe keys finds
+    * keys above `hotThreshold` rows (the [[skewProfile]] statistic
+    * turned into a cut); the probe splits into a cold lane (plain
+    * equi-join) and a hot lane where only the HOT keys' build rows
+    * replicate ×salt — replication cost O(|hot keys| × salt), not
+    * O(|build| × salt). Row-identical to the plain join (SkewBench
+    * asserts it; same argument as [[saltedEquiJoin]]).
+    *
+    * The hot-key frame is collected to the driver — bounded by
+    * construction: at threshold t over n probe rows there are ≤ n/t
+    * hot keys (a 100 TB fact at t = 1e6 yields ≤ a few thousand),
+    * and they broadcast into both lane filters as a literal set.
+    */
+  def saltedHotKeyJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String, salt: Int,
+      hotThreshold: Long): DataFrame = {
+    val hot = probe.groupBy(probeKey).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= hotThreshold)
+      .select(probeKey).collect().map(_.get(0))
+    if (hot.isEmpty) return probe.join(build, probe(probeKey) === build(buildKey))
+    val hotLit = hot.map(lit(_))
+    val cold = probe.filter(!col(probeKey).isin(hotLit: _*))
+      .join(build.filter(!col(buildKey).isin(hotLit: _*)),
+        probe(probeKey) === build(buildKey))
+    val pHot = probe.filter(col(probeKey).isin(hotLit: _*))
+      .withColumn("__salt_p",
+        pmod(xxhash64(col(probeKey), monotonically_increasing_id()), lit(salt.toLong))
+          .cast("int"))
+    val bHot = build.filter(col(buildKey).isin(hotLit: _*))
+      .withColumn("__salt_b", explode(sequence(lit(0), lit(salt - 1))))
+    val hotJoined = pHot.join(bHot,
+        pHot(probeKey) === bHot(buildKey) && col("__salt_p") === col("__salt_b"))
+      .drop("__salt_p", "__salt_b")
+    cold.unionAll(hotJoined)
+  }
+
   /** Declared query `salted_join` (WITH DuckDB oracle — salting is
     * semantics-preserving, so the oracle is the PLAIN join+agg and a
     * hash match proves row-identity through the salt): supplier-nation

@@ -119,6 +119,25 @@ class SkewSpec extends SparkTestBase {
       .toSet
     assert(salted == plain)
   }
+
+  test("hot-key salted join == plain join, on both sides of the hot threshold") {
+    val fact = Tables.lineitem(spark, sf).select("l_suppkey", "l_extendedprice")
+    val dim = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum("l_extendedprice").as("s"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1), math.rint(r.getDouble(2) * 100)))
+      .toSet
+    val plain = rollup(fact.join(dim, col("l_suppkey") === col("s_suppkey")))
+    // threshold 100: every supplier key is hot at sf0.001 (600 rows /
+    // 10 suppliers) — the all-hot lane; threshold 10_000_000: no key
+    // is hot — the early-exit plain lane; threshold 500: mixed
+    Seq(100L, 500L, 10000000L).foreach { thr =>
+      val got = rollup(SkewOps.saltedHotKeyJoin(
+        fact, dim, "l_suppkey", "s_suppkey", salt = 8, hotThreshold = thr))
+      assert(got == plain, s"hot-key salted join diverged at threshold $thr")
+    }
+  }
 }
 
 /** SRP candidate plane: the banding self-join + distinct must shuffle
