@@ -202,6 +202,9 @@ object SparkEntry {
     "sketch_rollup" -> (SketchRollup.sketchRollup _),
     "srp_near_dup" -> (AnnOps.srpNearDup _),
     "salted_join" -> (SkewOps.saltedJoinQuery _),
+    // r6: the hot-key-only salted join (measured 2.1x crossover in
+    // SkewBench) through the same oracle-hash gate (full oracle)
+    "salted_hot_join" -> (SkewOps.saltedHotJoinQuery _),
     "ann_knn_join" -> (AnnOps.annKnnJoin _),
     "curate_corpus_neardup" -> (TextOps.curateCorpusNearDup _),
     "slo_report_maintained" -> (ReportMaintenance.sloReportMaintained _),
@@ -581,6 +584,12 @@ object SparkEntry {
     // signatures hash-seeded Spark-side; SrpProps/SrpPlanSpec carry
     // the quantitative evidence).
     "salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |       round((sum(l_extendedprice)) + 2e-5, 2) AS revenue
+        |FROM read_parquet('{dir}/lineitem.parquet') l
+        |JOIN read_parquet('{dir}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "salted_hot_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |       round((sum(l_extendedprice)) + 2e-5, 2) AS revenue
         |FROM read_parquet('{dir}/lineitem.parquet') l

@@ -88,6 +88,27 @@ object SkewOps {
       .orderBy("s_nationkey")
   }
 
+  /** Declared query `salted_hot_join` (WITH DuckDB oracle — the plain
+    * join+agg, hash-matching through the mitigation exactly like
+    * `salted_join`): the same supplier-nation rollup through
+    * [[saltedHotKeyJoin]] at threshold 500 — suppliers above ~500
+    * lines take the salted lane, the rest the plain lane, so the
+    * oracle match exercises the lane SPLIT too (SkewBench carries the
+    * measured 2.1× crossover vs whole-build salting).
+    */
+  def saltedHotJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det.r2
+    val fact = graft.sources.Tables.lineitem(spark, dir)
+      .select("l_suppkey", "l_extendedprice")
+    val dim = graft.sources.Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey")
+    saltedHotKeyJoin(fact, dim, "l_suppkey", "s_suppkey", salt = 8,
+        hotThreshold = 500L)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), r2(sum("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** `skew_profile` — join-key skew diagnostic over the fact tables'
     * shuffle keys (full oracle): per key, row count, key cardinality,
     * the hottest key's share, and p99-key-frequency ÷ mean — the

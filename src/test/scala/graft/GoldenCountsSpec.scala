@@ -76,6 +76,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "sketch_rollup" -> 5L,
     "srp_near_dup" -> 1L,
     "salted_join" -> 10L,
+    // r6 hot-key salted twin: same nation rollup grain
+    "salted_hot_join" -> 10L,
     "ann_knn_join" -> 150L,
     "curate_corpus_neardup" -> 15L,
     "slo_report_maintained" -> 150L,

@@ -474,7 +474,12 @@ class PlanAuditSpec extends SparkTestBase {
     // printed report plan is checkpoint-scan -> the node distinct's
     // exchange pair (partial+final over the unioned endpoints) + the
     // global count collapse -> single-row crossJoin
-    "kcore_parts" -> 3)
+    "kcore_parts" -> 3,
+    // r6 hot-key salted twin: the printed plan is the two lanes' union
+    // into the nation rollup + sort (the hot-key counting pass runs
+    // eagerly at plan-build time; lane joins broadcast at this SF,
+    // suppkey-keyed at scale)
+    "salted_hot_join" -> 2)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
