@@ -17,12 +17,14 @@ import graft.sources.SharedFrames
 class CachedFramesSpec extends SparkTestBase {
 
   private val consumers =
-    Seq("triangle_parts", "degree_dist", "degree_assortativity")
+    Seq("triangle_parts", "degree_dist", "degree_assortativity",
+      // r6: the k-core peel is the 4th supportEdges consumer
+      "kcore_parts")
 
   private def canon(rows: Array[Row]): Seq[Seq[Any]] =
     rows.map(_.toSeq).toSeq
 
-  test("three graph queries: hash-identical from the shared frame, one build") {
+  test("graph queries: hash-identical from the shared frame, one build") {
     // unshared baseline (default config)
     assert(!SharedFrames.enabled(spark), "sharing must be off by default")
     val baseline = consumers.map { q =>
@@ -39,7 +41,7 @@ class CachedFramesSpec extends SparkTestBase {
       }
       val sharedSec = (System.nanoTime() - t0) / 1e9
       assert(SharedFrames.builds.get() - b0 == 1L,
-        s"expected exactly 1 supportEdges build for 3 queries, got ${SharedFrames.builds.get() - b0}")
+        s"expected exactly 1 supportEdges build for ${consumers.size} queries, got ${SharedFrames.builds.get() - b0}")
       // informational timing only (at sf0.001 both runs are fixed-
       // overhead dominated; the structural builds==1 assertion above
       // is the reuse proof — the saving is the corpus-scale edge
@@ -48,7 +50,7 @@ class CachedFramesSpec extends SparkTestBase {
       val t1 = System.nanoTime()
       consumers.foreach(q => SparkEntry.queries(q)(spark, sf).collect())
       val unsharedSec = (System.nanoTime() - t1) / 1e9
-      info(f"shared $sharedSec%.2f s vs unshared $unsharedSec%.2f s for 3 queries")
+      info(f"shared $sharedSec%.2f s vs unshared $unsharedSec%.2f s for ${consumers.size} queries")
     } finally {
       spark.conf.set("spark.graft.sharedFrames", "false")
       SharedFrames.clear(spark)
