@@ -231,6 +231,10 @@ object SparkEntry {
     "ivfpq_topk" -> (IvfPq.ivfpqTopk _),
     // recursive CTE (full oracle): non-linear budget recurrence
     "budget_carryover" -> (SliQueries.budgetCarryover _),
+    // r6: the same carryover recurrence as ONE clamp-monoid window
+    // scan — recursion depth leaves the job count (full oracle: the
+    // identical recursive CTE, so the hash gate proves the swap)
+    "budget_carryover_scan" -> (SliQueries.budgetCarryoverScan _),
     // Spark 4 VARIANT path + SQL-defined functions (both full oracle)
     "props_variant_stats" -> (ScalarQueries.propsVariantStats _),
     "sql_udf_slo" -> (ScalarQueries.sqlUdfSlo _),
@@ -2097,6 +2101,32 @@ object SparkEntry {
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, day""".stripMargin,
     "budget_carryover" ->
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         sum(CASE WHEN value < 50 OR value > 150 THEN 1 ELSE 0 END)
+        |           / CAST(count(*) AS DOUBLE) AS burn
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |numbered AS (
+        |  SELECT event_type, day, burn,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |carry(event_type, day, rn, burn, budget) AS (
+        |  SELECT event_type, day, rn, burn,
+        |         greatest(CAST(0.0 AS DOUBLE), least(CAST(2.0 AS DOUBLE),
+        |           CAST(1.0 AS DOUBLE) + CAST(0.25 AS DOUBLE) - burn))
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.day, n.rn, n.burn,
+        |         greatest(CAST(0.0 AS DOUBLE), least(CAST(2.0 AS DOUBLE),
+        |           c.budget + CAST(0.25 AS DOUBLE) - n.burn))
+        |  FROM carry c JOIN numbered n
+        |    ON n.event_type = c.event_type AND n.rn = c.rn + 1)
+        |SELECT event_type, day,
+        |       round(burn + 1e-7, 4) AS burn,
+        |       round(budget + 1e-7, 4) AS budget
+        |FROM carry ORDER BY event_type, day""".stripMargin,
+    "budget_carryover_scan" ->
       """WITH RECURSIVE
         |daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

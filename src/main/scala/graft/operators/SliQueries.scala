@@ -365,6 +365,45 @@ object SliQueries {
         |FROM carry ORDER BY event_type, day""".stripMargin)
   }
 
+  /** `budget_carryover_scan` — budget_carryover's recursion replaced
+    * by ONE window pass (full oracle — the SAME recursive-CTE oracle,
+    * so the driver hash gate itself proves the swap): the recurrence
+    * `budget_t = clamp(budget_{t-1} + 0.25 − burn_t, 0, 2)` is an
+    * associative scan over the clamped-shift function monoid
+    * ([[graft.functions.ClampScan]]), so the ~30 sequential
+    * single-task jobs the recursive form honestly costs collapse into
+    * the day-rollup's one window exchange — recursion depth leaves
+    * the job count entirely. The scan is bit-identical to the
+    * recurrence whenever a clamp has bound (the parameter chains
+    * replay the same float additions) and ulp-close otherwise —
+    * inside the r4 grid; CarryoverScanSpec pins row-equality with the
+    * recursive form plus a constructed fixture that saturates BOTH
+    * clamps.
+    *
+    * Scale shape: scan → partial-agg'd day rollup → one
+    * (event_type)-keyed window over calendar-bounded rows (the
+    * zscore_anomaly shape) → sort. At 100 TB this replaces the
+    * recursive form outright; the recursive twin stays declared as
+    * the engine-surface proof that WITH RECURSIVE works.
+    */
+  def budgetCarryoverScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ClampScan.clampScan
+    // explicit ROWS running frame: AggregateWindowFunction requires
+    // it (an ordered spec defaults to a RANGE frame, which the
+    // analyzer refuses to pair with a running window function)
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg((sum(when(col("value") < 50 || col("value") > 150, 1L).otherwise(0L))
+        / count(lit(1)).cast("double")).as("burn"))
+      .withColumn("budget_raw",
+        clampScan(lit(0.25) - col("burn"), 0.0, 2.0, 1.0).over(w))
+      .select(col("event_type"), col("day"),
+        r4(col("burn")).as("burn"), r4(col("budget_raw")).as("budget"))
+      .orderBy("event_type", "day")
+  }
+
   /** Declared query `zscore_anomaly` (full oracle) — SLI anomaly
     * detection: each (event_type, day) daily mean is scored against
     * the trailing 7 COMPLETE prior days (ROWS BETWEEN 7 PRECEDING AND

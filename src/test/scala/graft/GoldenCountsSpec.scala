@@ -108,6 +108,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "pq_topk" -> 10L,
     "ivfpq_topk" -> 10L,
     "budget_carryover" -> 150L,
+    // r6 clamp-scan swap: identical grain to the recursive form
+    "budget_carryover_scan" -> 150L,
     "props_variant_stats" -> 5L,
     "sql_udf_slo" -> 5L,
     "array_funcs" -> 5L,

@@ -479,7 +479,10 @@ class PlanAuditSpec extends SparkTestBase {
     // into the nation rollup + sort (the hot-key counting pass runs
     // eagerly at plan-build time; lane joins broadcast at this SF,
     // suppkey-keyed at scale)
-    "salted_hot_join" -> 2)
+    "salted_hot_join" -> 2,
+    // r6 clamp-scan swap: day rollup (2-phase) + the event_type window
+    // exchange + sort — the recursion's ~30 sequential jobs are gone
+    "budget_carryover_scan" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -593,6 +596,7 @@ class PlanAuditSpec extends SparkTestBase {
     "locf_impute" -> "day-grid rollup (calendar-bounded)",
     "interp_impute" -> "day-grid rollup (calendar-bounded)",
     "cusum_changepoint" -> "day-grain rollup (calendar-bounded)",
+    "budget_carryover_scan" -> "day-grain rollup (calendar-bounded)",
     "ewma_smooth" -> "day-grain rollup (calendar-bounded)",
     "value_autocorr" -> "day-grain rollup (calendar-bounded)",
     "seasonal_decompose" -> "day-grain rollup (calendar-bounded)",
