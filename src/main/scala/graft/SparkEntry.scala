@@ -382,6 +382,9 @@ object SparkEntry {
     // r6: 3-core of the co-purchase graph — synchronous peel to
     // fixpoint, oracle replays the peel unrolled (full oracle)
     "kcore_parts" -> (GraphOps.kcoreParts _),
+    // r6: Holt level+trend smoothing as a DISTRIBUTED affine-monoid
+    // scan (Blelloch parallel recurrence; full recursive-CTE oracle)
+    "holt_smooth" -> (RecurrenceOps.holtSmooth _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2795,5 +2798,30 @@ object SparkEntry {
         |SELECT lang, rank, doc_id, n_chars AS weight, u48
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "kcore_parts" -> kcoreOracle,
+    "holt_smooth" ->
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         avg(value) AS x
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |numbered AS (
+        |  SELECT event_type, day, x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |h(event_type, rn, day, x, l, b) AS (
+        |  SELECT event_type, rn, day, x, x, CAST(0.0 AS DOUBLE)
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.rn, n.day, n.x,
+        |         0.3 * n.x + 0.7 * (h.l + h.b),
+        |         0.2 * ((0.3 * n.x + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b
+        |  FROM h JOIN numbered n
+        |    ON n.event_type = h.event_type AND n.rn = h.rn + 1)
+        |SELECT event_type, day,
+        |       round(x + 1e-7, 4) AS day_avg,
+        |       round(l + 1e-7, 4) AS level,
+        |       round(b + 1e-7, 4) AS trend,
+        |       round(l + b + 1e-7, 4) AS forecast_next
+        |FROM h ORDER BY event_type, day""".stripMargin,
   )
 }

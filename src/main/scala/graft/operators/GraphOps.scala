@@ -462,6 +462,109 @@ object GraphOps {
           .otherwise(lit(2.0) * col("core_edges") / col("core_nodes")))
           .as("avg_core_degree"))
   }
+
+  /** Both-direction (x → y) view of [[supportEdges]], the adjacency
+    * frame the traversal queries below share. Cut once: every
+    * consumer scans it ≥ 2×.
+    */
+  private def undirected(spark: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(spark, dir)
+    e.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
+      .cut()
+  }
+
+  /** `common_neighbor_recs` — link prediction on the co-purchase
+    * graph (full oracle): the top-10 part pairs that are NOT
+    * co-purchased (no ≥2-support edge) but share the most common
+    * neighbors — the "customers who bought these also bought"
+    * candidate list, scored by common-neighbor count with the
+    * Jaccard coefficient |Γa∩Γb| / |Γa∪Γb| as the readout
+    * (Liben-Nowell & Kleinberg 2003, public knowledge). Total order
+    * (common DESC, a, b) makes the cut deterministic.
+    *
+    * Scale shape: candidate pairs come from the WEDGE join (two hops
+    * through a shared center), never from a part×part cross — the
+    * same Σ deg² volume triangle counting pays, grouped map-side to
+    * (a, b)-grain counts. The existing-edge exclusion is a left-anti
+    * on the (a, b) key; degrees broadcast (node-grain, catalog-
+    * bounded). Past catalog scale the standard mitigation is the hub
+    * cap — drop wedge CENTERS above a degree ceiling (they connect
+    * everything to everything and carry no signal); the 5th consumer
+    * of the session-shared supportEdges frame.
+    */
+  def commonNeighborRecs(spark: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(spark, dir)
+    val und = undirected(spark, dir)
+    val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
+    val wedges = und.as("e1").join(und.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .groupBy(col("e1.y").as("a"), col("e2.y").as("b"))
+      .agg(count(lit(1)).as("common"))
+    wedges.join(e, Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("deg_a"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("deg_b"))),
+        Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        r4(col("common") /
+          (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(10)
+  }
+
+  /** `hub_distance` — BFS hop-distance distribution from the graph's
+    * top-degree part (the hub) over the ≥2-support co-purchase graph
+    * (full oracle: Bellman-Ford rounds unrolled to depth 10, the
+    * kcore replay discipline — HubDistanceSpec pins the engine's
+    * fixpoint strictly below that). Output: one row per hop count
+    * plus an `hops = -1` row for parts unreachable from the hub — the
+    * reachability/latency profile of a recommendation graph.
+    *
+    * The frontier-expansion plan shape: each round joins the CURRENT
+    * frontier (shrinking) against the adjacency frame, anti-joins the
+    * visited set, and unions survivors in — per-round cost is
+    * |frontier ⋈ edges|, not |graph|, and BFS's first-visit-is-
+    * shortest invariant needs no min-aggregation. Rounds are
+    * checkpointed (reliable under `spark.graft.checkpointDir`, the
+    * ChaosSpec-proven plane); the driver loop reads one COUNT per
+    * round (bounded), and small-diameter product graphs converge in
+    * ~4-6 rounds.
+    */
+  def hubDistance(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirected(spark, dir)
+    val hub = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("n")).limit(1).select("n")
+    var dist = hub.withColumn("d", lit(0)).cut()
+    var frontier = dist
+    var i = 0
+    var done = false
+    while (!done && i < 10) {
+      i += 1
+      val next = frontier.join(und, frontier("n") === und("x"))
+        .select(col("y").as("n")).distinct()
+        .join(dist, Seq("n"), "left_anti")
+        .withColumn("d", lit(i)).cut()
+      done = next.isEmpty
+      if (!done) {
+        dist = dist.unionAll(next).cut()
+        frontier = next
+      }
+    }
+    HubRounds.last = i // test hook: rounds actually used
+    val nodes = und.select(col("x").as("n")).distinct()
+    val hist = nodes.join(dist, Seq("n"), "left")
+      .select(coalesce(col("d"), lit(-1)).as("hops"))
+      .groupBy("hops").agg(count(lit(1)).as("n_parts"))
+    hist.orderBy("hops")
+  }
+}
+
+/** Test hook: the BFS depth [[GraphOps.hubDistance]] actually needed —
+  * HubDistanceSpec pins it strictly below the oracle's unrolled depth.
+  */
+object HubRounds {
+  @volatile var last: Int = -1
 }
 
 /** Test hook: the peel depth [[GraphOps.kcoreParts]] actually needed —

@@ -967,6 +967,13 @@ object RelationalQueries {
     * (no re-key, AQE-coalescible); the supplier dimension broadcasts
     * onto the supplier-grain counts; top-10 is TakeOrdered with the
     * (count DESC, name) total order.
+    *
+    * Contract note (r5 advice): we aggregate by `l_suppkey` and join
+    * the name on AFTER; the oracle groups by `s_name` post-join. The
+    * two agree only while `s_name` is unique per supplier — true of
+    * this generator (and TPC-H's `Supplier#%09d` names) and pinned by
+    * InvariantSpec's name-uniqueness check, so a duplicate-name feed
+    * fails loudly there instead of silently merging oracle rows.
     */
   def blameSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
@@ -1483,5 +1490,44 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         col("n_parts_dominated"))
       .orderBy("s_suppkey")
+  }
+
+  /** `skyline_parts` — the Pareto frontier of the part catalog
+    * (full oracle): parts for which no other part is both cheaper-or-
+    * equal AND bigger-or-equal with at least one strict — the classic
+    * skyline operator (Börzsönyi et al., ICDE 2001 "The Skyline
+    * Operator", public knowledge), the "best price/size trade-offs"
+    * readout of every catalog browse.
+    *
+    * Plan: dominance over two totally-ordered criteria collapses to
+    * ONE running max — sort the PRICE-grain frame (one row per
+    * distinct price, carrying that price's max size) ascending and a
+    * part is dominated iff the strict-prefix cummax reaches its size
+    * (`smax >= p_size`, a strictly cheaper part at least as big) or
+    * its own price group holds a strictly bigger part
+    * (`gmax > p_size`). No self-join, no NOT EXISTS — the oracle
+    * keeps the quadratic form so the hash match proves the
+    * equivalence. The cummax window is unpartitioned but runs on the
+    * price-grain frame — bounded by the part CATALOG (the
+    * price_position argument), not the fact corpus; past catalog
+    * scale the swap is the textbook two-phase skyline (per-slice
+    * local frontier → frontier-of-frontiers, a PrefixOps-shaped
+    * prefix-MAX), documented here and pinned in PlanAuditSpec.
+    */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size"))
+    val priceGrain = parts.groupBy("p_retailprice")
+      .agg(max("p_size").as("gmax"))
+      .withColumn("smax", max("gmax").over(
+        Window.orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    parts.join(priceGrain, Seq("p_retailprice"))
+      .filter(coalesce(col("smax") < col("p_size"), lit(true)) &&
+        col("gmax") === col("p_size"))
+      .select(col("p_partkey"), col("p_name"),
+        r2(col("p_retailprice")).as("price"), col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
   }
 }

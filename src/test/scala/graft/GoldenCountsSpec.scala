@@ -250,6 +250,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "weighted_sample" -> 50L,
     // r6 k-core: single-row report
     "kcore_parts" -> 1L,
+    // r6 Holt scan: same (type, day) grain as locf/interp
+    "holt_smooth" -> 150L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

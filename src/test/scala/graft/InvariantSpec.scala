@@ -171,4 +171,17 @@ class InvariantSpec extends SparkTestBase {
       assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
     }
   }
+
+  test("dimension names are unique (blame_supplier oracle keying assumption)") {
+    // blame_supplier aggregates by l_suppkey and joins s_name on after,
+    // while its oracle groups by s_name post-join (r5 advice): the two
+    // agree only while names are unique per key. Pin the assumption so
+    // a duplicate-name feed fails HERE, not as a silent oracle merge.
+    Seq("supplier" -> "s_name", "customer" -> "c_name").foreach {
+      case (t, nameCol) =>
+        val d = Tables.raw(spark, sf, t)
+        assert(d.select(nameCol).distinct().count() == d.count(),
+          s"$t.$nameCol is not unique — oracle name-grain grouping unsafe")
+    }
+  }
 }

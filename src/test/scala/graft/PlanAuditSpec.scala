@@ -482,7 +482,12 @@ class PlanAuditSpec extends SparkTestBase {
     "salted_hot_join" -> 2,
     // r6 clamp-scan swap: day rollup (2-phase) + the event_type window
     // exchange + sort — the recursion's ~30 sequential jobs are gone
-    "budget_carryover_scan" -> 3)
+    "budget_carryover_scan" -> 3,
+    // r6 affine-monoid scan: the sliced running pass runs behind
+    // affineScanBy's cut()s; printed are the (type, slice) totals agg
+    // pair, the bounded offsets-window exchange, the seeds agg over
+    // the checkpointed frame, and the final sort
+    "holt_smooth" -> 5)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -616,6 +621,9 @@ class PlanAuditSpec extends SparkTestBase {
     // data-size constant (the corpus-grain cumsum itself is keyed by
     // (type, slice)) — the ntile_quartiles r5 fix
     "ntile_quartiles" -> "PrefixOps.prefixSumBy offsets frame (|types|*P rows)",
+    // affineScanBy slice-offset frame: same |types| x P bounded grain
+    // (the corpus-grain running composition is keyed by (type, slice))
+    "holt_smooth" -> "affineScanBy offsets frame (|types|*P rows)",
     // corpus-grain percent_rank kept exact by design (the probe set
     // needs ranks within the FULL per-source distribution); the
     // scaladoc documents the two-pass rank swap past that
