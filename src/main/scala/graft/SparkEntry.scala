@@ -385,6 +385,21 @@ object SparkEntry {
     // r6: Holt level+trend smoothing as a DISTRIBUTED affine-monoid
     // scan (Blelloch parallel recurrence; full recursive-CTE oracle)
     "holt_smooth" -> (RecurrenceOps.holtSmooth _),
+    // r6: link prediction — top-10 non-adjacent pairs by common
+    // neighbors, wedge-join candidates only (full oracle)
+    "common_neighbor_recs" -> (GraphOps.commonNeighborRecs _),
+    // r6: BFS hop-distance histogram from the top-degree hub —
+    // frontier expansion, unrolled Bellman-Ford oracle (full oracle)
+    "hub_distance" -> (GraphOps.hubDistance _),
+    // r6: Pareto frontier of the part catalog via price-grain cummax;
+    // oracle keeps the quadratic NOT EXISTS form (full oracle)
+    "skyline_parts" -> (RelationalQueries.skylineParts _),
+    // r6: leading-digit distribution vs Benford's law — the
+    // fabricated-amounts DQ screen (full oracle)
+    "benford_digits" -> (ScalarQueries.benfordDigits _),
+    // r6: per-source bigram-LM log-probability — the sequence-aware
+    // quality gate unigram_logprob can't express (full oracle)
+    "bigram_logprob" -> (LlmQueries.bigramLogprob _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -418,6 +433,38 @@ object SparkEntry {
        |       round(CASE WHEN (SELECT count(*) FROM nodes) = 0 THEN 0.0
        |                  ELSE 2.0 * (SELECT count(*) FROM e14) / (SELECT count(*) FROM nodes)
        |             END + 1e-7, 4) AS avg_core_degree""".stripMargin
+  }
+
+  /** hub_distance oracle: the identical edge build + hub pick, then
+    * Bellman-Ford relaxation unrolled to a fixed 14 rounds (the kcore
+    * replay discipline) — HubDistanceSpec pins that the engine's BFS
+    * converges strictly within this depth at the test SFs, so
+    * fixed-depth replay ≡ fixpoint. AS MATERIALIZED for the same
+    * CTE-inlining reason as kcoreOracle.
+    */
+  private def hubOracle: String = {
+    val rounds = (0 until 14).map { i =>
+      s"""d${i + 1} AS MATERIALIZED (
+         |  SELECT n, min(d) AS d FROM (
+         |    SELECT n, d FROM d$i
+         |    UNION ALL
+         |    SELECT und.y AS n, d$i.d + 1 AS d FROM d$i JOIN und ON und.x = d$i.n)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM read_parquet('{dir}/lineitem.parquet') x
+       |  JOIN read_parquet('{dir}/lineitem.parquet') y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |und AS MATERIALIZED (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+       |deg AS (SELECT x AS n, count(*) AS deg FROM und GROUP BY 1),
+       |d0 AS (SELECT n, 0 AS d FROM (SELECT n FROM deg ORDER BY deg DESC, n LIMIT 1)),
+       |$rounds,
+       |nodes AS (SELECT DISTINCT x AS n FROM und)
+       |SELECT coalesce(d14.d, -1) AS hops, count(*) AS n_parts
+       |FROM nodes LEFT JOIN d14 ON nodes.n = d14.n
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   def oracleSql: Map[String, String] = ListMap(
@@ -2823,5 +2870,69 @@ object SparkEntry {
         |       round(b + 1e-7, 4) AS trend,
         |       round(l + b + 1e-7, 4) AS forecast_next
         |FROM h ORDER BY event_type, day""".stripMargin,
+    "common_neighbor_recs" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM read_parquet('{dir}/lineitem.parquet') x
+        |  JOIN read_parquet('{dir}/lineitem.parquet') y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+        |deg AS (SELECT x AS n, count(*) AS deg FROM und GROUP BY 1),
+        |wedges AS (
+        |  SELECT e1.y AS a, e2.y AS b, count(*) AS common
+        |  FROM und e1 JOIN und e2 ON e1.x = e2.x AND e1.y < e2.y
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT w.a, w.b, w.common FROM wedges w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b))
+        |SELECT c.a, c.b, c.common,
+        |       round(c.common * 1.0 / (da.deg + db.deg - c.common) + 1e-7, 4) AS jaccard
+        |FROM cand c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+        |ORDER BY c.common DESC, c.a, c.b LIMIT 10""".stripMargin,
+    "hub_distance" -> hubOracle,
+    "skyline_parts" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_retailprice, p_size
+        |  FROM read_parquet('{dir}/part.parquet'))
+        |SELECT p_partkey, p_name,
+        |       round(p_retailprice + 2e-5, 2) AS price, p_size
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    "benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM read_parquet('{dir}/orders.parquet')),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT digit, n,
+        |       round(n * 1.0 / tot + 1e-7, 4) AS obs_share,
+        |       round(log10(1.0 + 1.0 / digit) + 1e-7, 4) AS benford_share,
+        |       round(abs(n * 1.0 / tot - log10(1.0 + 1.0 / digit)) + 1e-7, 4) AS abs_dev
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+    "bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |bg AS (
+        |  SELECT doc_id, source, p[1] AS w1, p[2] AS w2
+        |  FROM d, UNNEST(list_zip(d.ws[1:-2], d.ws[2:])) AS t(p)),
+        |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vocab
+        |      FROM (SELECT w1 AS w FROM c2 UNION ALL SELECT w2 FROM c2)),
+        |per_doc AS (
+        |  SELECT bg.doc_id, bg.source,
+        |         avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab))) AS lp
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(lp) + 1e-7, 4) AS avg_logprob,
+        |       round(min(lp) + 1e-7, 4) AS min_logprob
+        |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -515,7 +515,7 @@ object GraphOps {
 
   /** `hub_distance` — BFS hop-distance distribution from the graph's
     * top-degree part (the hub) over the ≥2-support co-purchase graph
-    * (full oracle: Bellman-Ford rounds unrolled to depth 10, the
+    * (full oracle: Bellman-Ford rounds unrolled to depth 14, the
     * kcore replay discipline — HubDistanceSpec pins the engine's
     * fixpoint strictly below that). Output: one row per hop count
     * plus an `hops = -1` row for parts unreachable from the hub — the
@@ -539,7 +539,7 @@ object GraphOps {
     var frontier = dist
     var i = 0
     var done = false
-    while (!done && i < 10) {
+    while (!done && i < 14) {
       i += 1
       val next = frontier.join(und, frontier("n") === und("x"))
         .select(col("y").as("n")).distinct()

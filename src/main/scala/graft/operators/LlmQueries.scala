@@ -767,4 +767,57 @@ object LlmQueries {
         r4(avg(size(split(col("text"), " ")))).as("avg_tokens"),
         countDistinct("source").as("n_sources"))
       .orderBy("lang")
+
+  /** `bigram_logprob` — per-source mean and minimum of each doc's
+    * average bigram log-probability under the corpus's own add-one-
+    * smoothed bigram LM: `avg over doc bigrams of ln((c(w1,w2)+1) /
+    * (c(w1·)+|V|))` (full oracle). The SEQUENCE-aware member of the
+    * quality-gate family: `unigram_logprob` scores tokens
+    * independently, so scrambled or template-stitched text scores
+    * normally there while its implausible transitions crater HERE —
+    * the cheap perplexity proxy curation pipelines threshold on
+    * before any neural scorer. Docs under 2 tokens carry no bigram
+    * and are excluded by construction (same convention as
+    * entropy_ttr's token basis).
+    *
+    * Scale: bigrams are built SCAN-SIDE (`zip_with` over the token
+    * array against its own 1-shift — no self-join, no window) and
+    * collapse map-side into the (w1,w2)-grain model (vocab², tiny);
+    * the prefix totals and vocab size derive from that model frame,
+    * NOT from extra corpus passes — two corpus scans total (model
+    * build + scoring), model broadcast back onto the second. The
+    * per-doc agg rides the explode's doc-locality (partial combine →
+    * doc-grain exchange, output-linear).
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // one (w1,w2)-grain model; prefix totals + vocab derive from IT
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")).cut()
+    val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
+    val v = c2.select(col("w1").as("w"))
+      .unionAll(c2.select(col("w2").as("w")))
+      .agg(countDistinct("w").as("vocab"))
+    val perDoc = bg
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id", "source")
+      .agg(avg(log((col("n2") + 1.0) / (col("n1") + col("vocab"))))
+        .as("lp"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg("lp")).as("avg_logprob"),
+        r4(min("lp")).as("min_logprob"))
+      .orderBy("source")
+  }
 }

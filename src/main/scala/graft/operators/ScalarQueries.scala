@@ -559,4 +559,35 @@ object ScalarQueries {
         "as (col_name, n_null, n_distinct, min_num, max_num)")
       .orderBy("col_name")
   }
+
+  /** `benford_digits` — leading-digit distribution of order totals
+    * vs Benford's law `log10(1 + 1/d)` (full oracle): the classic
+    * fabricated-or-truncated-amounts screen (Newcomb 1881 / Benford
+    * 1938, public knowledge) and a one-glance DQ monitor for any
+    * money column — synthetic uniform data like this fixture FAILS
+    * Benford visibly, which is exactly the kind of distribution-shape
+    * fact dq_profile's null/min/max readout can't see.
+    *
+    * Digit extraction goes through the EXACT integer cents
+    * (`cast(round(price*100) as long)` → first character), never
+    * `floor(log10(x))` — log10 of an exact power of 10 lands 1 ulp
+    * under its true value in both engines, which would misbin every
+    * 100.00/1000.00-style amount. Plan: scan-side digit projection
+    * into a ≤9-row hash agg; the grand total re-joins as a
+    * single-row broadcast. One corpus pass.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100)
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("tot"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        r4(col("n") / col("tot")).as("obs_share"),
+        r4(log10(lit(1.0) + lit(1.0) / col("digit"))).as("benford_share"),
+        r4(abs(col("n") / col("tot") -
+          log10(lit(1.0) + lit(1.0) / col("digit")))).as("abs_dev"))
+      .orderBy("digit")
+  }
 }

@@ -252,6 +252,17 @@ class GoldenCountsSpec extends SparkTestBase {
     "kcore_parts" -> 1L,
     // r6 Holt scan: same (type, day) grain as locf/interp
     "holt_smooth" -> 150L,
+    // r6 link prediction: top-10 cut
+    "common_neighbor_recs" -> 10L,
+    // r6 BFS: the dense sf0.001 support graph has eccentricity 2
+    // from the hub and is connected (hops 0,1,2 — no -1 row)
+    "hub_distance" -> 3L,
+    // r6 skyline: 5 Pareto-optimal parts in the 200-part catalog
+    "skyline_parts" -> 5L,
+    // r6 Benford: all 9 leading digits occur among the 1.5k orders
+    "benford_digits" -> 9L,
+    // r6 bigram LM: one row per source
+    "bigram_logprob" -> 20L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

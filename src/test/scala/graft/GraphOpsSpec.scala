@@ -139,4 +139,49 @@ class GraphOpsSpec extends SparkTestBase {
       assert(row.getDouble(2) >= 3.0, s"avg_core_degree < k: $row")
     } else assert(edges == 0L && row.getDouble(2) == 0.0)
   }
+
+  test("hub_distance: fixpoint within the oracle's unrolled depth; BFS laws hold") {
+    val rows = GraphOps.hubDistance(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the DuckDB oracle relaxes unrolled to 14 rounds — the live BFS
+    // must converge STRICTLY within that (same contract as kcore)
+    assert(graft.operators.HubRounds.last > 0 &&
+      graft.operators.HubRounds.last < 14,
+      s"BFS used ${graft.operators.HubRounds.last} rounds (oracle depth 14)")
+    // exactly one hub at distance 0
+    assert(rows.get(0).contains(1L), s"hops=0 row: ${rows.get(0)}")
+    // hop levels are contiguous: a node at distance d implies a
+    // frontier at every distance below it
+    val reached = rows.keySet.filter(_ >= 0)
+    assert(reached == (0 to reached.max).toSet, s"gap in hop levels: $reached")
+    // level 1 is exactly the hub's degree-neighborhood: it can't be
+    // empty unless the graph has a single node
+    if (rows.values.sum > 1) assert(rows.getOrElse(1, 0L) > 0)
+  }
+
+  test("common_neighbor_recs: no recommended pair is an existing edge; scores are consistent") {
+    val recs = GraphOps.commonNeighborRecs(spark, sf).collect()
+    assert(recs.length == 10)
+    // rebuild the >=2-support edge set independently (supportEdges is
+    // operators-private; an independent build doubles as a probe)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .count().filter(col("count") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    recs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, s"pair not oriented: ($a,$b)")
+      assert(!edges.contains((a, b)), s"recommended an existing edge ($a,$b)")
+      assert(r.getLong(2) >= 1, "common-neighbor count < 1")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0,
+        s"jaccard out of range: ${r.getDouble(3)}")
+    }
+    // descending by common with the (a,b) tie-break — the cut is total
+    val keys = recs.map(r => (-r.getLong(2), r.getLong(0), r.getLong(1))).toSeq
+    assert(keys == keys.sorted, "output not in (common DESC, a, b) order")
+  }
 }

@@ -172,6 +172,46 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("skyline_parts: survivors are exactly the undominated parts (brute force)") {
+    val parts = Tables.raw(spark, sf, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(p: (Long, Double, Int)) = parts.exists { q =>
+      q._1 != p._1 && q._2 <= p._2 && q._3 >= p._3 &&
+        (q._2 < p._2 || q._3 > p._3)
+    }
+    val expect = parts.filterNot(dominated).map(_._1).toSet
+    val got = rows("skyline_parts").map(_.getLong(0)).toSet
+    assert(got == expect, s"skyline mismatch: got $got expected $expect")
+  }
+
+  test("benford_digits: shares sum to 1, digits in 1..9, benford column is the law") {
+    val b = rows("benford_digits")
+    assert(b.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    assert(math.abs(b.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    b.foreach { r =>
+      val law = math.log10(1.0 + 1.0 / r.getInt(0))
+      assert(math.abs(r.getDouble(3) - law) < 1e-4)
+    }
+  }
+
+  test("bigram_logprob: per-source doc counts match text stats; scores negative") {
+    // every fixture doc has >= 10 tokens, so no doc is excluded by the
+    // >= 2-token bigram rule and the per-source doc counts must equal
+    // the corpus's (sources are lang-crossed: derive from documents)
+    val docs = Tables.raw(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = rows("bigram_logprob")
+    assert(b.map(_.getString(0)).toSet == docs.keySet)
+    b.foreach { r =>
+      assert(r.getLong(1) == docs(r.getString(0)), s"doc count drift: $r")
+      // add-one smoothed conditional probs are < 1 strictly (vocab > 1)
+      assert(r.getDouble(2) < 0.0 && r.getDouble(3) <= r.getDouble(2),
+        s"logprob ordering violated: $r")
+    }
+  }
+
   test("dimension names are unique (blame_supplier oracle keying assumption)") {
     // blame_supplier aggregates by l_suppkey and joins s_name on after,
     // while its oracle groups by s_name post-join (r5 advice): the two

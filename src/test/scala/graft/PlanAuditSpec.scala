@@ -487,7 +487,25 @@ class PlanAuditSpec extends SparkTestBase {
     // affineScanBy's cut()s; printed are the (type, slice) totals agg
     // pair, the bounded offsets-window exchange, the seeds agg over
     // the checkpointed frame, and the final sort
-    "holt_smooth" -> 5)
+    "holt_smooth" -> 5,
+    // r6 link prediction: the adjacency frame is checkpointed (edge
+    // build behind it); printed are the wedge join's exchange pair,
+    // the (a,b) pair agg, the anti-join re-key, and the top-10 sort
+    // path — degree frames broadcast
+    "common_neighbor_recs" -> 6,
+    // r6 BFS: rounds run behind per-round cut()s; printed are the
+    // node-distinct exchange pair over the checkpointed adjacency,
+    // the hop histogram agg, and the sort
+    "hub_distance" -> 4,
+    // r6 skyline: price-grain agg + the bounded cummax window's
+    // single-partition exchange + final sort (part probe broadcasts)
+    "skyline_parts" -> 3,
+    // r6 Benford: digit agg pair (2-phase) + single-row total + sort
+    "benford_digits" -> 4,
+    // r6 bigram LM: model agg runs behind cut(); printed are the
+    // doc-grain scoring agg (2-phase), the source rollup pair, and
+    // the sort — the model/prefix/vocab frames all broadcast
+    "bigram_logprob" -> 6)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -530,7 +548,11 @@ class PlanAuditSpec extends SparkTestBase {
     // in-lane rank over each top-50 candidate list (k-bounded: the
     // Windows sit ABOVE TakeOrderedAndProject(50), so their input is
     // ≤50 rows at any corpus size)
-    "hybrid_rrf" -> "rank over the two k=50 candidate lists (k-bounded)")
+    "hybrid_rrf" -> "rank over the two k=50 candidate lists (k-bounded)",
+    // price-grain cummax over the part CATALOG (dimension-bounded,
+    // the price_position argument); the scaladoc documents the
+    // two-phase local-frontier skyline swap past catalog scale
+    "skyline_parts" -> "part-dimension price-grain cummax (documented two-phase swap)")
 
   test("no unpartitioned Window on an unbounded grain (r4 tripwire)") {
     import org.apache.spark.sql.execution.SparkPlan

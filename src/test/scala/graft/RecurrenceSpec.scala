@@ -118,6 +118,49 @@ class RecurrenceSpec extends SparkTestBase {
     }
   }
 
+  test("streaming Holt (transformWithState) == batch holt_smooth across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Int, Double)]
+    val q = graft.streaming.HoltStream
+      .holtPoints(input.toDF().toDF("event_type", "k", "x"))
+      .writeStream.format("memory").queryName("holt_points")
+      .outputMode("append").start()
+    try {
+      // the same day rollup the batch query smooths, fed in event-time
+      // order split across 4 micro-batches (state must carry over)
+      val daily = Tables.events(spark, sf)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(avg("value").as("x"))
+        .select(col("event_type"),
+          datediff(col("day"), to_date(lit("2024-01-01"))).as("k"), col("x"))
+        .orderBy("k", "event_type").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      daily.grouped(daily.length / 4 + 1).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("holt_points").collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      val batch = graft.operators.RecurrenceOps.holtSmooth(spark, sf)
+        .withColumn("k", datediff(col("day"), to_date(lit("2024-01-01"))))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(6)) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      assert(got.keySet == batch.keySet)
+      // batch values are r4-rounded; the sequential stream and the
+      // composed-matrix batch differ by reassociation ulps only —
+      // half the output grid plus that drift bounds the gap
+      got.foreach { case (key, (l, b)) =>
+        val (bl, bb) = batch(key)
+        assert(math.abs(l - bl) < 5.2e-5 && math.abs(b - bb) < 5.2e-5,
+          s"$key: stream ($l,$b) vs batch ($bl,$bb)")
+      }
+    } finally q.stop()
+  }
+
   test("holt_smooth: row 1 is the seed fixpoint (level == day_avg, trend == 0)") {
     val first = RecurrenceOps.holtSmooth(spark, sf)
       .withColumn("rn", row_number().over(
