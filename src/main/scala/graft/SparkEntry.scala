@@ -400,6 +400,14 @@ object SparkEntry {
     // r6: per-source bigram-LM log-probability — the sequence-aware
     // quality gate unigram_logprob can't express (full oracle)
     "bigram_logprob" -> (LlmQueries.bigramLogprob _),
+    // r6: Holt one-step-forecast residual anomalies — the recurrence
+    // plane's detector consumer, residuals row-local via the
+    // invertible update (full oracle)
+    "holt_anomaly" -> (RecurrenceOps.holtAnomaly _),
+    // r6: running-peak drawdown per type in ingestion order — the
+    // max-monoid prefix scan (PrefixOps.prefixMaxBy) at raw-event
+    // grain (full oracle)
+    "value_drawdown" -> (SliQueries.valueDrawdown _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2934,5 +2942,48 @@ object SparkEntry {
         |       round(avg(lp) + 1e-7, 4) AS avg_logprob,
         |       round(min(lp) + 1e-7, 4) AS min_logprob
         |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "holt_anomaly" ->
+      """WITH RECURSIVE
+        |daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         avg(value) AS x
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |numbered AS (
+        |  SELECT event_type, day, x,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |h(event_type, rn, day, x, l, b, r) AS (
+        |  SELECT event_type, rn, day, x, x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        |  FROM numbered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.rn, n.day, n.x,
+        |         0.3 * n.x + 0.7 * (h.l + h.b),
+        |         0.2 * ((0.3 * n.x + 0.7 * (h.l + h.b)) - h.l) + 0.8 * h.b,
+        |         n.x - (h.l + h.b)
+        |  FROM h JOIN numbered n
+        |    ON n.event_type = h.event_type AND n.rn = h.rn + 1),
+        |sig AS (SELECT event_type, stddev_samp(r) AS sigma FROM h GROUP BY 1),
+        |rk AS (
+        |  SELECT h.*, sig.sigma,
+        |         row_number() OVER (PARTITION BY h.event_type
+        |                            ORDER BY abs(h.r) DESC, h.day) AS rk
+        |  FROM h JOIN sig USING (event_type))
+        |SELECT event_type, count(*) AS n_days,
+        |       round(max(sigma) + 1e-7, 4) AS sigma,
+        |       CAST(sum(CASE WHEN abs(r) > 2 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |       max(CASE WHEN rk = 1 THEN day END) AS worst_day,
+        |       round(max(CASE WHEN rk = 1 THEN r END) + 1e-7, 4) AS worst_residual
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "value_drawdown" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         max(value) OVER (PARTITION BY event_type ORDER BY event_id) AS runmax
+        |  FROM read_parquet('{dir}/events.parquet'))
+        |SELECT event_type, count(*) AS n_events,
+        |       round(max(value) + 2e-5, 2) AS peak_value,
+        |       round(max(runmax - value) + 2e-5, 2) AS max_drawdown,
+        |       round(avg(runmax - value) + 1e-7, 4) AS avg_drawdown,
+        |       round(avg(CASE WHEN runmax - value = 0 THEN 1.0 ELSE 0.0 END) + 1e-7, 4) AS at_peak_share
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -178,4 +178,44 @@ object PrefixOps {
           + col("__offset"))
       .drop("__pid", "__offset")
   }
+
+  /** Grouped running MAX: `outCol` = max of `valueCol` over all rows
+    * at or before the current one (ascending `orderCol`) within each
+    * `partCol` group — the prefix scan over the max monoid, same
+    * two-pass slicing as [[prefixSumBy]] (max is associative AND
+    * idempotent, so the cross-slice combine is a plain `greatest`;
+    * the first slice has no predecessor → its offset is NULL and
+    * `greatest` ignores it by null-skipping). The running-peak /
+    * drawdown / high-watermark primitive at corpus-proportional
+    * grains.
+    */
+  def prefixMaxBy(df: DataFrame, partCol: String, orderCol: String,
+      valueCol: String, outCol: String): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val snap = df.cut()
+    val bounds = snap.groupBy(col(partCol)).agg(
+      min(col(orderCol)).cast("double").as("__lo"),
+      max(col(orderCol)).cast("double").as("__hi"))
+    val withPid = snap.join(broadcast(bounds), Seq(partCol))
+      .withColumn("__pid", least(lit(p - 1), greatest(lit(0),
+        floor((col(orderCol).cast("double") - col("__lo")) * p /
+          (col("__hi") - col("__lo") + 1.0d)).cast("int"))))
+      .drop("__lo", "__hi")
+    val partials = withPid.groupBy(col(partCol), col("__pid"))
+      .agg(max(col(valueCol)).as("__pmax"))
+    // per-group EXCLUSIVE running max over ≤ |groups| × p rows —
+    // bounded grain; NULL for slice 0 (no predecessor)
+    val offsets = partials.withColumn("__offset",
+        max("__pmax").over(Window.partitionBy(partCol)
+          .orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(partCol), col("__pid"), col("__offset"))
+    withPid.join(broadcast(offsets), Seq(partCol, "__pid"))
+      .withColumn(outCol, greatest(
+        max(col(valueCol)).over(
+          Window.partitionBy(col(partCol), col("__pid")).orderBy(orderCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        col("__offset")))
+      .drop("__pid", "__offset")
+  }
 }

@@ -106,9 +106,25 @@ object RecurrenceOps {
     * (contractive A) — absorbed by the r4 grid, same argument as
     * PrefixOps.rankedPrefix.
     */
-  def holtSmooth(spark: SparkSession, dir: String): DataFrame = {
-    val alpha = 0.3
-    val beta = 0.2
+  def holtSmooth(spark: SparkSession, dir: String): DataFrame =
+    holtStates(spark, dir)
+      .select(col("event_type"), col("day"),
+        r4(col("x")).as("day_avg"),
+        r4(col("level")).as("level"),
+        r4(col("trend")).as("trend"),
+        r4(col("level") + col("trend")).as("forecast_next"))
+      .orderBy("event_type", "day")
+
+  private[operators] val HoltAlpha = 0.3
+  private[operators] val HoltBeta = 0.2
+
+  /** Unrounded Holt state per (type, day): (event_type, day, k, x,
+    * level, trend) — shared by `holt_smooth` and `holt_anomaly`.
+    */
+  private[operators] def holtStates(spark: SparkSession,
+      dir: String): DataFrame = {
+    val alpha = HoltAlpha
+    val beta = HoltBeta
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"))
@@ -126,12 +142,52 @@ object RecurrenceOps {
       .agg(min_by(col("x"), col("k")).as("x0"))
     scanned.join(broadcast(seeds), Seq("event_type"))
       .withColumn("__s", Affine2.applyTo(col("__f"), col("x0"), lit(0.0)))
-      .select(col("event_type"), col("day"),
-        r4(col("x")).as("day_avg"),
-        r4(col("__s").getField("s1")).as("level"),
-        r4(col("__s").getField("s2")).as("trend"),
-        r4(col("__s").getField("s1") + col("__s").getField("s2"))
-          .as("forecast_next"))
-      .orderBy("event_type", "day")
+      .select(col("event_type"), col("day"), col("k"), col("x"),
+        col("__s").getField("s1").as("level"),
+        col("__s").getField("s2").as("trend"))
+  }
+
+  /** `holt_anomaly` — one-step-forecast residual anomalies per type
+    * (full oracle): days where the actual daily mean misses the Holt
+    * forecast made the day BEFORE by more than 2σ of that type's
+    * residual distribution — the model-based anomaly detector
+    * zscore_anomaly (level-only, no trend) graduates into. One
+    * summary row per type: n_days, residual σ, anomaly count, the
+    * worst day and its residual.
+    *
+    * The previous day's forecast needs no lag/window: the Holt update
+    * is invertible row-locally — `l_t = αx_t + (1-α)(l_{t-1}+b_{t-1})`
+    * gives `forecast_prev = (l_t - αx_t)/(1-α)` from the row's OWN
+    * state, so residuals are a pure projection over [[holtStates]]
+    * (the seed row's residual is 0 by the fixpoint property). σ is a
+    * per-type agg broadcast back; the worst-day pick uses the
+    * (|residual| DESC, day) total order on the calendar-bounded
+    * day grain.
+    */
+  def holtAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = HoltAlpha
+    // two consumers (σ fold + flagging) — cut once so the state
+    // subtree (and its seed/offset aggs) doesn't replay per branch
+    val res = holtStates(spark, dir)
+      .withColumn("resid",
+        col("x") - (col("level") - lit(alpha) * col("x")) / lit(1 - alpha))
+      .cut()
+    val sig = res.groupBy(col("event_type").as("sig_type"))
+      .agg(stddev_samp("resid").as("sigma"))
+    val flagged = res.join(broadcast(sig),
+        col("event_type") === col("sig_type"))
+      .withColumn("is_anom",
+        when(abs(col("resid")) > lit(2.0) * col("sigma"), 1L).otherwise(0L))
+    flagged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("resid")).desc, col("day"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        r4(max("sigma")).as("sigma"),
+        sum("is_anom").as("n_anomalies"),
+        max_by(col("day"), col("rn") === 1).as("worst_day"),
+        r4(max_by(col("resid"), col("rn") === 1)).as("worst_residual"))
+      .orderBy("event_type")
   }
 }

@@ -590,4 +590,51 @@ object ScalarQueries {
           log10(lit(1.0) + lit(1.0) / col("digit")))).as("abs_dev"))
       .orderBy("digit")
   }
+
+  /** `mwu_value_test` — tie-corrected Mann–Whitney U test comparing
+    * the VALUE distributions of 'error' vs 'click' events (full
+    * oracle): U, the normal-approximation z, and the rank-biserial
+    * effect size. The nonparametric companion to ab_test_conversion's
+    * proportion z-test — it detects distributional location shifts a
+    * mean compare misses under the fixture's skewed (exponential)
+    * values, with no normality assumption (Mann & Whitney 1947,
+    * public knowledge).
+    *
+    * Everything derives from the VALUE-DOMAIN histogram (the
+    * ship_latency lesson): per distinct value, counts in each arm;
+    * average ranks from the exclusive prefix count (ties share the
+    * midrank), so the rank sum is Σ n_a(v)·avgrank(v) — exact integer
+    * /half-integer arithmetic until the final sqrt, bit-parity across
+    * engines by construction. Tie correction Σ(t³−t) folds over the
+    * same frame. No corpus-grain rank window, no sort of raw events:
+    * the one unpartitioned window runs on the domain-bounded
+    * histogram (pinned); output is a single row.
+    */
+  def mwuValueTest(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("t", col("na") + col("nb"))
+      .withColumn("below", coalesce(sum(col("na") + col("nb")).over(w), lit(0L)))
+      .withColumn("avgrank", col("below") + (col("t") + 1L) / lit(2.0))
+    val s = ranked.agg(
+      sum("na").as("n_a"), sum("nb").as("n_b"),
+      sum(col("na") * col("avgrank")).as("ra"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    s.select(col("n_a"), col("n_b"),
+        (col("ra") - col("n_a") * (col("n_a") + 1L) / lit(2.0)).as("u"),
+        (col("n_a") + col("n_b")).as("n"), col("tie3"))
+      .select(col("n_a"), col("n_b"), r2(col("u")).as("u_stat"),
+        r4((col("u") - col("n_a") * col("n_b") / lit(2.0)) /
+          sqrt(col("n_a") * col("n_b") / lit(12.0) *
+            ((col("n") + 1L) - col("tie3") /
+              (col("n") * (col("n") - 1L))))).as("z_score"),
+        r4(lit(2.0) * col("u") / (col("n_a") * col("n_b")) - 1.0)
+          .as("rank_biserial"))
+  }
 }

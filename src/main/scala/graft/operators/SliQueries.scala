@@ -1498,4 +1498,107 @@ object SliQueries {
           .as("psi"))
       .orderBy("event_type")
   }
+
+  /** `value_drawdown` — running-peak drawdown of the value series per
+    * type, in ingestion (event_id) order (full oracle): for each
+    * event, how far value sits below the high-watermark seen so far;
+    * the summary reports the peak, the deepest and mean drawdown, and
+    * the share of events that SET a new high. The collapse detector —
+    * a metric that rises but keeps printing deeper drawdowns is
+    * oscillating, one whose at-peak share decays to 0 has plateaued;
+    * classic in finance (maximum drawdown), equally useful on
+    * capacity/latency telemetry.
+    *
+    * The running max is [[PrefixOps.prefixMaxBy]] — the max-monoid
+    * prefix scan — NOT `max().over(Window.partitionBy(event_type)
+    * .orderBy(event_id))`: the grain is raw events (corpus-
+    * proportional) under a ~5-value key, the exact single-task-sort
+    * shape the bounded-dimension tripwire exists for. Every task
+    * scans only its own slice; the one bounded window runs over the
+    * |types|×P offsets frame. Readout aggregates are plain per-type
+    * folds broadcast onto nothing.
+    */
+  /** `survival_conversion` — Kaplan–Meier survival of view→purchase
+    * conversion WITH right-censoring (full oracle): S(t) = Π over
+    * event times ≤ t of (1 − d_i/n_i), read out at six horizons
+    * (1h … 30d). The statistically honest companion to
+    * time_to_convert: that query averages over users who DID convert
+    * (survivorship bias by construction); KM keeps every user with a
+    * first view in the at-risk set, censoring non-converters at the
+    * observation window's end (administrative censoring at the
+    * corpus max ts), so "P(not yet converted by t)" is unbiased —
+    * the standard estimator (Kaplan & Meier 1958, public knowledge).
+    *
+    * Determinism/parity: durations are exact integer minutes
+    * (µs-diff / 6e7 is exact-double arithmetic, floor-safe); d/n
+    * terms are exact-count ratios; the product is computed as
+    * exp(Σ ln(1 − d/n)) in BOTH engines so association can't differ.
+    *
+    * Scale: subject building is two user-keyed aggs + one user join;
+    * the KM fold runs on the DURATION-grain histogram (bounded by
+    * the observation calendar in minutes, not the corpus); its
+    * unpartitioned window is pinned on that grain. Horizon readout
+    * is a 6-row broadcast theta-join.
+    */
+  def survivalConversion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t0 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val tp = e.filter(col("event_type") === "purchase")
+      .join(t0, Seq("user_id"))
+      .filter(col("ts") > col("t0"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val tmax = e.agg(max("ts").as("tmax"))
+    val obs = t0.join(tp, Seq("user_id"), "left")
+      .crossJoin(broadcast(tmax))
+      .select(
+        floor((unix_micros(coalesce(col("tp"), col("tmax"))) -
+          unix_micros(col("t0"))) / lit(6e7)).as("dur"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    val hist = obs.groupBy("dur")
+      .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val nTotal = obs.agg(count(lit(1)).as("n_total"))
+    val wBefore = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val km = hist.crossJoin(broadcast(nTotal))
+      .withColumn("at_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wBefore),
+          lit(0L)))
+      .withColumn("lnterm",
+        when(col("d") > 0,
+          log(lit(1.0) - col("d") / col("at_risk"))).otherwise(lit(0.0)))
+      .withColumn("surv", exp(sum("lnterm").over(wIncl)))
+      .withColumn("cum_conv", sum("d").over(wIncl))
+      .withColumn("cum_cens", sum("c").over(wIncl))
+    val horizons = spark.range(1).select(
+      explode(array(Seq(60L, 360L, 1440L, 4320L, 10080L, 43200L)
+        .map(lit(_)): _*)).as("horizon_m"))
+    broadcast(horizons)
+      .join(km, col("dur") <= col("horizon_m"), "left")
+      .groupBy("horizon_m")
+      .agg(
+        coalesce(max("cum_conv"), lit(0L)).as("n_converted"),
+        coalesce(max("cum_cens"), lit(0L)).as("n_censored"),
+        r4(coalesce(max_by(col("surv"), col("dur")), lit(1.0)))
+          .as("survival"))
+      .orderBy("horizon_m")
+  }
+
+  def valueDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    PrefixOps.prefixMaxBy(e, "event_type", "event_id", "value", "runmax")
+      .withColumn("dd", col("runmax") - col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        r2(max("value")).as("peak_value"),
+        r2(max("dd")).as("max_drawdown"),
+        r4(avg("dd")).as("avg_drawdown"),
+        r4(avg(when(col("dd") === 0.0, 1.0).otherwise(0.0)))
+          .as("at_peak_share"))
+      .orderBy("event_type")
+  }
 }

@@ -263,6 +263,10 @@ class GoldenCountsSpec extends SparkTestBase {
     "benford_digits" -> 9L,
     // r6 bigram LM: one row per source
     "bigram_logprob" -> 20L,
+    // r6 Holt residual anomalies: one row per type
+    "holt_anomaly" -> 5L,
+    // r6 drawdown: one row per type
+    "value_drawdown" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -505,7 +505,15 @@ class PlanAuditSpec extends SparkTestBase {
     // r6 bigram LM: model agg runs behind cut(); printed are the
     // doc-grain scoring agg (2-phase), the source rollup pair, and
     // the sort — the model/prefix/vocab frames all broadcast
-    "bigram_logprob" -> 6)
+    "bigram_logprob" -> 6,
+    // r6 Holt anomalies: the residual frame is cut (state subtree +
+    // σ fold behind it); printed are the worst-day window exchange,
+    // the type rollup, and the sort
+    "holt_anomaly" -> 3,
+    // r6 drawdown: prefixMaxBy's sliced pass runs behind its cut();
+    // printed are the (type, slice) partial-max agg pair, the bounded
+    // offsets window, the readout rollup pair, and the sort
+    "value_drawdown" -> 7)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -646,6 +654,12 @@ class PlanAuditSpec extends SparkTestBase {
     // affineScanBy slice-offset frame: same |types| x P bounded grain
     // (the corpus-grain running composition is keyed by (type, slice))
     "holt_smooth" -> "affineScanBy offsets frame (|types|*P rows)",
+    // same offsets frame via holtStates, plus the worst-day pick over
+    // the day-grain residual rollup (calendar-bounded)
+    "holt_anomaly" -> "affineScanBy offsets + day-grain worst-day rank (calendar-bounded)",
+    // prefixMaxBy slice-offset frame: |types| x P rows, data-size
+    // constant (the raw-event running max is keyed by (type, slice))
+    "value_drawdown" -> "PrefixOps.prefixMaxBy offsets frame (|types|*P rows)",
     // corpus-grain percent_rank kept exact by design (the probe set
     // needs ranks within the FULL per-source distribution); the
     // scaladoc documents the two-pass rank swap past that

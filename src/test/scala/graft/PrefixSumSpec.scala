@@ -43,6 +43,34 @@ class PrefixSumSpec extends SparkTestBase {
     assert(dist(few) == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("prefixMaxBy == naive grouped running max (gappy keys, negatives, shuffled)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 5.0), ("a", 3L, -2.0), ("a", 10L, 7.0), ("a", 11L, 7.0),
+      ("a", 999L, 1.0), ("b", -5L, -9.0), ("b", 0L, -1.0), ("b", 2L, -4.0),
+      ("c", 42L, 0.0))
+    val df = rows.toDF("g", "k", "v").repartition(5)
+    val naive = df.withColumn("rm",
+        max("v").over(Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val dist = PrefixOps.prefixMaxBy(df, "g", "k", "v", "rm")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(dist == naive)
+  }
+
+  test("prefixMaxBy at raw-event grain matches the one-task window (sf fixture)") {
+    val e = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val naive = e.withColumn("rm",
+        max("value").over(Window.partitionBy("event_type").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val dist = PrefixOps.prefixMaxBy(e, "event_type", "event_id", "value", "rm")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(dist == naive) // max is exact — bit-identical, no tolerance
+  }
+
   test("plan: the corpus-grain window is slice-partitioned, offsets broadcast") {
     import spark.implicits._
     val df = (0L until 100L).map(k => (k, 1L)).toDF("k", "v")
