@@ -408,6 +408,24 @@ object SparkEntry {
     // max-monoid prefix scan (PrefixOps.prefixMaxBy) at raw-event
     // grain (full oracle)
     "value_drawdown" -> (SliQueries.valueDrawdown _),
+    // r6: Kaplan-Meier view->purchase survival with right-censoring —
+    // the unbiased companion to time_to_convert (full oracle)
+    "survival_conversion" -> (SliQueries.survivalConversion _),
+    // r6: tie-corrected Mann-Whitney U on value distributions — the
+    // nonparametric A/B companion, value-domain histogram ranks
+    // (full oracle)
+    "mwu_value_test" -> (ScalarQueries.mwuValueTest _),
+    // r6: entity resolution — fuzzy-name pair edges closed into
+    // connected components, one row per multi-name entity (full
+    // oracle)
+    "name_entity_clusters" -> (RelationalQueries.nameEntityClusters _),
+    // r6: weighted isotonic regression of return rate on discount via
+    // the minimax PAVA identity — pure relational algebra, no
+    // iteration (full oracle)
+    "isotonic_return_rate" -> (RelationalQueries.isotonicReturnRate _),
+    // r6: Theil-Sen robust trend (median of pairwise slopes) — the
+    // outlier-proof twin of regr_value_trend (full oracle)
+    "theilsen_trend" -> (SliQueries.theilsenTrend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2985,5 +3003,129 @@ object SparkEntry {
         |       round(avg(runmax - value) + 1e-7, 4) AS avg_drawdown,
         |       round(avg(CASE WHEN runmax - value = 0 THEN 1.0 ELSE 0.0 END) + 1e-7, 4) AS at_peak_share
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "survival_conversion" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM read_parquet('{dir}/events.parquet')),
+        |t0 AS (SELECT user_id, min(ts) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |tp AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM e JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t0.t0 GROUP BY 1),
+        |tm AS (SELECT max(ts) AS tmax FROM e),
+        |obs AS (
+        |  SELECT floor((epoch_us(coalesce(tp.tp, tm.tmax)) - epoch_us(t0.t0)) / 60000000.0) AS dur,
+        |         CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM t0 LEFT JOIN tp USING (user_id) CROSS JOIN tm),
+        |hist AS (
+        |  SELECT dur, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM obs),
+        |km AS (
+        |  SELECT dur, d, c,
+        |         n_total - coalesce(sum(d + c) OVER (
+        |           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        |  FROM hist CROSS JOIN n),
+        |km2 AS (
+        |  SELECT dur,
+        |         exp(sum(CASE WHEN d = 0 THEN 0.0
+        |                      WHEN d >= at_risk THEN CAST('-infinity' AS DOUBLE)
+        |                      ELSE ln(1.0 - d * 1.0 / at_risk) END)
+        |             OVER (ORDER BY dur)) AS surv,
+        |         sum(d) OVER (ORDER BY dur) AS cum_conv,
+        |         sum(c) OVER (ORDER BY dur) AS cum_cens
+        |  FROM km),
+        |h AS (SELECT CAST(unnest([60, 360, 1440, 4320, 10080, 43200]) AS BIGINT) AS horizon_m)
+        |SELECT h.horizon_m,
+        |       CAST(coalesce(max(km2.cum_conv), 0) AS BIGINT) AS n_converted,
+        |       CAST(coalesce(max(km2.cum_cens), 0) AS BIGINT) AS n_censored,
+        |       round(coalesce(max_by(km2.surv, km2.dur), 1.0) + 1e-7, 4) AS survival
+        |FROM h LEFT JOIN km2 ON km2.dur <= h.horizon_m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mwu_value_test" ->
+      """WITH hist AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM read_parquet('{dir}/events.parquet')
+        |  WHERE event_type IN ('error', 'click') GROUP BY 1),
+        |r AS (
+        |  SELECT na, nb, na + nb AS t,
+        |         coalesce(sum(na + nb) OVER (
+        |           ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM hist),
+        |s AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+        |         sum(na * (below + (t + 1) / 2.0)) AS ra,
+        |         sum((t * 1.0) * t * t - t) AS tie3
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |       round(ra - n_a * (n_a + 1) / 2.0 + 2e-5, 2) AS u_stat,
+        |       round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0) /
+        |             sqrt(n_a * n_b / 12.0 *
+        |                  ((n_a + n_b + 1) - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0)))) + 1e-7, 4) AS z_score,
+        |       round(2.0 * (ra - n_a * (n_a + 1) / 2.0) / (n_a * n_b) - 1.0 + 1e-7, 4) AS rank_biserial
+        |FROM s""".stripMargin,
+    "name_entity_clusters" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT DISTINCT p_name AS name, regexp_extract(p_name, '([a-z]+)$', 1) AS noun
+        |  FROM read_parquet('{dir}/part.parquet')),
+        |pairs AS (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 4),
+        |edges AS (
+        |  SELECT na AS s, nb AS d FROM pairs
+        |  UNION ALL
+        |  SELECT nb AS s, na AS d FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node),
+        |comp AS (SELECT node, min(lbl) AS entity_id FROM reach GROUP BY node)
+        |SELECT entity_id, count(*) AS n_names
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "isotonic_return_rate" ->
+      """WITH b AS (
+        |  SELECT l_discount AS disc, count(*) AS n,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM read_parquet('{dir}/lineitem.parquet') GROUP BY 1),
+        |c AS (
+        |  SELECT disc, n, r,
+        |         sum(n) OVER w AS cw, sum(r) OVER w AS cr,
+        |         coalesce(sum(n) OVER wb, 0) AS pw, coalesce(sum(r) OVER wb, 0) AS pr
+        |  FROM b
+        |  WINDOW w AS (ORDER BY disc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wb AS (ORDER BY disc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |iv AS (
+        |  SELECT j.disc AS dj, k.disc AS dk,
+        |         (k.cr - j.pr) * 1.0 / (k.cw - j.pw) AS iavg
+        |  FROM c j JOIN c k ON j.disc <= k.disc),
+        |im AS (
+        |  SELECT i.disc AS di, iv.dj, min(iv.iavg) AS minv
+        |  FROM c i JOIN iv ON iv.dj <= i.disc AND i.disc <= iv.dk
+        |  GROUP BY 1, 2),
+        |f AS (SELECT di, max(minv) AS iso FROM im GROUP BY 1)
+        |SELECT round(b.disc + 2e-5, 2) AS discount, b.n,
+        |       round(b.r * 1.0 / b.n + 1e-7, 4) AS raw_rate,
+        |       round(f.iso + 1e-7, 4) AS iso_rate
+        |FROM b JOIN f ON b.disc = f.di ORDER BY 1""".stripMargin,
+    "theilsen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS x,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS DOUBLE) AS k
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type, (b.x - a.x) / (b.k - a.k) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.k < b.k),
+        |ts AS (
+        |  SELECT event_type, quantile_cont(s, 0.5) AS ts_slope,
+        |         count(*) AS n_pairs
+        |  FROM slopes GROUP BY 1)
+        |SELECT d.event_type, max(ts.n_pairs) AS n_pairs,
+        |       round(max(ts.ts_slope) + 1e-7, 4) AS ts_slope,
+        |       round(quantile_cont(d.x - ts.ts_slope * d.k, 0.5) + 1e-7, 4) AS ts_intercept
+        |FROM daily d JOIN ts USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1492,6 +1492,85 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** `name_entity_clusters` — entity resolution over the catalog's
+    * name space (full oracle): fuzzy_name_pairs' candidate edges
+    * (same trailing-noun block, levenshtein ≤ 4) closed into
+    * connected components — one row per multi-name ENTITY with its
+    * canonical (minimum) name and member count. The step every
+    * record-linkage pipeline takes after pairwise matching: pair
+    * lists aren't entities until the transitive closure makes
+    * membership globally consistent (the dedup_clusters argument,
+    * replayed on dimension names instead of documents).
+    *
+    * Scale: blocking bounds the pair join (noun-key equi-join, never
+    * name×name); components run through the shared Hash-Min
+    * [[GraphOps.connectedComponents]] — log-diameter rounds, string
+    * labels compare fine (min/least are total on strings). Oracle:
+    * the same reach closure as dedup_clusters' recursive CTE.
+    */
+  def nameEntityClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyNamePairs(spark, dir)
+      .select(lit("all").as("part"), col("name_a").as("a"),
+        col("name_b").as("b"))
+    GraphOps.connectedComponents(pairs)
+      .groupBy(col("lbl").as("entity_id"))
+      .agg(count(lit(1)).as("n_names"))
+      .orderBy("entity_id")
+  }
+
+  /** `isotonic_return_rate` — weighted isotonic (monotone
+    * non-decreasing) regression of return rate on discount over the
+    * 11-value discount grid (full oracle): the calibration step that
+    * turns a noisy per-bucket rate curve into the monotone curve a
+    * pricing/risk model can threshold on. Computed via the MINIMAX
+    * identity `iso_i = max_{j≤i} min_{k≥i} wavg(j..k)` — the closed
+    * form of the pool-adjacent-violators solution (Ayer et al. 1955;
+    * Robertson/Wright/Dykstra 1988, public knowledge) — which is
+    * PURE relational algebra over interval aggregates: prefix sums
+    * on the bucket frame give every interval's weighted rate, one
+    * ≤11³ triple join + two-level min/max agg gives the fit. No
+    * iteration, no driver loop; bit-identical cross-engine because
+    * every term is an exact-count ratio and min/max pick, so the
+    * oracle needs no tolerance. IsotonicSpec checks the minimax
+    * form against a driver-side PAVA replay + monotonicity.
+    *
+    * Scale: after the one corpus-grain (discount)-agg, everything is
+    * on the 11-row grid; with B buckets the triple join is O(B³) —
+    * for the 100-1000-bucket calibration curves of practice still a
+    * broadcast-size frame (1e9 rows would call for the O(B) PAVA
+    * stack on a single partition of the BUCKET frame, documented).
+    */
+  def isotonicReturnRate(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .groupBy(col("l_discount").as("disc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val wIncl = Window.orderBy("disc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBefore = Window.orderBy("disc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = b
+      .withColumn("cw", sum("n").over(wIncl))
+      .withColumn("cr", sum("r").over(wIncl))
+      .withColumn("pw", coalesce(sum("n").over(wBefore), lit(0L)))
+      .withColumn("pr", coalesce(sum("r").over(wBefore), lit(0L)))
+      .cut() // ≤11 rows, four consumers below
+    val intervals = c.select(col("disc").as("dj"), col("pw"), col("pr"))
+      .join(c.select(col("disc").as("dk"), col("cw"), col("cr")),
+        col("dj") <= col("dk"))
+      .select(col("dj"), col("dk"),
+        ((col("cr") - col("pr")) / (col("cw") - col("pw"))).as("iavg"))
+    val innerMin = c.select(col("disc").as("di"))
+      .join(intervals, col("dj") <= col("di") && col("di") <= col("dk"))
+      .groupBy("di", "dj").agg(min("iavg").as("minv"))
+    val fitted = innerMin.groupBy("di").agg(max("minv").as("iso"))
+    b.join(fitted, col("disc") === col("di"))
+      .select(r2(col("disc")).as("discount"), col("n"),
+        r4(col("r") / col("n")).as("raw_rate"),
+        r4(col("iso")).as("iso_rate"))
+      .orderBy("discount")
+  }
+
   /** `skyline_parts` — the Pareto frontier of the part catalog
     * (full oracle): parts for which no other part is both cheaper-or-
     * equal AND bigger-or-equal with at least one strict — the classic

@@ -625,7 +625,9 @@ object ScalarQueries {
     val s = ranked.agg(
       sum("na").as("n_a"), sum("nb").as("n_b"),
       sum(col("na") * col("avgrank")).as("ra"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      // double, not long: Σt³ can pass 2^63 on a 100-TB value domain
+      sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+        .as("tie3"))
     s.select(col("n_a"), col("n_b"),
         (col("ra") - col("n_a") * (col("n_a") + 1L) / lit(2.0)).as("u"),
         (col("n_a") + col("n_b")).as("n"), col("tie3"))

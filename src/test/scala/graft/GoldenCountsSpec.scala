@@ -267,6 +267,16 @@ class GoldenCountsSpec extends SparkTestBase {
     "holt_anomaly" -> 5L,
     // r6 drawdown: one row per type
     "value_drawdown" -> 5L,
+    // r6 KM survival: one row per horizon
+    "survival_conversion" -> 6L,
+    // r6 Mann-Whitney: single test-report row
+    "mwu_value_test" -> 1L,
+    // r6 entity resolution: 8 multi-name entities at sf0.001
+    "name_entity_clusters" -> 8L,
+    // r6 isotonic fit: one row per discount grid value
+    "isotonic_return_rate" -> 11L,
+    // r6 Theil-Sen: one row per type
+    "theilsen_trend" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -212,6 +212,66 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("survival_conversion: KM curve matches a driver-side replay; monotone laws") {
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L // full µs grid
+    val evs = Tables.events(spark, sf) // normalizing loader: TimestampType
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), micros(r.getTimestamp(2))))
+    val t0 = evs.filter(_._2 == "view").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val tmax = evs.map(_._3).max
+    val subjects = t0.map { case (u, t) =>
+      val tp = evs.filter(e => e._1 == u && e._2 == "purchase" && e._3 > t)
+        .map(_._3).minOption
+      val durMin = (tp.getOrElse(tmax) - t) / 60000000L // µs → minutes
+      (durMin, tp.isDefined)
+    }.toSeq
+    // KM product over event times
+    val byDur = subjects.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = subjects.size.toLong
+    var surv = 1.0
+    val curve = scala.collection.mutable.TreeMap[Long, (Double, Long, Long)]()
+    var (cumD, cumC) = (0L, 0L)
+    byDur.foreach { case (dur, ss) =>
+      val d = ss.count(_._2).toLong
+      val c = ss.size - d
+      if (d > 0) surv *= 1.0 - d.toDouble / atRisk
+      atRisk -= d + c
+      cumD += d; cumC += c
+      curve(dur) = (surv, cumD, cumC)
+    }
+    rows("survival_conversion").foreach { r =>
+      val h = r.getLong(0)
+      val at = curve.rangeTo(h).lastOption.map(_._2)
+      val (expS, expD, expC) = at.getOrElse((1.0, 0L, 0L))
+      assert(r.getLong(1) == expD && r.getLong(2) == expC, s"counts drift at h=$h: $r")
+      assert(math.abs(r.getDouble(3) - expS) < 1e-3,
+        s"h=$h: got ${r.getDouble(3)} expected $expS")
+    }
+    val survs = rows("survival_conversion").map(_.getDouble(3))
+    assert(survs == survs.sorted.reverse, "survival not non-increasing")
+    assert(survs.forall(s => s >= 0.0 && s <= 1.0 + 1e-9))
+  }
+
+  test("mwu_value_test: U matches the brute-force pair count") {
+    val vals = Tables.raw(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "error").map(_._2)
+    val b = vals.filter(_._1 == "click").map(_._2)
+    val u = a.iterator.map { x =>
+      b.count(x > _) + 0.5 * b.count(x == _)
+    }.sum
+    val r = rows("mwu_value_test").head
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    assert(math.abs(r.getDouble(2) - u) < 0.01 + 1e-9,
+      s"U ${r.getDouble(2)} != brute force $u")
+    // rank-biserial is 2U/(n_a n_b) − 1 of the same U
+    val rb = 2.0 * u / (a.length.toDouble * b.length) - 1.0
+    assert(math.abs(r.getDouble(4) - rb) < 1e-3)
+  }
+
   test("dimension names are unique (blame_supplier oracle keying assumption)") {
     // blame_supplier aggregates by l_suppkey and joins s_name on after,
     // while its oracle groups by s_name post-join (r5 advice): the two

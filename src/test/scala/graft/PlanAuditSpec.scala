@@ -513,7 +513,25 @@ class PlanAuditSpec extends SparkTestBase {
     // r6 drawdown: prefixMaxBy's sliced pass runs behind its cut();
     // printed are the (type, slice) partial-max agg pair, the bounded
     // offsets window, the readout rollup pair, and the sort
-    "value_drawdown" -> 7)
+    "value_drawdown" -> 7,
+    // r6 KM: subject frames cut (view agg + purchase join behind
+    // them); printed are the duration histogram pair, its bounded
+    // window's single-partition exchange, the horizon rollup, + sort
+    "survival_conversion" -> 5,
+    // r6 MWU: the value-domain histogram agg feeds a domain-grain
+    // window + single-row fold — 2 exchanges end to end
+    "mwu_value_test" -> 2,
+    // r6 entity resolution: CC rounds run behind per-round cut()s;
+    // printed are the entity rollup pair over the final label frame
+    "name_entity_clusters" -> 2,
+    // r6 isotonic: the discount-grid agg (2-phase) feeds the cut
+    // bucket frame; printed are the grid rollup, the minimax joins'
+    // re-keys, and the sort — all ≤B³-row frames
+    "isotonic_return_rate" -> 4,
+    // r6 Theil-Sen: daily rollup runs behind its cut(); printed are
+    // the slope-median agg (sort-based percentile), the intercept
+    // rollup, and the sort — all day²-grain or smaller
+    "theilsen_trend" -> 3)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -560,7 +578,15 @@ class PlanAuditSpec extends SparkTestBase {
     // price-grain cummax over the part CATALOG (dimension-bounded,
     // the price_position argument); the scaladoc documents the
     // two-phase local-frontier skyline swap past catalog scale
-    "skyline_parts" -> "part-dimension price-grain cummax (documented two-phase swap)")
+    "skyline_parts" -> "part-dimension price-grain cummax (documented two-phase swap)",
+    // KM fold over the DURATION-grain histogram: bounded by the
+    // observation calendar in minutes, not the corpus
+    "survival_conversion" -> "duration-grain KM histogram (calendar-bounded)",
+    // rank windows over the VALUE-DOMAIN histogram (the ship_latency
+    // lesson): grain = distinct 2-dp values, not events
+    // (isotonic_return_rate's 11-row grid prefix sums run eagerly
+    // behind its cut() and never appear in a printed plan)
+    "mwu_value_test" -> "value-domain histogram ranks (domain-bounded)")
 
   test("no unpartitioned Window on an unbounded grain (r4 tripwire)") {
     import org.apache.spark.sql.execution.SparkPlan
