@@ -74,7 +74,21 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Block-manager hygiene BETWEEN timed runs (outside the
+        // clock): every `cut()` (localCheckpoint) a query takes
+        // leaves its blocks pinned in the session's block manager,
+        // and across 200+ queries those dead blocks crowd storage
+        // memory until later queries' shuffles spill and their
+        // checkpoints go disk-only — measured as blame_supplier
+        // 1.6 → 41.7 s once the r6 recurrence/statistics waves
+        // pushed the per-session checkpoint volume over the edge.
+        // A real session drops its frames when it drops its
+        // DataFrames; the harness must do the same or it measures
+        // leak pressure, not the query.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (ok) dt else -1.0
       }
       name -> times.sorted.apply(Passes / 2)
     }
