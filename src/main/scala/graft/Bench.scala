@@ -86,8 +86,10 @@ object Bench {
         // A real session drops its frames when it drops its
         // DataFrames; the harness must do the same or it measures
         // leak pressure, not the query.
+        // blocking: async removal would land inside the NEXT pass's
+        // clock — pay it here, between measurements
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         if (ok) dt else -1.0
       }
       name -> times.sorted.apply(Passes / 2)

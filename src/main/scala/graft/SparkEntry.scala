@@ -426,6 +426,9 @@ object SparkEntry {
     // r6: Theil-Sen robust trend (median of pairwise slopes) — the
     // outlier-proof twin of regr_value_trend (full oracle)
     "theilsen_trend" -> (SliQueries.theilsenTrend _),
+    // r6: two-sample Kolmogorov-Smirnov on value distributions — the
+    // shape-test companion to mwu_value_test (full oracle)
+    "ks_value_test" -> (ScalarQueries.ksValueTest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3127,5 +3130,31 @@ object SparkEntry {
         |       round(quantile_cont(d.x - ts.ts_slope * d.k, 0.5) + 1e-7, 4) AS ts_intercept
         |FROM daily d JOIN ts USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ks_value_test" ->
+      """WITH hist AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM read_parquet('{dir}/events.parquet')
+        |  WHERE event_type IN ('error', 'click') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM hist),
+        |cum AS (
+        |  SELECT sum(na) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cna,
+        |         sum(nb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnb
+        |  FROM hist),
+        |d AS (
+        |  SELECT max(abs(cna * 1.0 / n_a - cnb * 1.0 / n_b)) AS d, n_a, n_b
+        |  FROM cum CROSS JOIN tot GROUP BY n_a, n_b),
+        |l AS (SELECT d, n_a, n_b,
+        |             d * sqrt(n_a * 1.0 * n_b / (n_a + n_b)) AS lambda FROM d)
+        |SELECT n_a, n_b, round(d + 1e-7, 4) AS d_stat,
+        |       round(lambda + 1e-7, 4) AS lambda,
+        |       round(least(1.0, greatest(0.0,
+        |         2.0 * exp(-2.0 * lambda * lambda)
+        |         - 2.0 * exp(-8.0 * lambda * lambda)
+        |         + 2.0 * exp(-18.0 * lambda * lambda)
+        |         - 2.0 * exp(-32.0 * lambda * lambda)
+        |         + 2.0 * exp(-50.0 * lambda * lambda))) + 1e-7, 4) AS p_approx
+        |FROM l""".stripMargin,
   )
 }

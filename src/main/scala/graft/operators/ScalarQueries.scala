@@ -591,6 +591,51 @@ object ScalarQueries {
       .orderBy("digit")
   }
 
+  /** `ks_value_test` — two-sample Kolmogorov–Smirnov test on the
+    * 'error' vs 'click' value distributions (full oracle): the
+    * supremum ECDF gap D, the scaled statistic λ = D·√(n_a·n_b/n),
+    * and the asymptotic p-value via the first five terms of the
+    * Kolmogorov series 2·Σ (−1)^{k−1} e^{−2k²λ²} (Kolmogorov 1933 /
+    * Smirnov 1948, public knowledge) — the distribution-SHAPE
+    * companion to mwu_value_test's location test: a variance change
+    * with equal medians moves D, not U.
+    *
+    * Same value-DOMAIN histogram plane as MWU: both ECDFs are
+    * inclusive prefix counts over distinct values (ties collapse
+    * correctly by construction — the ECDF gap is evaluated AT each
+    * distinct value), so D is a max over exact-count ratios —
+    * bit-parity across engines; the five-term series is identical
+    * literal arithmetic on both sides. One corpus scan, one bounded
+    * window, single-row output.
+    */
+  def ksValueTest(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nb"))
+    val tot = hist.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = hist
+      .withColumn("cna", sum("na").over(w))
+      .withColumn("cnb", sum("nb").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(abs(col("cna") / col("n_a") - col("cnb") / col("n_b")))
+          .as("d"),
+        max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .withColumn("lambda",
+        col("d") * sqrt(col("n_a") * col("n_b") / (col("n_a") + col("n_b"))))
+    val p = (1 to 5).map { k =>
+      lit(if (k % 2 == 1) 2.0 else -2.0) *
+        exp(lit(-2.0 * k * k) * col("lambda") * col("lambda"))
+    }.reduce(_ + _)
+    d.select(col("n_a"), col("n_b"), r4(col("d")).as("d_stat"),
+      r4(col("lambda")).as("lambda"),
+      r4(least(lit(1.0), greatest(lit(0.0), p))).as("p_approx"))
+  }
+
   /** `mwu_value_test` — tie-corrected Mann–Whitney U test comparing
     * the VALUE distributions of 'error' vs 'click' events (full
     * oracle): U, the normal-approximation z, and the rank-biserial

@@ -277,6 +277,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "isotonic_return_rate" -> 11L,
     // r6 Theil-Sen: one row per type
     "theilsen_trend" -> 5L,
+    // r6 Kolmogorov-Smirnov: single test-report row
+    "ks_value_test" -> 1L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -254,6 +254,24 @@ class InvariantSpec extends SparkTestBase {
     assert(survs.forall(s => s >= 0.0 && s <= 1.0 + 1e-9))
   }
 
+  test("ks_value_test: D matches the brute-force ECDF sweep; p in [0,1]") {
+    val vals = Tables.raw(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "error").map(_._2).sorted
+    val b = vals.filter(_._1 == "click").map(_._2).sorted
+    val pts = (a ++ b).distinct
+    val d = pts.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length -
+        b.count(_ <= v).toDouble / b.length)
+    }.max
+    val r = rows("ks_value_test").head
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    assert(math.abs(r.getDouble(2) - d) < 1e-3,
+      s"D ${r.getDouble(2)} != brute force $d")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("mwu_value_test: U matches the brute-force pair count") {
     val vals = Tables.raw(spark, sf, "events")
       .select("event_type", "value").collect()

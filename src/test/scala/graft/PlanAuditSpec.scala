@@ -531,7 +531,10 @@ class PlanAuditSpec extends SparkTestBase {
     // r6 Theil-Sen: daily rollup runs behind its cut(); printed are
     // the slope-median agg (sort-based percentile), the intercept
     // rollup, and the sort — all day²-grain or smaller
-    "theilsen_trend" -> 3)
+    "theilsen_trend" -> 3,
+    // r6 KS: value-domain histogram agg + its bounded window's
+    // single-partition exchange + the single-row fold
+    "ks_value_test" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -586,7 +589,9 @@ class PlanAuditSpec extends SparkTestBase {
     // lesson): grain = distinct 2-dp values, not events
     // (isotonic_return_rate's 11-row grid prefix sums run eagerly
     // behind its cut() and never appear in a printed plan)
-    "mwu_value_test" -> "value-domain histogram ranks (domain-bounded)")
+    "mwu_value_test" -> "value-domain histogram ranks (domain-bounded)",
+    // same plane: both ECDFs are prefix counts over distinct values
+    "ks_value_test" -> "value-domain histogram ECDFs (domain-bounded)")
 
   test("no unpartitioned Window on an unbounded grain (r4 tripwire)") {
     import org.apache.spark.sql.execution.SparkPlan
