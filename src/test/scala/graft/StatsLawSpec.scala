@@ -986,4 +986,51 @@ class StatsLawSpec extends SparkTestBase {
         s"$src: percent_rank not monotone in (n_chars, doc_id)")
     }
   }
+
+  test("theilsen_trend_sampled: opening the hash threshold to 2^48 reproduces the exact form") {
+    // u48 < 2^48 keeps EVERY pair, so the sampled plan must equal
+    // theilsen_trend bit-for-bit (same grid rounding both sides) —
+    // the n_pairs column names differ by design; compare the rest.
+    val exact = graft.operators.SliQueries.theilsenTrend(spark, sf)
+      .select("event_type", "ts_slope", "ts_intercept").collect().toSeq
+    val opened = graft.operators.SliQueries
+      .theilsenTrendSampled(spark, sf, threshold = 281474976710656L)
+      .select("event_type", "ts_slope", "ts_intercept").collect().toSeq
+    assert(opened == exact,
+      s"opened-threshold sample diverged: $opened vs $exact")
+  }
+
+  test("theilsen_trend_sampled: the ~50% subsample estimate stays near the exact slope") {
+    // Sen's estimator is a median of a U-statistic — a random half of
+    // the pairs moves the median by O(1/sqrt(n_pairs)). The fixture's
+    // per-type pair counts (~hundreds) put that well inside 0.5 in
+    // slope units; pin that envelope so a sampling-logic regression
+    // (wrong key, wrong threshold compare) fails loudly while honest
+    // estimator noise passes with margin.
+    val exact = graft.operators.SliQueries.theilsenTrend(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val sampled = graft.operators.SliQueries.theilsenTrendSampled(spark, sf)
+      .collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val t = r.getString(0)
+      val d = math.abs(r.getDouble(2) - exact(t))
+      assert(d <= 0.5, s"$t: sampled slope off by $d (> 0.5)")
+      // and the sample actually sampled: strictly fewer pairs than exact
+    }
+    val exactPairs = graft.operators.SliQueries.theilsenTrend(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sampled.foreach { r =>
+      assert(r.getLong(1) < exactPairs(r.getString(0)),
+        s"${r.getString(0)}: sampling kept all pairs")
+    }
+  }
+
+  test("skyline_parts_2p reproduces skyline_parts exactly (two-phase equivalence)") {
+    val one = graft.operators.RelationalQueries.skylineParts(spark, sf)
+      .collect().toSeq
+    val two = graft.operators.RelationalQueries.skylineParts2p(spark, sf)
+      .collect().toSeq
+    assert(two == one, s"two-phase skyline diverged: $two vs $one")
+  }
 }
