@@ -403,6 +403,7 @@ object SparkEntry {
     // r6: per-source bigram-LM log-probability — the sequence-aware
     // quality gate unigram_logprob can't express (full oracle)
     "bigram_logprob" -> (LlmQueries.bigramLogprob _),
+    "bigram_logprob_pruned" -> (LlmQueries.bigramLogprobPruned _),
     // r6: Holt one-step-forecast residual anomalies — the recurrence
     // plane's detector consumer, residuals row-local via the
     // invertible update (full oracle)
@@ -2997,6 +2998,28 @@ object SparkEntry {
         |  SELECT bg.doc_id, bg.source,
         |         avg(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab))) AS lp
         |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(lp) + 1e-7, 4) AS avg_logprob,
+        |       round(min(lp) + 1e-7, 4) AS min_logprob
+        |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bigram_logprob_pruned" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |bg AS (
+        |  SELECT doc_id, source, p[1] AS w1, p[2] AS w2
+        |  FROM d, UNNEST(list_zip(d.ws[1:-2], d.ws[2:])) AS t(p)
+        |  WHERE len(d.ws) >= 2),
+        |c2full AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+        |c2 AS (SELECT * FROM c2full WHERE n2 >= 2),
+        |c1 AS (SELECT w1, sum(n2) AS n1 FROM c2full GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vocab
+        |      FROM (SELECT w1 AS w FROM c2full UNION ALL SELECT w2 FROM c2full)),
+        |per_doc AS (
+        |  SELECT bg.doc_id, bg.source,
+        |         avg(ln((COALESCE(c2.n2, 0) + 1.0) / (c1.n1 + v.vocab))) AS lp
+        |  FROM bg LEFT JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
         |  GROUP BY 1, 2)
         |SELECT source, count(*) AS n_docs,
         |       round(avg(lp) + 1e-7, 4) AS avg_logprob,

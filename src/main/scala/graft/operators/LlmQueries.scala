@@ -291,8 +291,9 @@ object LlmQueries {
     * shared generator vocabulary makes containment common — the op is
     * graded as formula parity, not as a rarity statistic.
     *
-    * Scale path (documented, not built): containment is NOT
-    * MinHash-estimable (MinHash concentrates on Jaccard); the
+    * Scale path (BUILT in r6 — `containment_lsh`,
+    * [[graft.operators.DedupOps.containmentLsh]]): containment is
+    * NOT MinHash-estimable (MinHash concentrates on Jaccard); the
     * unbounded twin is LSH Ensemble (Zhu et al., VLDB'16) — MinHash
     * partitioned by set-size stratum so the containment→Jaccard
     * conversion stays tight per stratum — feeding the same
@@ -825,6 +826,64 @@ object LlmQueries {
       .groupBy("doc_id", "source")
       .agg(avg(log((col("n2") + 1.0) / (col("n1") + col("vocab"))))
         .as("lp"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg("lp")).as("avg_logprob"),
+        r4(min("lp")).as("min_logprob"))
+      .orderBy("source")
+  }
+
+  /** `bigram_logprob_pruned` — the OPEN-VOCABULARY lane of
+    * [[bigramLogprob]] (full oracle; r6 verdict "missing" #3): the
+    * bigram model keeps only types seen ≥ 2 times, and every pruned
+    * (or genuinely unseen) transition scores through the explicit
+    * add-one OOV backoff `ln(1 / (c(w1·) + |V|))` — i.e. exactly the
+    * smoothed probability a zero-count bigram gets, so pruning
+    * changes the MODEL SIZE, not the scoring formula's domain.
+    *
+    * Why this is the variant a real curation pipeline runs: by
+    * Zipf/Heaps, singleton bigram types are the overwhelming bulk of
+    * the model frame on open-vocabulary text while carrying the least
+    * signal (a count of 1 is noise under add-one smoothing anyway —
+    * its probability barely differs from the backoff). Pruning
+    * collapses the model by an order of magnitude, which is what
+    * makes a broadcast-sized model FEASIBLE at corpus scale — but the
+    * join stays UNHINTED (the broadcast-build tripwire class): the
+    * planner broadcasts the pruned frame while it fits and degrades
+    * to the (w1,w2)-keyed shuffle past that. The w1-grain totals and
+    * vocab size stay UNPRUNED (they are denominators — pruning them
+    * would change every score, not just pruned transitions).
+    *
+    * Both engines prune identically (`HAVING count ≥ 2` / `filter`),
+    * so the oracle hash certifies the backoff semantics, not just the
+    * happy path.
+    */
+  def bigramLogprobPruned(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " "), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2full = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")).cut()
+    // model = the repeated-transition slice; denominators stay full
+    val c2 = c2full.filter(col("n2") >= 2)
+    val c1 = c2full.groupBy("w1").agg(sum("n2").as("n1"))
+    val v = c2full.select(col("w1").as("w"))
+      .unionAll(c2full.select(col("w2").as("w")))
+      .agg(countDistinct("w").as("vocab"))
+    val perDoc = bg
+      .join(c2, Seq("w1", "w2"), "left_outer")
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id", "source")
+      .agg(avg(log((coalesce(col("n2"), lit(0L)) + 1.0) /
+        (col("n1") + col("vocab")))).as("lp"))
     perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         r4(avg("lp")).as("avg_logprob"),

@@ -550,8 +550,9 @@ object SliQueries {
     * Scale: the pair join runs on the DAY-grain rollup — O(days²)
     * per type, calendar-bounded (435 pairs per type-month), never
     * the corpus. A corpus-grain series would use the standard
-    * sampled-pairs variant (median over a fixed random pair budget),
-    * documented here; the exact form is the oracle-checkable truth.
+    * sampled-pairs variant — WIRED as [[theilsenTrendSampled]] with
+    * a content-hash subsample, full oracle (r7); the exact form here
+    * is the oracle-checkable truth.
     * Median slope via the same interpolated `percentile` contract
     * as percentile_value; the intercept pass reuses the cut daily
     * frame (two consumers).

@@ -267,6 +267,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "benford_digits" -> 9L,
     // r6 bigram LM: one row per source
     "bigram_logprob" -> 20L,
+    // r7 open-vocab lane: same per-source grain
+    "bigram_logprob_pruned" -> 20L,
     // r6 Holt residual anomalies: one row per type
     "holt_anomaly" -> 5L,
     // r6 drawdown: one row per type

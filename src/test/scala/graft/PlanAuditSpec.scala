@@ -514,6 +514,7 @@ class PlanAuditSpec extends SparkTestBase {
     // doc-grain scoring agg (2-phase), the source rollup pair, and
     // the sort — the model/prefix/vocab frames all broadcast
     "bigram_logprob" -> 6,
+    "bigram_logprob_pruned" -> 6,
     // r6 Holt anomalies: the residual frame is cut (state subtree +
     // σ fold behind it); printed are the worst-day window exchange,
     // the type rollup, and the sort
@@ -788,6 +789,7 @@ class PlanAuditSpec extends SparkTestBase {
     "tfidf_top_terms" -> Set("documents"), // 1-row N-docs
     "bigram_pmi" -> Set("documents"), // 1-row t1/t2 token totals
     "bigram_logprob" -> Set("[cut-frame]"), // 1-row vocab size (from the cut model)
+    "bigram_logprob_pruned" -> Set("[cut-frame]"), // same 1-row vocab total
     "unigram_logprob" -> Set("[cut-frame]"), // 1-row token total (from the cut vocab)
     "pareto_share_prefix" -> Set("orders", "[cut-frame]"), // 1-row totals + P-row prefix offsets
     // ---- k-bounded frames (an explicit limit/candidate cap) ----
