@@ -12,9 +12,19 @@ object Bench {
     // would (the ClusterVerify channel). Defaults unchanged: the
     // driver's per-round bench still runs local[cpus].
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
+    // Scale-row knob (r7): the local gen_sf fixtures are ONE parquet
+    // file per table, so at sf >= 1 the default 128 MB
+    // maxPartitionBytes yields 2-3 input splits and scan parallelism
+    // collapses to 3/32 threads — the superlinear-looking ratios in
+    // the r6 sf3/sf10 rows were partly THIS artifact, not plan cost.
+    // Sizing maxPartitionBytes to the input (the knob the 100 TB
+    // design doc names next to shuffle.partitions) restores full-width
+    // scans; a real deployment reads many files and never hits it.
+    val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .fold(builder0)(v => builder0.config("spark.sql.files.maxPartitionBytes", v))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))

@@ -448,10 +448,12 @@ class PlanAuditSpec extends SparkTestBase {
     "bulk_orders" -> 2, "top_supplier_window" -> 4,
     "promo_share_monthly" -> 2, "nation_market_share" -> 4,
     "psi_drift" -> 4, "length_survival" -> 2,
-    // r6 decorrelation-shape wave 2. cheapest_supplier: the
-    // (partkey,suppkey) avg + partkey min re-agg + the (partkey,
-    // price)-keyed equality join pair — every exchange partkey-led;
-    // dim hops broadcast at this SF. nation_trade_volume: year-grain
+    // r6 decorrelation-shape wave 2. cheapest_supplier (r7 reshape):
+    // PROMO semi-join prunes the fact scan BEFORE the one
+    // (partkey,suppkey) avg; the per-part min is a partkey window on
+    // the same frame (no second corpus agg, no self-join) — part-join
+    // exchange + agg exchange (+window reuses it); dim hops broadcast
+    // at this SF. nation_trade_volume: year-grain
     // agg (2-phase) + sort — the nation-filtered dim sides broadcast.
     // major_parts: the partkey rollup appears on the probe and
     // threshold branches pre-AQE (2-phase each) — all partkey/
