@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_docs" -> (LlmQueries.dedupDocs _),
     "near_dup_pairs" -> (LlmQueries.nearDupPairs _),
     "cosine_topk" -> (LlmQueries.cosineTopk _),
+    "mmr_diverse_topk" -> (AnnOps.mmrDiverseTopk _),
     "text_stats" -> (LlmQueries.textStats _),
     // §2.5 scale-path extras (oracle where SQL-expressible, else
     // rows-only + dedicated spec asserting the probabilistic bound)
@@ -1714,6 +1715,37 @@ object SparkEntry {
         |WHERE len(list_intersect(a.ws, b.ws)) * 1.0
         |      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mmr_diverse_topk" ->
+      """WITH RECURSIVE
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM read_parquet('{dir}/embeddings.parquet') WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) + 1e-9, 6) AS rel
+        |  FROM read_parquet('{dir}/embeddings.parquet') e CROSS JOIN q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY rel DESC, e.vec_id LIMIT 50),
+        |ps AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |         round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS sim
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |rec(step, ids) AS (
+        |  SELECT 1, [(SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 1)]
+        |  UNION ALL
+        |  SELECT r.step + 1, list_append(r.ids, (
+        |    SELECT c.vec_id FROM cand c
+        |    WHERE NOT list_contains(r.ids, c.vec_id)
+        |    ORDER BY round(0.7 * c.rel - 0.3 * (
+        |        SELECT max(ps.sim) FROM ps
+        |        WHERE ps.ia = c.vec_id AND list_contains(r.ids, ps.ib)) + 1e-9, 6) DESC,
+        |      c.vec_id
+        |    LIMIT 1))
+        |  FROM rec r WHERE r.step < 10)
+        |SELECT u.rank, u.vec_id, c.label, c.rel
+        |FROM (SELECT CAST(t.o AS BIGINT) AS rank, t.id AS vec_id
+        |      FROM (SELECT unnest(ids) AS id, generate_subscripts(ids, 1) AS o
+        |            FROM rec WHERE step = 10) t) u
+        |JOIN cand c USING (vec_id)
+        |ORDER BY u.rank""".stripMargin,
     "cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM read_parquet('{dir}/embeddings.parquet') WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

@@ -391,4 +391,83 @@ object AnnOps {
       .select(col("n"), col("avg_norm"), col("p50_norm"), col("n_near_zero"),
         r4(col("rlen") / col("totn")).as("resultant_frac"))
   }
+
+  /** `mmr_diverse_topk` — Maximal Marginal Relevance selection
+    * (Carbonell & Goldstein, SIGIR 1998, public knowledge; full
+    * oracle): from the top-50 most query-relevant vectors, greedily
+    * pick k = 10 maximizing `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`
+    * with λ = 0.7 — the diverse-subset primitive behind few-shot
+    * example selection, dedup-aware retrieval, and training-mix
+    * curation (pure top-k returns near-duplicates of one mode; MMR
+    * trades relevance for coverage).
+    *
+    * Scale shape: the DISTRIBUTED work is the relevance pass — one
+    * corpus scan against the 1-row broadcast query vector, lowered to
+    * TakeOrderedAndProject(50) (never a global sort). The greedy
+    * selection is inherently sequential over that k-BOUNDED candidate
+    * set, so it runs driver-side on the collected 50×(d+2) matrix —
+    * the kmeans-centroid / IVF-seed collect class, constant-size by
+    * construction. The result re-joins the distributed candidate
+    * frame (labels/rel ride back distributed; keeps the plan's
+    * codegen stage).
+    *
+    * Determinism (what makes a GREEDY float algorithm
+    * oracle-checkable): every relevance and pairwise similarity is
+    * rounded to the 1e-6 grid (+1e-9 eps, the Det discipline) BEFORE
+    * any comparison — candidate cut, seed pick, and each round's
+    * argmax break ties by vec_id; DuckDB replays the same 10 unrolled
+    * greedy steps in a recursive CTE and hash-matches.
+    */
+  def mmrDiverseTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det.r6
+    val lambda = 0.7
+    val k = 10
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    val cand = all.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        col("emb"), r6(cosine(col("emb"), col("qv"))).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(50)
+    // bounded collect: 50 rows x (d + 2) — the IVF-seed-collect class
+    val rows = cand.select("vec_id", "emb", "rel").collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+    def grid(x: Double): Double =
+      BigDecimal(x + graft.functions.Det.Eps6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (rows.nonEmpty) {
+      // seed: max rel, vec_id tie-break (grid-aligned already)
+      selected += rows.minBy(r => (-r._3, r._1))._1
+      val byId = rows.map(r => r._1 -> r).toMap
+      while (selected.length < k && selected.length < rows.length) {
+        val pick = rows.iterator
+          .filterNot(r => selected.contains(r._1))
+          .map { r =>
+            val maxSim = selected.iterator
+              .map(sid => grid(cos(r._2, byId(sid)._2))).max
+            (grid(lambda * r._3 - (1 - lambda) * maxSim), r._1)
+          }
+          .minBy { case (score, id) => (-score, id) }._2
+        selected += pick
+      }
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val ranks = selected.zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }.toSeq
+      .toDF("rank", "vec_id")
+    ranks.join(cand.select("vec_id", "label", "rel"), Seq("vec_id"))
+      .select(col("rank"), col("vec_id"), col("label"), col("rel"))
+      .orderBy("rank")
+  }
 }

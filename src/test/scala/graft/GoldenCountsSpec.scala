@@ -254,6 +254,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "holt_smooth" -> 150L,
     // r6 link prediction: top-10 cut
     "common_neighbor_recs" -> 10L,
+    // r7 MMR diverse selection: k=10 picks
+    "mmr_diverse_topk" -> 10L,
     // r7 hub-cap variant: still a global top-10
     "common_neighbor_recs_capped" -> 10L,
     // r6 BFS: the dense sf0.001 support graph has eccentricity 2

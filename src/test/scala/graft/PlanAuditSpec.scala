@@ -145,7 +145,7 @@ class PlanAuditSpec extends SparkTestBase {
     // re-agg + sort (the r5 re-key added the day component)
     "window_lag_delta" -> 3, "moving_avg_rows" -> 3,
     "topk_words" -> 1, "dedup_docs" -> 3, "near_dup_pairs" -> 2,
-    "cosine_topk" -> 0, "text_stats" -> 3, "ngram_jaccard" -> 2,
+    "cosine_topk" -> 0, "mmr_diverse_topk" -> 1, "text_stats" -> 3, "ngram_jaccard" -> 2,
     "emb_near_dup" -> 1, "knn_join_exact" -> 2,
     "media_bytes_stats" -> 3, "lang_id" -> 2, "quality_score" -> 2,
     "token_count" -> 2, "doc_fingerprint" -> 3, "hash_split" -> 2,
@@ -836,6 +836,7 @@ class PlanAuditSpec extends SparkTestBase {
     "ann_filtered_topk" -> Set("embeddings"),
     "ann_knn_join" -> Set("embeddings"),
     "cosine_topk" -> Set("embeddings"),
+    "mmr_diverse_topk" -> Set("embeddings"), // 1-row query vector
     "pq_topk" -> Set("embeddings"),
     "ivfpq_topk" -> Set("embeddings"),
     "emb_stats" -> Set("embeddings"), // d-grain global dims (dimension-bounded)
