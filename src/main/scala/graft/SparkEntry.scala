@@ -436,6 +436,35 @@ object SparkEntry {
     // r6: two-sample Kolmogorov-Smirnov on value distributions — the
     // shape-test companion to mwu_value_test (full oracle)
     "ks_value_test" -> (ScalarQueries.ksValueTest _),
+    // r7: one-way ANOVA F — the k-group parametric omnibus test from
+    // per-type sufficient statistics (full oracle)
+    "anova_value_test" -> (ScalarQueries.anovaValueTest _),
+    // r7: tie-corrected Kruskal-Wallis H — the k-group rank test on
+    // the value-domain histogram plane (full oracle)
+    "kruskal_value_test" -> (ScalarQueries.kruskalValueTest _),
+    // r7: Spearman rank correlation (hour-of-day vs value) over the
+    // bounded (hour, value) cell grid (full oracle)
+    "spearman_value_hour" -> (ScalarQueries.spearmanValueHour _),
+    // r7: DFT periodogram at the first six daily harmonics over the
+    // minute-of-day rollup — spectral seasonality (full oracle)
+    "dft_periodogram" -> (SliQueries.dftPeriodogram _),
+    // r7: exact-dup cluster-size distribution — the dedup run report
+    // (full oracle)
+    "dup_cluster_sizes" -> (LlmQueries.dupClusterSizes _),
+    // r7: int8 scalar-quantization reconstruction error by label
+    // (full oracle)
+    "emb_quantize_error" -> (AnnOps.embQuantizeError _),
+    // r7: truncated-dimension recall@10 at d/4 and d/2 — the
+    // Matryoshka dimension-reduction evaluation (full oracle)
+    "matryoshka_recall" -> (AnnOps.matryoshkaRecall _),
+    // r7: label-match P@10 / MRR@10 of exact cosine ranking per
+    // query-label class (full oracle)
+    "knn_label_eval" -> (AnnOps.knnLabelEval _),
+    // r7: top-20 adjacent char pairs — the first BPE merge iteration's
+    // statistic (full oracle)
+    "bpe_merge_candidates" -> (TextOps.bpeMergeCandidates _),
+    // r7: local clustering coefficient by degree bucket (full oracle)
+    "clustering_coeff" -> (GraphOps.clusteringCoeff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3272,5 +3301,224 @@ object SparkEntry {
         |         - 2.0 * exp(-32.0 * lambda * lambda)
         |         + 2.0 * exp(-50.0 * lambda * lambda))) + 1e-7, 4) AS p_approx
         |FROM l""".stripMargin,
+    "anova_value_test" ->
+      """WITH per AS (
+        |  SELECT event_type, count(*) AS ni,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS si,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS qi
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1),
+        |f AS (
+        |  SELECT count(*) AS k, sum(CAST(ni AS DOUBLE)) AS n, sum(si) AS s,
+        |         sum(si * si / ni) AS ssbr,
+        |         sum(qi - si * si / ni) AS ssw_raw
+        |  FROM per),
+        |g AS (
+        |  SELECT k, CAST(n AS BIGINT) AS n,
+        |         (ssbr - s * s / n) / 1e4 AS ssb, ssw_raw / 1e4 AS ssw,
+        |         CAST(k AS DOUBLE) AS kd, n AS nd
+        |  FROM f)
+        |SELECT k, n, round(ssb + 2e-5, 2) AS ss_between,
+        |       round(ssw + 2e-5, 2) AS ss_within,
+        |       round((ssb / (kd - 1.0)) / (ssw / (nd - kd)) + 1e-7, 4) AS f_stat,
+        |       round(ssb / (ssb + ssw) + 1e-7, 4) AS eta_sq
+        |FROM g""".stripMargin,
+    "kruskal_value_test" ->
+      """WITH hist AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |         (n_click + n_error + n_purchase + n_signup + n_view) AS t,
+        |         coalesce(sum(n_click + n_error + n_purchase + n_signup + n_view)
+        |           OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM hist),
+        |r2 AS (SELECT *, below + (t + 1) / 2.0 AS avgrank FROM r),
+        |s AS (
+        |  SELECT sum(n_click) AS cnt_click, sum(n_error) AS cnt_error,
+        |         sum(n_purchase) AS cnt_purchase, sum(n_signup) AS cnt_signup,
+        |         sum(n_view) AS cnt_view,
+        |         sum(n_click * avgrank) AS r_click, sum(n_error * avgrank) AS r_error,
+        |         sum(n_purchase * avgrank) AS r_purchase, sum(n_signup * avgrank) AS r_signup,
+        |         sum(n_view * avgrank) AS r_view,
+        |         sum(CAST(t AS DOUBLE) * t * t - t) AS tie3
+        |  FROM r2),
+        |h AS (
+        |  SELECT CAST(cnt_click + cnt_error + cnt_purchase + cnt_signup + cnt_view AS BIGINT) AS n,
+        |         (r_click * r_click / cnt_click + r_error * r_error / cnt_error
+        |          + r_purchase * r_purchase / cnt_purchase + r_signup * r_signup / cnt_signup
+        |          + r_view * r_view / cnt_view) AS rr, tie3
+        |  FROM s),
+        |h2 AS (
+        |  SELECT n, (12.0 / (n * (n + 1))) * rr - 3.0 * (n + 1) AS h_raw,
+        |         1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n) AS c
+        |  FROM h)
+        |SELECT n, round(h_raw / c + 1e-7, 4) AS h_stat,
+        |       round(h_raw / c / (n - 1) + 1e-7, 4) AS eps_sq
+        |FROM h2""".stripMargin,
+    "spearman_value_hour" ->
+      """WITH base AS (
+        |  SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS h, value
+        |  FROM read_parquet('{dir}/events.parquet') WHERE event_type = 'error'),
+        |cells AS (SELECT h, value, count(*) AS c FROM base GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT h, sum(c) AS t,
+        |         coalesce(sum(sum(c)) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM cells GROUP BY 1),
+        |rx AS (SELECT h, below + (t + 1) / 2.0 AS rank_h FROM hx),
+        |hy AS (
+        |  SELECT value, sum(c) AS t,
+        |         coalesce(sum(sum(c)) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM cells GROUP BY 1),
+        |ry AS (SELECT value, below + (t + 1) / 2.0 AS rank_v FROM hy),
+        |s AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         sum(c * rank_h) AS sx, sum(c * rank_v) AS sy,
+        |         sum(c * rank_h * rank_h) AS sxx, sum(c * rank_v * rank_v) AS syy,
+        |         sum(c * rank_h * rank_v) AS sxy
+        |  FROM cells JOIN rx USING (h) JOIN ry USING (value)),
+        |rho AS (
+        |  SELECT n, (n * sxy - sx * sy) /
+        |         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho
+        |  FROM s)
+        |SELECT n, round(rho + 1e-7, 4) AS rho,
+        |       round(rho * sqrt((n - 2) / (1.0 - rho * rho)) + 1e-7, 4) AS t_stat
+        |FROM rho""".stripMargin,
+    "dft_periodogram" ->
+      """WITH s AS (
+        |  SELECT (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) AS m,
+        |         round(sum(value) + 2e-5, 2) AS s
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1),
+        |ks AS (SELECT unnest(range(1, 7)) AS k),
+        |pw AS (
+        |  SELECT k, sum(s * cos(2.0 * pi() * k * m / 1440.0)) AS a,
+        |         sum(s * sin(2.0 * pi() * k * m / 1440.0)) AS b,
+        |         sum(s) AS tot
+        |  FROM s CROSS JOIN ks GROUP BY 1),
+        |p AS (SELECT k, (a * a + b * b) AS p, tot FROM pw),
+        |t AS (SELECT sum(p) AS ptot FROM p)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       round(sqrt(p) / tot + 1e-9, 6) AS amp_ratio,
+        |       round(p / ptot + 1e-7, 4) AS power_share
+        |FROM p CROSS JOIN t ORDER BY k""".stripMargin,
+    "dup_cluster_sizes" ->
+      """WITH sizes AS (
+        |  SELECT md5(lower(trim(text))) AS h, count(*) AS size
+        |  FROM read_parquet('{dir}/documents.parquet') GROUP BY 1),
+        |hist AS (SELECT size, count(*) AS n_clusters FROM sizes GROUP BY 1),
+        |tot AS (SELECT CAST(sum(size) AS BIGINT) AS n_docs_total FROM sizes)
+        |SELECT size, n_clusters, size * n_clusters AS n_docs,
+        |       (size - 1) * n_clusters AS n_redundant,
+        |       round(size * n_clusters / CAST(n_docs_total AS DOUBLE) + 1e-7, 4) AS corpus_share
+        |FROM hist CROSS JOIN tot ORDER BY size""".stripMargin,
+    "emb_quantize_error" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM read_parquet('{dir}/embeddings.parquet')),
+        |d AS (
+        |  SELECT pos, max(abs(x)) AS s
+        |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+        |  GROUP BY 1),
+        |sc AS (SELECT list(s ORDER BY pos) AS scales FROM d),
+        |r AS (
+        |  SELECT label,
+        |         list_transform(range(1, len(v) + 1),
+        |           i -> v[i] - floor(v[i] * 127.0 / scales[i] + 0.5) * scales[i] / 127.0) AS errs,
+        |         v
+        |  FROM e CROSS JOIN sc),
+        |m AS (
+        |  SELECT label,
+        |         sqrt(list_sum(list_transform(errs, x -> x * x))) /
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS rel
+        |  FROM r)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(rel) + 1e-9, 6) AS avg_rel_err,
+        |       round(max(rel) + 1e-9, 6) AS max_rel_err
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "matryoshka_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM read_parquet('{dir}/embeddings.parquet')),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT qid, vec_id,
+        |         round(list_cosine_similarity(v, qv) + 1e-9, 6) AS c_full,
+        |         round(list_cosine_similarity(v[1:16], qv[1:16]) + 1e-9, 6) AS c_16,
+        |         round(list_cosine_similarity(v[1:32], qv[1:32]) + 1e-9, 6) AS c_32
+        |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+        |ranked AS (
+        |  SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY c_full DESC, vec_id) AS r_full,
+        |         row_number() OVER (PARTITION BY qid ORDER BY c_16 DESC, vec_id) AS r_16,
+        |         row_number() OVER (PARTITION BY qid ORDER BY c_32 DESC, vec_id) AS r_32
+        |  FROM pairs),
+        |perq AS (
+        |  SELECT qid,
+        |         sum(CASE WHEN r_16 <= 10 THEN 1 ELSE 0 END) AS hit16,
+        |         sum(CASE WHEN r_32 <= 10 THEN 1 ELSE 0 END) AS hit32
+        |  FROM ranked WHERE r_full <= 10 GROUP BY 1)
+        |SELECT count(*) AS n_queries,
+        |       round(avg(hit16 / 10.0) + 1e-7, 4) AS recall_d16,
+        |       round(avg(hit32 / 10.0) + 1e-7, 4) AS recall_d32
+        |FROM perq""".stripMargin,
+    "knn_label_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM read_parquet('{dir}/embeddings.parquet')),
+        |q AS (SELECT vec_id AS qid, label AS q_label, v AS qv FROM e WHERE vec_id < 50),
+        |ranked AS (
+        |  SELECT qid, q_label, label,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(list_cosine_similarity(v, qv) + 1e-9, 6) DESC, vec_id) AS rnk
+        |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+        |perq AS (
+        |  SELECT qid, q_label,
+        |         sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) / 10.0 AS p10,
+        |         coalesce(1.0 / min(CASE WHEN label = q_label THEN rnk END), 0.0) AS rr
+        |  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2)
+        |SELECT q_label, count(*) AS n_queries,
+        |       round(avg(p10) + 1e-7, 4) AS avg_p_at_10,
+        |       round(avg(rr) + 1e-7, 4) AS mrr_at_10
+        |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bpe_merge_candidates" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |           i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM words WHERE length(w) >= 2),
+        |tot AS (SELECT count(*) AS n FROM pairs)
+        |SELECT pair, count(*) AS cnt,
+        |       round(count(*) / CAST(n AS DOUBLE) + 1e-9, 6) AS pair_share
+        |FROM pairs CROSS JOIN tot GROUP BY pair, n
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "clustering_coeff" ->
+      """WITH e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM read_parquet('{dir}/lineitem.parquet') x
+        |  JOIN read_parquet('{dir}/lineitem.parquet') y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS deg FROM
+        |        (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT unnest([e1.a, e1.b, e2.b]) AS n
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tpn AS (SELECT n, count(*) AS tri FROM tri GROUP BY 1),
+        |cc AS (
+        |  SELECT deg.deg,
+        |         coalesce(tpn.tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)) AS cc
+        |  FROM deg LEFT JOIN tpn USING (n) WHERE deg.deg >= 2)
+        |SELECT CAST(floor(deg / 5) * 5 AS BIGINT) AS deg_bucket,
+        |       count(*) AS n_nodes,
+        |       round(avg(cc) + 1e-7, 4) AS avg_cc,
+        |       round(avg(CAST(deg AS DOUBLE)) + 1e-7, 4) AS avg_deg
+        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

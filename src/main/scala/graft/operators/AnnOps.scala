@@ -470,4 +470,132 @@ object AnnOps {
       .select(col("rank"), col("vec_id"), col("label"), col("rel"))
       .orderBy("rank")
   }
+
+  /** `emb_quantize_error` — int8 symmetric scalar-quantization
+    * reconstruction error by label (full oracle): per-dimension
+    * max-|x| scales, q = floor(x·127/s + 0.5) (clipping-free by
+    * construction — |x| ≤ s), relative L2 reconstruction error
+    * ‖v − deq(v)‖/‖v‖ per vector, avg/max per label — the
+    * measurement a pipeline runs before shipping a 4× smaller
+    * vector store (int8 SQ is the standard first compression rung
+    * below PQ; this asks what it costs on THIS corpus).
+    *
+    * Scale shape: pass 1 builds the d-grain scale frame (posexplode
+    * → per-dim max — partial agg collapses to d rows per partition
+    * before the exchange) and collects it driver-side (d doubles —
+    * the IVF-seed/kmeans-centroid collect class); pass 2 scans the
+    * corpus once, quantize/dequantize/error through the native
+    * [[dot]] fold on the error array (codegen'd). Determinism:
+    * floor(x+0.5) instead of round() — identical double arithmetic
+    * on both engines (round's half-even/half-up policies differ;
+    * floor doesn't), and scales are exact maxima so bit-equal
+    * cross-engine.
+    */
+  def embQuantizeError(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val scaleRows = e.select(posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(max(abs(col("x"))).as("s"))
+      .orderBy("pos").collect()
+    val scales = array(scaleRows.map(r => lit(r.getDouble(1))): _*)
+    val errs = zip_with(col("emb"), scales, (x, s) =>
+      x - floor(x * lit(127.0) / s + lit(0.5)) * s / lit(127.0))
+    import graft.functions.Det.r6
+    e.withColumn("errs", errs)
+      .withColumn("rel",
+        sqrt(dot(col("errs"), col("errs"))) / sqrt(dot(col("emb"), col("emb"))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(avg("rel")).as("avg_rel_err"),
+        r6(max("rel")).as("max_rel_err"))
+      .orderBy("label")
+  }
+
+  /** `matryoshka_recall` — recall@10 of TRUNCATED-dimension exact
+    * search vs full-dimension exact search, at d/4 and d/2 prefixes,
+    * averaged over a 20-query sample (full oracle): the evaluation
+    * behind Matryoshka-style dimension reduction (Kusupati et al.
+    * 2022, public knowledge) — "how much ranking quality do the
+    * first 16/32 of 64 dims carry?" decides whether the vector
+    * store can serve a cheaper prefix index.
+    *
+    * Scale shape: ONE corpus scan against the broadcast 20-row query
+    * sample (pinned — an eval SAMPLE, constant-size by construction,
+    * not corpus-proportional); all three similarities per pair come
+    * off the same row via the native [[dot]] expression; the three
+    * per-query rank windows run inside the qid partitioning (20
+    * keys × corpus candidates — at production scale the candidate
+    * generation rides the ANN index instead, [[annTopk]]). All
+    * similarities land on the 1e-6 grid with vec_id tie-breaks
+    * before any rank compare (the mmr discipline), so DuckDB replays
+    * the identical rankings and the recall fractions hash-match.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det.r6
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("emb").as("qv"))
+    def cosPrefix(d: Int): Column = {
+      val a = slice(col("emb"), 1, d); val b = slice(col("qv"), 1, d)
+      r6(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
+    }
+    val pairs = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        r6(cosine(col("emb"), col("qv"))).as("c_full"),
+        cosPrefix(16).as("c_16"), cosPrefix(32).as("c_32"))
+    def rnk(c: String) = row_number().over(
+      Window.partitionBy("qid").orderBy(col(c).desc, col("vec_id")))
+    val ranked = pairs
+      .withColumn("r_full", rnk("c_full"))
+      .withColumn("r_16", rnk("c_16"))
+      .withColumn("r_32", rnk("c_32"))
+      .filter(col("r_full") <= 10)
+    val perQ = ranked.groupBy("qid").agg(
+      sum(when(col("r_16") <= 10, 1L).otherwise(0L)).as("hit16"),
+      sum(when(col("r_32") <= 10, 1L).otherwise(0L)).as("hit32"))
+    perQ.agg(count(lit(1)).as("n_queries"),
+      r4(avg(col("hit16") / lit(10.0))).as("recall_d16"),
+      r4(avg(col("hit32") / lit(10.0))).as("recall_d32"))
+  }
+
+  /** `knn_label_eval` — label-match retrieval quality of exact
+    * cosine ranking: Precision@10 and MRR@10 per query-label class
+    * over a 50-query sample, relevance = candidate shares the
+    * query's label (full oracle). label_separation measures the
+    * GEOMETRY (mean cosine gap); this measures what a USER of the
+    * index gets — ranked-retrieval quality — and per-class, so one
+    * collapsed label is visible instead of averaged away. (On the
+    * isotropic fixture the expected P@10 is the label prior ~0.1 —
+    * the honest answer; the metric exists for real corpora.)
+    *
+    * Scale shape: one corpus scan × broadcast 50-row query sample
+    * (pinned, constant-size); rank ≤ 10 with grid+vec_id tie-break
+    * lowers to WindowGroupLimit (map-side partial top-k — asserted),
+    * so the per-query sort never sees the corpus. MRR's first-hit
+    * rank folds min() over the ≤10 survivors.
+    */
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det.r6
+    val all = vecs(spark, dir)
+    val q = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("emb").as("qv"))
+    val ranked = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_label"), col("label"), col("vec_id"),
+        r6(cosine(col("emb"), col("qv"))).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rnk") <= 10)
+    val perQ = ranked.groupBy("qid", "q_label").agg(
+      (sum(when(col("label") === col("q_label"), 1L).otherwise(0L)) /
+        lit(10.0)).as("p10"),
+      coalesce(lit(1.0) / min(when(col("label") === col("q_label"),
+        col("rnk"))), lit(0.0)).as("rr"))
+    perQ.groupBy("q_label").agg(
+        count(lit(1)).as("n_queries"),
+        r4(avg("p10")).as("avg_p_at_10"),
+        r4(avg("rr")).as("mrr_at_10"))
+      .orderBy("q_label")
+  }
 }

@@ -607,6 +607,61 @@ object GraphOps {
       .groupBy("hops").agg(count(lit(1)).as("n_parts"))
     hist.orderBy("hops")
   }
+
+  /** `clustering_coeff` — average LOCAL clustering coefficient by
+    * degree bucket over the ≥2-support co-purchase graph (full
+    * oracle): cc(v) = 2·tri(v)/(deg(v)(deg(v)−1)) for deg ≥ 2,
+    * bucketed by degree (width 5) — the Watts–Strogatz local-closure
+    * profile (public knowledge). triangle_parts reports ONE global
+    * transitivity; this resolves WHERE the closure lives: a falling
+    * cc-vs-degree curve is the hierarchical-community signature that
+    * justifies hub-capped wedge plans (common_neighbor_recs_capped),
+    * a flat one says hubs are as clustered as leaves.
+    *
+    * Scale shape: the SAME degree-ordered oriented enumeration as
+    * triangle_parts (arboricity-bounded wedge fan-out — hubs never
+    * expand neighborhood²), but each closed triangle EXPLODES to its
+    * three vertices and re-aggregates per node — output stays
+    * node-grain everywhere after the edge build. The oracle counts
+    * the identical triangle set via the id-ordered 3-way join and
+    * unnests the same three vertices — per-node counts are
+    * orientation-independent, so the hash match again certifies the
+    * degree-ordered plan.
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(spark, dir) // materialized in the builder
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val eo = e
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("db").as("dg"), col("b").as("id")))
+          .otherwise(struct(col("da").as("dg"), col("a").as("id")))
+          .as("vk"))
+      .select(col("u"), col("vk"), col("vk.id").as("v"))
+      .cut()
+    val triPerNode = eo.as("e1")
+      .join(eo.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.vk") < col("e2.vk"))
+      .join(eo.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("n"), "left")
+      .select(col("deg"),
+        (coalesce(col("tri"), lit(0L)) * lit(2.0) /
+          (col("deg") * (col("deg") - 1L))).as("cc"))
+      .groupBy((floor(col("deg") / 5) * 5).cast("long").as("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        r4(avg("cc")).as("avg_cc"),
+        r4(avg(col("deg").cast("double"))).as("avg_deg"))
+      .orderBy("deg_bucket")
+  }
 }
 
 /** Test hook: the BFS depth [[GraphOps.hubDistance]] actually needed —

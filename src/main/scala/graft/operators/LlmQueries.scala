@@ -890,4 +890,35 @@ object LlmQueries {
         r4(min("lp")).as("min_logprob"))
       .orderBy("source")
   }
+
+  /** `dup_cluster_sizes` — the exact-duplicate CLUSTER-SIZE
+    * distribution (full oracle): per cluster size s, how many
+    * clusters, how many documents they hold, and how many are
+    * redundant copies (s−1 per cluster) with the corpus share — the
+    * report every dedup run ships alongside its kill list.
+    * dedup_docs answers "how many dups"; this answers "dominated by
+    * twins or by one megacluster?", which decides whether keep-best
+    * selection (cluster_keep_best) is worth running at all.
+    *
+    * Scale shape: two hash aggs, both output-bounded — content-hash
+    * → cluster size (the dedup_docs plane, map-side partial combine
+    * collapses per-partition copies), then size → histogram (grain =
+    * distinct cluster sizes, ≤ log-ish in practice). The 1-row corpus
+    * total broadcasts for the share column (pinned). No sort of raw
+    * docs anywhere.
+    */
+  def dupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.documents(spark, dir)
+      .select(md5(lower(trim(col("text")))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("size"))
+    val total = sizes.agg(sum("size").as("n_docs_total"))
+    sizes.groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1L) * col("n_clusters")).as("n_redundant"),
+        r4((col("size") * col("n_clusters")) / col("n_docs_total")
+          .cast("double")).as("corpus_share"))
+      .orderBy("size")
+  }
 }

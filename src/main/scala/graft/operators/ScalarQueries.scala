@@ -684,4 +684,148 @@ object ScalarQueries {
         r4(lit(2.0) * col("u") / (col("n_a") * col("n_b")) - 1.0)
           .as("rank_biserial"))
   }
+
+  /** `anova_value_test` — one-way ANOVA F test of value across ALL
+    * event types (full oracle): F, η² effect size, and the between/
+    * within sums of squares (Fisher 1925, public knowledge) — the
+    * k-group parametric companion to mwu_value_test's two-group rank
+    * test: "do ANY of the k arms differ in mean?" in one statistic
+    * instead of k² pairwise z-tests.
+    *
+    * Everything derives from per-type sufficient statistics (n, Σv,
+    * Σv²) — one 2-phase hash agg to a |types|-row frame, then a
+    * single-row fold: SSB = Σsᵢ²/nᵢ − s²/n, SSW = Σ(qᵢ − sᵢ²/nᵢ).
+    * No second pass over the corpus (the textbook Σ(v−m̄)² form needs
+    * the mean first). Sufficient stats accumulate on the exact
+    * CENTI-grid (round(v·100) as int64 — the 2-dp fixture grid), so
+    * the corpus-size sums are exact integers on both engines and the
+    * only float work is the 5-row fold — cross-engine parity by
+    * construction, not by epsilon luck. (Σ(v·100)² stays inside
+    * int64 to ~1e8 rows per type; past that the sums promote to
+    * double with deterministic per-term conversion.) Scales: the
+    * corpus is touched exactly once and the fold input is
+    * enum-bounded.
+    */
+  def anovaValueTest(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("iv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ni"), sum("iv").as("si"),
+        sum(col("iv") * col("iv")).as("qi"))
+    per.select(col("ni").cast("double").as("ni"),
+        col("si").cast("double").as("si"), col("qi").cast("double").as("qi"))
+      .agg(count(lit(1)).as("k"), sum("ni").as("n"), sum("si").as("s"),
+        sum(col("si") * col("si") / col("ni")).as("ssbr"),
+        sum(col("qi") - col("si") * col("si") / col("ni")).as("ssw_raw"))
+      .select(col("k"), col("n").cast("long").as("n"),
+        ((col("ssbr") - col("s") * col("s") / col("n")) / lit(1.0e4))
+          .as("ssb"),
+        (col("ssw_raw") / lit(1.0e4)).as("ssw"),
+        col("k").cast("double").as("kd"), col("n").as("nd"))
+      .select(col("k"), col("n"),
+        r2(col("ssb")).as("ss_between"), r2(col("ssw")).as("ss_within"),
+        r4((col("ssb") / (col("kd") - 1.0)) /
+          (col("ssw") / (col("nd") - col("kd")))).as("f_stat"),
+        r4(col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+  }
+
+  /** `kruskal_value_test` — tie-corrected Kruskal–Wallis H across ALL
+    * event types (full oracle): the rank-based k-group omnibus test
+    * (Kruskal & Wallis 1952, public knowledge) — anova_value_test's
+    * nonparametric twin, robust to the fixture's exponential skew,
+    * and the k-group generalization of mwu_value_test.
+    *
+    * Same value-DOMAIN histogram plane as MWU (the ship_latency
+    * lesson): per distinct value, one count per arm; midranks from
+    * the exclusive prefix count over the domain-bounded histogram (the
+    * one unpartitioned window — pinned); Rᵢ = Σ nᵢ(v)·avgrank(v) and
+    * the tie term Σ(t³−t) fold over the same frame. H = (12/(n(n+1)))
+    * ·ΣRᵢ²/nᵢ − 3(n+1), divided by C = 1 − Σ(t³−t)/(n³−n). Exact
+    * integer/half-integer arithmetic until the final division —
+    * bit-parity across engines by construction. The corpus never
+    * sorts; only the value domain does.
+    */
+  def kruskalValueTest(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val arms = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val hist = Tables.events(spark, dir)
+      .groupBy("value")
+      .agg(arms.head, arms.tail: _*)
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("t", types.map(t => col(s"n_$t")).reduce(_ + _))
+      .withColumn("below", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("avgrank", col("below") + (col("t") + 1L) / lit(2.0))
+    val folds = types.map(t => sum(col(s"n_$t")).as(s"cnt_$t")) ++
+      types.map(t => sum(col(s"n_$t") * col("avgrank")).as(s"r_$t")) :+
+      sum(col("t").cast("double") * col("t") * col("t") - col("t"))
+        .as("tie3")
+    val s = ranked.agg(folds.head, folds.tail: _*)
+    val n = types.map(t => col(s"cnt_$t")).reduce(_ + _)
+    val rterm = types.map(t =>
+      col(s"r_$t") * col(s"r_$t") / col(s"cnt_$t")).reduce(_ + _)
+    s.select(n.as("n"), rterm.as("rr"), col("tie3"))
+      .select(col("n"),
+        ((lit(12.0) / (col("n") * (col("n") + 1L))) * col("rr") -
+          lit(3.0) * (col("n") + 1L)).as("h_raw"),
+        (lit(1.0) - col("tie3") /
+          (col("n").cast("double") * col("n") * col("n") - col("n")))
+          .as("c"))
+      .select(col("n"), r4(col("h_raw") / col("c")).as("h_stat"),
+        // ε² effect size (Kelley 1935): H/((n²−1)/(n+1)) = H/(n−1)
+        r4(col("h_raw") / col("c") / (col("n") - 1L)).as("eps_sq"))
+  }
+
+  /** `spearman_value_hour` — Spearman rank correlation between
+    * hour-of-day and value over error events (full oracle): ρ with
+    * midranks and the t-approximation statistic (Spearman 1904,
+    * public knowledge) — "does latency depend on time of day?" as a
+    * MONOTONE-association test, where type_corr_matrix's Pearson
+    * sees only linear structure.
+    *
+    * No corpus-grain rank window and no per-row rank join: both
+    * marginals are midranked on BOUNDED frames (hour: 24 rows;
+    * value: the 2-dp domain histogram), and Σrx·ry folds over the
+    * (hour, value) CELL grid — |hours|×|values| cells, corpus-
+    * independent. The corpus is touched once (the cell agg); the two
+    * midrank frames broadcast (domain-bounded — pinned), and Pearson
+    * on ranks runs on the joined cell frame. Exact counts and
+    * half-integer midranks until the final sqrt — cross-engine
+    * bit-parity by construction.
+    */
+  def spearmanValueHour(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(hour(col("ts")).as("h"), col("value"))
+    val cells = base.groupBy("h", "value").agg(count(lit(1)).as("c"))
+    def midrank(df: DataFrame, key: String, rank: String): DataFrame = {
+      val w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+      df.groupBy(key).agg(sum("c").as("t"))
+        .withColumn("below", coalesce(sum("t").over(w), lit(0L)))
+        .select(col(key),
+          (col("below") + (col("t") + 1L) / lit(2.0)).as(rank))
+    }
+    val rx = midrank(cells, "h", "rank_h")
+    val ry = midrank(cells, "value", "rank_v")
+    val joined = cells
+      .join(broadcast(rx), "h")
+      .join(broadcast(ry), "value")
+    val s = joined.agg(
+      sum("c").as("n"),
+      sum(col("c") * col("rank_h")).as("sx"),
+      sum(col("c") * col("rank_v")).as("sy"),
+      sum(col("c") * col("rank_h") * col("rank_h")).as("sxx"),
+      sum(col("c") * col("rank_v") * col("rank_v")).as("syy"),
+      sum(col("c") * col("rank_h") * col("rank_v")).as("sxy"))
+    s.select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"))
+      .select(col("n"), r4(col("rho")).as("rho"),
+        r4(col("rho") * sqrt((col("n") - 2L) /
+          (lit(1.0) - col("rho") * col("rho")))).as("t_stat"))
+  }
 }

@@ -1707,4 +1707,50 @@ object SliQueries {
           .as("at_peak_share"))
       .orderBy("event_type")
   }
+
+  /** `dft_periodogram` — discrete-Fourier power at the first six
+    * harmonics of the daily cycle over the minute-of-day value curve
+    * (full oracle): P(k) = a_k² + b_k² with a_k = Σ_m s(m)·cos(2πkm/
+    * 1440), b_k the sine twin — the SPECTRAL seasonality detector
+    * (classical periodogram, Schuster 1898, public knowledge).
+    * seasonal_dow_index and seasonal_decompose ASSUME a period and
+    * measure its profile; the periodogram asks which within-day
+    * frequencies carry energy at all — the diagnostic a real SLI
+    * pipeline runs before fitting any seasonal model.
+    *
+    * Scale shape: the corpus is touched ONCE (the 1440-row
+    * minute-of-day rollup — calendar-bounded); all trigonometry runs
+    * on the bounded grid (1440 × 6 terms), so cross-engine cos/sin
+    * ulp noise is bounded by the GRID size, not the corpus. s(m) is
+    * r2-snapped before the transform (kills summation-order noise at
+    * the source); powers are normalized by (Σs)² so every output is
+    * in [0,1] and r6/r4 rounding sits far above the ≤1e-12 trig
+    * noise. The six-row harmonic frame is a local range (no table
+    * scan); the 1-row total-power frame broadcasts (pinned).
+    */
+  def dftPeriodogram(spark: SparkSession, dir: String): DataFrame = {
+    val byMin = Tables.events(spark, dir)
+      .groupBy((hour(col("ts")) * 60 + minute(col("ts"))).as("m"))
+      .agg(r2(sum("value")).as("s"))
+    val ks = spark.range(1, 7).select(col("id").as("k"))
+    val ang = lit(2.0) * lit(math.Pi) * col("k") * col("m") / lit(1440.0)
+    val pw = byMin.crossJoin(broadcast(ks))
+      .select(col("k"), col("s"),
+        (col("s") * cos(ang)).as("ct"), (col("s") * sin(ang)).as("st"))
+      .groupBy("k")
+      .agg(sum("ct").as("a"), sum("st").as("b"), sum("s").as("tot"))
+      .select(col("k"),
+        (col("a") * col("a") + col("b") * col("b")).as("p"),
+        col("tot"))
+    val total = pw.agg(sum("p").as("ptot"))
+    pw.crossJoin(broadcast(total))
+      .select(col("k"),
+        // amplitude of harmonic k relative to the series total — the
+        // [0,1] magnitude readout (raw normalized POWER of a flat
+        // series is ~1e-7 and would vanish under any sane rounding)
+        graft.functions.Det.r6(sqrt(col("p")) / col("tot"))
+          .as("amp_ratio"),
+        r4(col("p") / col("ptot")).as("power_share"))
+      .orderBy("k")
+  }
 }

@@ -869,4 +869,38 @@ object TextOps {
           lit(1.0) / count(lit(1))).as("leak_rate"))
       .orderBy("lang")
   }
+
+  /** `bpe_merge_candidates` — the top-20 adjacent character pairs by
+    * corpus frequency (full oracle): exactly the statistic the FIRST
+    * iteration of byte-pair-encoding tokenizer training maximizes
+    * (Sennrich et al. 2016 / Gage 1994, public knowledge). Before
+    * training a tokenizer on a new corpus, this is the profile that
+    * says which merges the vocabulary will spend its budget on — and
+    * whether the corpus mix shifted (compare runs: a moved pair
+    * distribution means the tokenizer should be retrained).
+    *
+    * Scale shape: tokenize → per-word in-place pair expansion
+    * (transform over a sequence — each word of length L yields its
+    * L−1 pairs with no self-join), then the word-count shuffle shape
+    * (partial agg collapses the ~26² pair domain per partition before
+    * the exchange) and a TakeOrderedAndProject top-20 (count desc,
+    * pair asc — total order, never a global sort). The 1-row pair
+    * total broadcasts for the share column (pinned).
+    */
+  def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+    val total = pairs.agg(count(lit(1)).as("n_pairs_total"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("pair"), col("cnt"),
+        graft.functions.Det.r6(col("cnt") / col("n_pairs_total")
+          .cast("double")).as("pair_share"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
 }

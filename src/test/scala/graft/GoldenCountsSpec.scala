@@ -289,6 +289,23 @@ class GoldenCountsSpec extends SparkTestBase {
     "theilsen_trend_sampled" -> 5L,
     // r6 Kolmogorov-Smirnov: single test-report row
     "ks_value_test" -> 1L,
+    // r7 k-group omnibus tests + rank correlation: single report rows
+    "anova_value_test" -> 1L,
+    "kruskal_value_test" -> 1L,
+    "spearman_value_hour" -> 1L,
+    // r7 periodogram: one row per daily harmonic k=1..6
+    "dft_periodogram" -> 6L,
+    // r7 dedup report: sf0.001 docs are all unique -> one size-1 row
+    // (sf0.1 grows a size-2 row — the honest distribution)
+    "dup_cluster_sizes" -> 1L,
+    // r7 embedding-eval family: one row per label / single report row
+    "emb_quantize_error" -> 10L,
+    "matryoshka_recall" -> 1L,
+    "knn_label_eval" -> 10L,
+    // r7 tokenizer-training profile: top-20 char pairs
+    "bpe_merge_candidates" -> 20L,
+    // r7 local-closure profile: one row per width-5 degree bucket
+    "clustering_coeff" -> 10L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -546,7 +546,35 @@ class PlanAuditSpec extends SparkTestBase {
     "theilsen_trend_sampled" -> 3,
     // r6 KS: value-domain histogram agg + its bounded window's
     // single-partition exchange + the single-row fold
-    "ks_value_test" -> 4)
+    "ks_value_test" -> 4,
+    // r7 ANOVA: per-type sufficient-stats agg + the 5-row fold
+    "anova_value_test" -> 2,
+    // r7 Kruskal-Wallis: value-domain histogram agg + its bounded
+    // window's single-partition exchange (fold reuses the partition)
+    "kruskal_value_test" -> 2,
+    // r7 Spearman: (hour, value) cell agg + two bounded midrank
+    // re-aggs with their domain-grain window exchanges + the fold
+    "spearman_value_hour" -> 8,
+    // r7 periodogram: minute-of-day rollup + the 8640-term harmonic
+    // agg + 1-row total + sort
+    "dft_periodogram" -> 6,
+    // r7 dedup report: content-hash agg + size histogram + 1-row
+    // total + sort
+    "dup_cluster_sizes" -> 5,
+    // r7 int8 SQ eval: d-grain scale agg runs in the collect pass;
+    // printed are the label rollup pair (scale frame is a literal)
+    "emb_quantize_error" -> 2,
+    // r7 Matryoshka eval: qid window exchange + the 20-row fold
+    "matryoshka_recall" -> 2,
+    // r7 label-ranking eval: qid window exchange + per-query agg +
+    // the label rollup
+    "knn_label_eval" -> 3,
+    // r7 BPE profile: pair-count agg (TakeOrdered top-20, no sort
+    // exchange) + the 1-row total
+    "bpe_merge_candidates" -> 2,
+    // r7 local clustering: edge build + degree agg + wedge/close
+    // joins behind the cut + per-node explode agg + bucket rollup
+    "clustering_coeff" -> 8)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -608,7 +636,12 @@ class PlanAuditSpec extends SparkTestBase {
     // behind its cut() and never appear in a printed plan)
     "mwu_value_test" -> "value-domain histogram ranks (domain-bounded)",
     // same plane: both ECDFs are prefix counts over distinct values
-    "ks_value_test" -> "value-domain histogram ECDFs (domain-bounded)")
+    "ks_value_test" -> "value-domain histogram ECDFs (domain-bounded)",
+    // same plane, k arms: midranks over the distinct-value histogram
+    "kruskal_value_test" -> "value-domain histogram midranks (domain-bounded)",
+    // both marginals midrank on bounded frames: hour (24 rows) and
+    // the 2-dp value domain — the corpus-grain cell agg has no window
+    "spearman_value_hour" -> "hour + value-domain midrank frames (domain-bounded)")
 
   test("no unpartitioned Window on an unbounded grain (r4 tripwire)") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -842,7 +875,21 @@ class PlanAuditSpec extends SparkTestBase {
     "emb_stats" -> Set("embeddings"), // d-grain global dims (dimension-bounded)
     "label_separation" -> Set("embeddings"), // d-grain global dims
     // ---- 1-row + 6-row horizon frames ----
-    "survival_conversion" -> Set("[cut-frame]") // 1-row tmax/N + 6-row horizons
+    "survival_conversion" -> Set("[cut-frame]"), // 1-row tmax/N + 6-row horizons
+    // r7: the two domain-bounded midrank frames (hour: 24 rows;
+    // value: 2-dp domain histogram)
+    "spearman_value_hour" -> Set("events"),
+    // r7: 1-row total spectral power (the six-harmonic frame is a
+    // local range, not a table scan)
+    "dft_periodogram" -> Set("events"),
+    // r7: 1-row corpus doc total for the share column
+    "dup_cluster_sizes" -> Set("documents"),
+    // r7: constant-size eval query samples (20 / 50 rows) — the ANN
+    // probe-frame class, not corpus-proportional
+    "matryoshka_recall" -> Set("embeddings"),
+    "knn_label_eval" -> Set("embeddings"),
+    // r7: 1-row char-pair grand total for the share column
+    "bpe_merge_candidates" -> Set("documents")
   )
 
   test("no forced broadcast build on a corpus-proportional frame (r6 tripwire)") {
