@@ -465,6 +465,20 @@ object SparkEntry {
     "bpe_merge_candidates" -> (TextOps.bpeMergeCandidates _),
     // r7: local clustering coefficient by degree bucket (full oracle)
     "clustering_coeff" -> (GraphOps.clusteringCoeff _),
+    // r7: split-conformal 90% prediction intervals per type — exact
+    // order statistic on the score-domain histogram (full oracle)
+    "conformal_interval" -> (ScalarQueries.conformalInterval _),
+    // r7: Poisson-bootstrap CI for the mean — 32 content-hash
+    // resamples, bit-identical cross-engine (full oracle)
+    "bootstrap_ci_mean" -> (ScalarQueries.bootstrapCiMean _),
+    // r7: Hill tail-index of the degree distribution (full oracle)
+    "hill_tail_index" -> (GraphOps.hillTailIndex _),
+    // r7: SCD type-2 version history build from the event stream
+    // (full oracle)
+    "scd2_versions" -> (SliQueries.scd2Versions _),
+    // r7: nightly-ingest incremental dedup against the store on a
+    // bag-of-words fingerprint (full oracle)
+    "incremental_dedup" -> (TextOps.incrementalDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3520,5 +3534,134 @@ object SparkEntry {
         |       round(avg(cc) + 1e-7, 4) AS avg_cc,
         |       round(avg(CAST(deg AS DOUBLE)) + 1e-7, 4) AS avg_deg
         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "conformal_interval" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |         strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |mu AS (
+        |  SELECT event_type, round(avg(value) + 1e-7, 4) AS mu, count(*) AS n_train
+        |  FROM ev WHERE bucket < 8 GROUP BY 1),
+        |scores AS (
+        |  SELECT ev.event_type, mu.mu, mu.n_train,
+        |         round(abs(ev.value - mu.mu) + 1e-7, 4) AS score
+        |  FROM ev JOIN mu USING (event_type) WHERE bucket >= 8),
+        |hist AS (
+        |  SELECT event_type, mu, n_train, score, count(*) AS c
+        |  FROM scores GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_cal FROM hist GROUP BY 1),
+        |qh AS (
+        |  SELECT event_type, mu, n_train, n_cal, min(score) AS q_hat,
+        |         arg_min(cum, score) AS n_covered
+        |  FROM (
+        |    SELECT h.event_type, h.mu, h.n_train, h.score, h.c, t.n_cal,
+        |           sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.score
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM hist h JOIN tot t USING (event_type)) u
+        |  WHERE cum >= CAST(floor(((n_cal + 1) * 9 + 9) / 10.0) AS BIGINT)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n_train, n_cal, mu, q_hat,
+        |       round(mu - q_hat + 1e-7, 4) AS lo,
+        |       round(mu + q_hat + 1e-7, 4) AS hi,
+        |       round(n_covered / CAST(n_cal AS DOUBLE) + 1e-7, 4) AS cal_coverage
+        |FROM qh ORDER BY 1""".stripMargin,
+    "bootstrap_ci_mean" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS iv
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n,
+        |         round(CAST(sum(iv) AS DOUBLE) / count(*) / 100.0 + 1e-7, 4) AS mean
+        |  FROM base GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, iv, b,
+        |         (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+        |           / 281474976710656.0 AS u
+        |  FROM base CROSS JOIN (SELECT unnest(range(1, 33)) AS b) ks),
+        |wtd AS (
+        |  SELECT event_type, b, iv,
+        |         CASE WHEN u < 0.36787944117144233 THEN 0
+        |              WHEN u < 0.7357588823428847 THEN 1
+        |              WHEN u < 0.9196986029286058 THEN 2
+        |              WHEN u < 0.9810118431238462 THEN 3
+        |              WHEN u < 0.9963401531726563 THEN 4
+        |              ELSE 5 END AS w
+        |  FROM ex),
+        |means AS (
+        |  SELECT event_type, b, CAST(sum(w * iv) AS DOUBLE) / sum(w) / 100.0 AS mb
+        |  FROM wtd GROUP BY 1, 2),
+        |ci AS (
+        |  SELECT event_type,
+        |         min(CASE WHEN r = 2 THEN mb END) AS ci_lo_raw,
+        |         min(CASE WHEN r = 31 THEN mb END) AS ci_hi_raw,
+        |         stddev_samp(mb) AS se_raw
+        |  FROM (SELECT event_type, mb,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY mb) AS r
+        |        FROM means) t
+        |  GROUP BY 1)
+        |SELECT s.event_type, s.n, s.mean,
+        |       round(ci_lo_raw + 1e-7, 4) AS ci_lo,
+        |       round(ci_hi_raw + 1e-7, 4) AS ci_hi,
+        |       round(se_raw + 1e-7, 4) AS se_boot
+        |FROM stats s JOIN ci USING (event_type) ORDER BY 1""".stripMargin,
+    "hill_tail_index" ->
+      """WITH e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM read_parquet('{dir}/lineitem.parquet') x
+        |  JOIN read_parquet('{dir}/lineitem.parquet') y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS deg FROM
+        |        (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |top AS (SELECT deg, row_number() OVER (ORDER BY deg DESC, n) AS r
+        |        FROM deg ORDER BY deg DESC, n LIMIT 51),
+        |thr AS (SELECT deg AS dthr FROM top WHERE r = 51)
+        |SELECT count(*) AS k, max(dthr) AS d_threshold,
+        |       round(count(*) / sum(ln(CAST(deg AS DOUBLE) / dthr)) + 1e-7, 4) AS alpha_hill
+        |FROM top CROSS JOIN thr WHERE r <= 50""".stripMargin,
+    "scd2_versions" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(value / 25) AS BIGINT) AS band
+        |  FROM read_parquet('{dir}/events.parquet')),
+        |m AS (
+        |  SELECT user_id, ts, event_id, band,
+        |         CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
+        |              THEN 1 ELSE 0 END AS isnew
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (
+        |  SELECT user_id, ver, band, min(ts) AS eff_from, count(*) AS n_events
+        |  FROM (SELECT user_id, ts, band,
+        |               sum(isnew) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+        |        FROM m) t
+        |  GROUP BY 1, 2, 3),
+        |wt AS (
+        |  SELECT band, user_id, n_events, eff_from,
+        |         lead(eff_from) OVER (PARTITION BY user_id ORDER BY ver) AS eff_to
+        |  FROM v)
+        |SELECT band, count(*) AS n_versions,
+        |       count(eff_to) AS n_closed,
+        |       round(avg(CASE WHEN eff_to IS NOT NULL
+        |         THEN (epoch_ms(eff_to) - epoch_ms(eff_from)) / 60000.0 END) + 1e-7, 4)
+        |         AS avg_closed_min,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(avg(CAST(n_events AS DOUBLE)) + 1e-7, 4) AS avg_events_per_version
+        |FROM wt GROUP BY 1 ORDER BY 1""".stripMargin,
+    "incremental_dedup" ->
+      """WITH docs AS (
+        |  SELECT lang,
+        |         md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS h,
+        |         strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |storeh AS (SELECT DISTINCT h FROM docs WHERE bucket < 14),
+        |bg AS (SELECT lang, h, count(*) AS c FROM docs WHERE bucket >= 14 GROUP BY 1, 2),
+        |reps AS (
+        |  SELECT bg.lang, bg.c, CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END AS in_store
+        |  FROM bg LEFT JOIN storeh s ON bg.h = s.h)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_batch,
+        |       CAST(sum(c - 1) AS BIGINT) AS n_internal_dups,
+        |       CAST(sum(in_store) AS BIGINT) AS n_store_hits,
+        |       CAST(sum(1 - in_store) AS BIGINT) AS n_ingested
+        |FROM reps GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -662,6 +662,41 @@ object GraphOps {
         r4(avg(col("deg").cast("double"))).as("avg_deg"))
       .orderBy("deg_bucket")
   }
+
+  /** `hill_tail_index` — the Hill estimator of the degree
+    * distribution's power-law tail exponent over the top k = 50
+    * degrees (Hill 1975, public knowledge): α̂ = k / Σᵢ ln(d₍ᵢ₎/d₍ₖ₊₁₎).
+    * degree_dist shows the histogram; this puts ONE number on how
+    * heavy the hub tail is — the number that decides whether
+    * hub-capped wedge plans (common_neighbor_recs_capped) and
+    * hot-key salting (salted_hot_join) are needed on THIS graph
+    * (α < 2: unbounded-variance hubs, cap mandatory).
+    *
+    * Scale shape: after the shared edge build, the ONLY data-sized
+    * work is the node-grain degree agg; the top-(k+1) list comes off
+    * a TakeOrderedAndProject (k-bounded, never a global sort) and
+    * everything after runs on 51 rows (the one unpartitioned window
+    * — pinned k-bounded). Tie safety: the top-50 degree MULTISET is
+    * order-independent under ties, so the estimate is deterministic
+    * even though the tied node ids are interchangeable.
+    */
+  def hillTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = supportEdges(spark, dir) // materialized in the builder
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val top = deg.orderBy(col("deg").desc, col("n")).limit(51)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deg").desc, col("n"))
+    val ranked = top.withColumn("r", row_number().over(w))
+    val thr = ranked.filter(col("r") === 51).select(col("deg").as("dthr"))
+    ranked.filter(col("r") <= 50)
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("k"),
+        max("dthr").as("d_threshold"),
+        sum(log(col("deg").cast("double") / col("dthr"))).as("slog"))
+      .select(col("k"), col("d_threshold"),
+        r4(col("k") / col("slog")).as("alpha_hill"))
+  }
 }
 
 /** Test hook: the BFS depth [[GraphOps.hubDistance]] actually needed —

@@ -828,4 +828,113 @@ object ScalarQueries {
         r4(col("rho") * sqrt((col("n") - 2L) /
           (lit(1.0) - col("rho") * col("rho")))).as("t_stat"))
   }
+
+  /** `conformal_interval` — split-conformal 90% prediction intervals
+    * for value per event type (full oracle): a content-hash train/
+    * calibration split (md5 of event_id — the hash_split discipline),
+    * the trivial per-type-mean model on train, the exact
+    * ⌈(n_cal+1)·0.9⌉-th order statistic of |v − μ| on calibration,
+    * and the realized calibration coverage (Vovk 2005 / Lei 2018,
+    * public knowledge) — the distribution-free uncertainty band an
+    * SLI dashboard should draw instead of a ±2σ that assumes
+    * normality the exponential fixture doesn't have.
+    *
+    * Scale shape: two corpus passes (train means; calibration score
+    * histogram). The order statistic comes from prefix counts over
+    * the SCORE-domain histogram (scores are r4-snapped so the domain
+    * is the 1e-4 grid — the mwu/ks plane), never a corpus sort; the
+    * quantile threshold is exact integer arithmetic
+    * (⌈9(n+1)/10⌉ = ⌊(9(n+1)+9)/10⌋), so both engines pick the
+    * identical score and the coverage COUNT is exact.
+    */
+  def conformalInterval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("bucket", (instr(lit("0123456789abcdef"),
+        substring(md5(col("event_id").cast("string")), 1, 1)) - 1)
+        .cast("int"))
+    val mu = ev.filter(col("bucket") < 8)
+      .groupBy("event_type")
+      .agg(r4(avg("value")).as("mu"), count(lit(1)).as("n_train"))
+    val scores = ev.filter(col("bucket") >= 8)
+      .join(broadcast(mu), "event_type")
+      .select(col("event_type"), col("mu"), col("n_train"),
+        r4(abs(col("value") - col("mu"))).as("score"))
+    val hist = scores
+      .groupBy("event_type", "mu", "n_train", "score")
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("event_type").agg(sum("c").as("n_cal"))
+    val w = Window.partitionBy("event_type").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the coverage count needs no second calibration pass: at the
+    // q_hat row, the inclusive prefix count IS #{score <= q_hat}
+    hist.join(broadcast(tot), "event_type")
+      .withColumn("cum", sum("c").over(w))
+      .filter(col("cum") >=
+        floor(((col("n_cal") + 1L) * 9L + 9L) / lit(10.0)).cast("long"))
+      .groupBy("event_type", "mu", "n_train", "n_cal")
+      .agg(min(struct(col("score"), col("cum"))).as("qc"))
+      .select(col("event_type"), col("n_train"), col("n_cal"),
+        col("mu"), col("qc.score").as("q_hat"),
+        r4(col("mu") - col("qc.score")).as("lo"),
+        r4(col("mu") + col("qc.score")).as("hi"),
+        r4(col("qc.cum") / col("n_cal").cast("double")).as("cal_coverage"))
+      .orderBy("event_type")
+  }
+
+  /** `bootstrap_ci_mean` — Poisson-bootstrap 90% confidence interval
+    * for the mean value per event type, B = 32 resamples (full
+    * oracle): the DISTRIBUTED bootstrap (Poisson(1) resample weights
+    * per row — Chamandy et al. 2012, public knowledge; the classic
+    * n-out-of-n multinomial bootstrap needs a global coordinate the
+    * cluster doesn't have). Every resample weight is a pure function
+    * of (event_id, b) through the content-hash uniform and the exact
+    * Poisson inverse-CDF thresholds, so both engines draw the
+    * IDENTICAL 32 resamples and the interval is hash-checkable — a
+    * RESAMPLING method under the full oracle gate.
+    *
+    * Scale shape: one corpus pass with a ×B in-place expansion
+    * (explode of a 32-element literal — CPU-linear, no self-join);
+    * the (type, b) partial agg collapses to |types|·B rows per
+    * partition before the exchange. Resample means are exact-integer
+    * sums on the centi-grid (the anova discipline) — bit-identical
+    * cross-engine — and the CI order statistics come off the
+    * constant 32-row-per-type frame (pinned window).
+    */
+  def bootstrapCiMean(spark: SparkSession, dir: String): DataFrame = {
+    val b = 32
+    val base = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("iv"))
+    val stats = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r4(sum("iv").cast("double") / count(lit(1)) / 100.0).as("mean"))
+    val u48 = conv(substring(md5(concat(
+      col("event_id").cast("string"), lit(":"), col("b").cast("string"))),
+      1, 12), 16, 10).cast("long")
+    val u = (u48.cast("double") + 0.5) / lit(281474976710656.0)
+    // Poisson(1) inverse CDF: P(X<=k) literals for k = 0..4
+    val wgt = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val means = base
+      .withColumn("b", explode(lit((1 to b).toArray)))
+      .withColumn("w", wgt)
+      .groupBy("event_type", "b")
+      .agg((sum(col("w") * col("iv")).cast("double") / sum("w") / 100.0)
+        .as("mb"))
+    val rw = Window.partitionBy("event_type").orderBy("mb")
+    val ci = means.withColumn("r", row_number().over(rw))
+      .groupBy("event_type")
+      .agg(min(when(col("r") === 2, col("mb"))).as("ci_lo_raw"),
+        min(when(col("r") === 31, col("mb"))).as("ci_hi_raw"),
+        stddev_samp("mb").as("se_raw"))
+    stats.join(ci, "event_type")
+      .select(col("event_type"), col("n"), col("mean"),
+        r4(col("ci_lo_raw")).as("ci_lo"), r4(col("ci_hi_raw")).as("ci_hi"),
+        r4(col("se_raw")).as("se_boot"))
+      .orderBy("event_type")
+  }
 }

@@ -1753,4 +1753,49 @@ object SliQueries {
         r4(col("p") / col("ptot")).as("power_share"))
       .orderBy("k")
   }
+
+  /** `scd2_versions` — a slowly-changing-dimension TYPE-2 history
+    * build from the event stream (full oracle): per user, collapse
+    * consecutive same-VALUE-BAND runs (band = ⌊value/25⌋ — the
+    * attribute being tracked) into versions with [eff_from, eff_to)
+    * effective ranges via lag-change markers + a running version
+    * counter + lead for the close-out — the Kimball SCD2 build, the
+    * single most common warehouse maintenance op this engine didn't
+    * yet demonstrate. Output is the band-grain version report
+    * (version counts, open vs closed, mean closed-version lifetime).
+    *
+    * Scale shape: both windows are keyed by user_id — a
+    * data-PROPORTIONAL key (per-key rows = that user's events), so
+    * the sort parallelizes across the corpus; the version collapse is
+    * a (user, version) hash agg; the report is a bounded band-grain
+    * rollup. Determinism: ties inside a user's second are broken by
+    * event_id; durations are exact epoch-ms integers before the one
+    * division.
+    */
+  def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 25).cast("long").as("band"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val versioned = ev
+      .withColumn("isnew",
+        when(lag("band", 1).over(w).isNull ||
+          lag("band", 1).over(w) =!= col("band"), 1L).otherwise(0L))
+      .withColumn("ver", sum("isnew").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = versioned.groupBy("user_id", "ver", "band")
+      .agg(min("ts").as("eff_from"), count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy("ver")
+    versions
+      .withColumn("eff_to", lead("eff_from", 1).over(w2))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_versions"),
+        count(col("eff_to")).as("n_closed"),
+        r4(avg(when(col("eff_to").isNotNull,
+          (unix_millis(col("eff_to")) - unix_millis(col("eff_from"))) /
+            lit(60000.0)))).as("avg_closed_min"),
+        countDistinct("user_id").as("n_users"),
+        r4(avg(col("n_events").cast("double"))).as("avg_events_per_version"))
+      .orderBy("band")
+  }
 }

@@ -903,4 +903,45 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
   }
+
+  /** `incremental_dedup` — the NIGHTLY-INGEST dedup shape (full
+    * oracle): a content-hash batch slice (~1/8 of the corpus, the
+    * hash_split discipline) is deduplicated first WITHIN itself,
+    * then AGAINST the existing store, on a bag-of-words fingerprint
+    * (md5 of the sorted distinct token set — word-order-insensitive,
+    * so shuffled re-posts collide; the exact-text plane is
+    * dedup_docs). Per lang: batch size, internal dups, store hits,
+    * and what actually ingests — batch dedup that recomputes against
+    * the full corpus every night is the classic accidental-quadratic
+    * pipeline; the semi/anti-join-against-the-store shape is the one
+    * that stays linear.
+    *
+    * Scale shape: fingerprints collapse map-side ((lang, h) partial
+    * agg); the store side reduces to its DISTINCT hash set before
+    * the join (at real scale that set lives as the persisted,
+    * bucketed fingerprint store — or its Bloom front, the
+    * bloom_prefilter_dedup lane — so the nightly cost is
+    * O(batch ⋈ store-index), never O(corpus²)).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), " "))))))
+      .withColumn("bucket", (instr(lit("0123456789abcdef"),
+        substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
+        .cast("int"))
+    val storeH = docs.filter(col("bucket") < 14).select("h").distinct()
+    val batchGroups = docs.filter(col("bucket") >= 14)
+      .groupBy("lang", "h").agg(count(lit(1)).as("c"))
+    val reps = batchGroups.join(storeH.withColumn("in_store", lit(1L)),
+      Seq("h"), "left")
+    reps.groupBy("lang")
+      .agg(sum("c").as("n_batch"),
+        sum(col("c") - 1L).as("n_internal_dups"),
+        sum(when(col("in_store").isNotNull, 1L).otherwise(0L))
+          .as("n_store_hits"),
+        sum(when(col("in_store").isNull, 1L).otherwise(0L))
+          .as("n_ingested"))
+      .orderBy("lang")
+  }
 }

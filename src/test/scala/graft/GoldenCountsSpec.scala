@@ -306,6 +306,15 @@ class GoldenCountsSpec extends SparkTestBase {
     "bpe_merge_candidates" -> 20L,
     // r7 local-closure profile: one row per width-5 degree bucket
     "clustering_coeff" -> 10L,
+    // r7 uncertainty quantification: one interval / CI row per type
+    "conformal_interval" -> 5L,
+    "bootstrap_ci_mean" -> 5L,
+    // r7 tail index: single estimator row
+    "hill_tail_index" -> 1L,
+    // r7 SCD2 report: one row per populated value band
+    "scd2_versions" -> 13L,
+    // r7 incremental ingest report: one row per lang
+    "incremental_dedup" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -574,7 +574,20 @@ class PlanAuditSpec extends SparkTestBase {
     "bpe_merge_candidates" -> 2,
     // r7 local clustering: edge build + degree agg + wedge/close
     // joins behind the cut + per-node explode agg + bucket rollup
-    "clustering_coeff" -> 8)
+    "clustering_coeff" -> 8,
+    // r7 conformal: train-mean agg + calibration score histogram +
+    // its type-keyed window exchange + the n_cal rollup + sort
+    "conformal_interval" -> 7,
+    // r7 Poisson bootstrap: base stats agg + the (type, b) resample
+    // agg + the 32-row-per-type window exchange + final join/sort
+    "bootstrap_ci_mean" -> 4,
+    // r7 Hill: degree agg over the cut edge frame + TakeOrdered(51)
+    "hill_tail_index" -> 2,
+    // r7 SCD2: user-keyed window exchange + version agg + band rollup
+    "scd2_versions" -> 3,
+    // r7 incremental dedup: fingerprint aggs on both sides + the
+    // store left join + lang rollup
+    "incremental_dedup" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -639,6 +652,9 @@ class PlanAuditSpec extends SparkTestBase {
     "ks_value_test" -> "value-domain histogram ECDFs (domain-bounded)",
     // same plane, k arms: midranks over the distinct-value histogram
     "kruskal_value_test" -> "value-domain histogram midranks (domain-bounded)",
+    // top-(k+1) degree list off a TakeOrderedAndProject — 51 rows at
+    // any corpus size
+    "hill_tail_index" -> "top-(k+1) degree list (k-bounded)",
     // both marginals midrank on bounded frames: hour (24 rows) and
     // the 2-dp value domain — the corpus-grain cell agg has no window
     "spearman_value_hour" -> "hour + value-domain midrank frames (domain-bounded)")
@@ -728,6 +744,11 @@ class PlanAuditSpec extends SparkTestBase {
     "chi2_terms" -> "[wgl] rank<=5 per lang (group-limit lowered)",
     "zipf_slope" -> "[wgl] rank<=100 per source (group-limit lowered)",
     "rank_parts" -> "[wgl] dense_rank<=3 per brand (group-limit lowered)",
+    // calibration-score histogram: grain = distinct 1e-4-grid scores
+    // per type, not the corpus (the mwu/ks plane)
+    "conformal_interval" -> "calibration score-domain histogram (domain-bounded)",
+    // constant 32-resample-means frame per type
+    "bootstrap_ci_mean" -> "B=32 resample means per type (constant grain)",
     // prefixSumBy offsets frame: |types| x shuffle.partitions rows,
     // data-size constant (the corpus-grain cumsum itself is keyed by
     // (type, slice)) — the ntile_quartiles r5 fix
@@ -889,7 +910,11 @@ class PlanAuditSpec extends SparkTestBase {
     "matryoshka_recall" -> Set("embeddings"),
     "knn_label_eval" -> Set("embeddings"),
     // r7: 1-row char-pair grand total for the share column
-    "bpe_merge_candidates" -> Set("documents")
+    "bpe_merge_candidates" -> Set("documents"),
+    // r7: type-grain train means + type-grain calibration totals
+    "conformal_interval" -> Set("events"),
+    // r7: the 1-row 51st-degree threshold off the cut edge frame
+    "hill_tail_index" -> Set("[cut-frame]")
   )
 
   test("no forced broadcast build on a corpus-proportional frame (r6 tripwire)") {
