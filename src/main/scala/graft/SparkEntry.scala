@@ -479,6 +479,9 @@ object SparkEntry {
     // r7: nightly-ingest incremental dedup against the store on a
     // bag-of-words fingerprint (full oracle)
     "incremental_dedup" -> (TextOps.incrementalDedup _),
+    // r7: drift attribution — top token movers between two corpus
+    // snapshots by smoothed log-frequency-ratio (full oracle)
+    "token_drift_movers" -> (LlmQueries.tokenDriftMovers _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3663,5 +3666,29 @@ object SparkEntry {
         |       CAST(sum(in_store) AS BIGINT) AS n_store_hits,
         |       CAST(sum(1 - in_store) AS BIGINT) AS n_ingested
         |FROM reps GROUP BY 1 ORDER BY 1""".stripMargin,
+    "token_drift_movers" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 8
+        |              THEN 'old' ELSE 'new' END AS side,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM read_parquet('{dir}/documents.parquet')),
+        |counts AS (
+        |  SELECT tok,
+        |         CAST(sum(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+        |         CAST(sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+        |  FROM toks WHERE tok <> '' GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+        |         CAST(sum(c_new) AS BIGINT) AS n_new,
+        |         count(*) AS v
+        |  FROM counts),
+        |scored AS (
+        |  SELECT tok, c_old, c_new,
+        |         ln(((c_new + 1) / CAST(n_new + v AS DOUBLE)) /
+        |            ((c_old + 1) / CAST(n_old + v AS DOUBLE))) AS lr
+        |  FROM counts CROSS JOIN tot WHERE c_old + c_new >= 20)
+        |SELECT tok, c_old, c_new, round(lr + 1e-7, 4) AS log_ratio
+        |FROM scored
+        |ORDER BY round(abs(lr) + 1e-9, 6) DESC, tok LIMIT 20""".stripMargin,
   )
 }

@@ -921,4 +921,46 @@ object LlmQueries {
           .cast("double")).as("corpus_share"))
       .orderBy("size")
   }
+
+  /** `token_drift_movers` — drift ATTRIBUTION between two corpus
+    * snapshots (full oracle): psi_drift says "the distribution
+    * moved"; this says WHICH tokens moved it. Two content-hash
+    * halves stand in for yesterday/today; per token, the add-one-
+    * smoothed log-frequency-ratio ln(((c_new+1)/(N_new+V)) /
+    * ((c_old+1)/(N_old+V))) (the Monroe et al. 2008 log-odds family,
+    * public knowledge), min-support 20 so rare-token noise can't top
+    * the list; top-20 movers by |ratio| on the 1e-6 grid with token
+    * tie-breaks — the report a corpus-mix monitor pages on.
+    *
+    * Scale shape: ONE token-explode pass builds the per-side count
+    * frame (word-count shuffle, map-side combine), lineage-cut
+    * because BOTH the vocabulary totals and the mover scoring read
+    * it; the 1-row totals frame broadcasts (pinned); top-20 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def tokenDriftMovers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .withColumn("side", when((instr(lit("0123456789abcdef"),
+        substring(md5(col("doc_id").cast("string")), 1, 1)) - 1) < 8,
+        lit("old")).otherwise(lit("new")))
+      .select(col("side"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("c_old"),
+        sum(when(col("side") === "new", 1L).otherwise(0L)).as("c_new"))
+      .cut()
+    val tot = counts.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"),
+      count(lit(1)).as("v"))
+    counts.filter(col("c_old") + col("c_new") >= 20)
+      .crossJoin(broadcast(tot))
+      .withColumn("lr", log(
+        ((col("c_new") + 1L) / (col("n_new") + col("v")).cast("double")) /
+          ((col("c_old") + 1L) / (col("n_old") + col("v")).cast("double"))))
+      .select(col("tok"), col("c_old"), col("c_new"),
+        r4(col("lr")).as("log_ratio"),
+        graft.functions.Det.r6(abs(col("lr"))).as("mag"))
+      .orderBy(col("mag").desc, col("tok"))
+      .limit(20)
+      .select("tok", "c_old", "c_new", "log_ratio")
+  }
 }

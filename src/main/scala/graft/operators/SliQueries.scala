@@ -1772,7 +1772,12 @@ object SliQueries {
     * event_id; durations are exact epoch-ms integers before the one
     * division.
     */
-  def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
+  /** The (user_id, ver, band, eff_from, eff_to, n_events) SCD2
+    * version frame [[scd2Versions]] reports over — exposed so the
+    * streaming twin ([[graft.streaming.Scd2Stream]]) can be pinned
+    * against the identical batch history (Scd2StreamSpec).
+    */
+  private[graft] def scd2VersionFrame(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
         floor(col("value") / 25).cast("long").as("band"))
@@ -1786,8 +1791,11 @@ object SliQueries {
     val versions = versioned.groupBy("user_id", "ver", "band")
       .agg(min("ts").as("eff_from"), count(lit(1)).as("n_events"))
     val w2 = Window.partitionBy("user_id").orderBy("ver")
-    versions
-      .withColumn("eff_to", lead("eff_from", 1).over(w2))
+    versions.withColumn("eff_to", lead("eff_from", 1).over(w2))
+  }
+
+  def scd2Versions(spark: SparkSession, dir: String): DataFrame = {
+    scd2VersionFrame(spark, dir)
       .groupBy("band")
       .agg(count(lit(1)).as("n_versions"),
         count(col("eff_to")).as("n_closed"),

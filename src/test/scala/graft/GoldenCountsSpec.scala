@@ -315,6 +315,8 @@ class GoldenCountsSpec extends SparkTestBase {
     "scd2_versions" -> 13L,
     // r7 incremental ingest report: one row per lang
     "incremental_dedup" -> 5L,
+    // r7 drift attribution: top-20 token movers
+    "token_drift_movers" -> 20L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

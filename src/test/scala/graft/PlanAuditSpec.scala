@@ -587,7 +587,10 @@ class PlanAuditSpec extends SparkTestBase {
     "scd2_versions" -> 3,
     // r7 incremental dedup: fingerprint aggs on both sides + the
     // store left join + lang rollup
-    "incremental_dedup" -> 4)
+    "incremental_dedup" -> 4,
+    // r7 drift movers: the token-count agg runs behind its cut();
+    // printed is the TakeOrdered top-20 over the scored vocab frame
+    "token_drift_movers" -> 1)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -914,7 +917,9 @@ class PlanAuditSpec extends SparkTestBase {
     // r7: type-grain train means + type-grain calibration totals
     "conformal_interval" -> Set("events"),
     // r7: the 1-row 51st-degree threshold off the cut edge frame
-    "hill_tail_index" -> Set("[cut-frame]")
+    "hill_tail_index" -> Set("[cut-frame]"),
+    // r7: 1-row corpus totals off the cut token-count frame
+    "token_drift_movers" -> Set("[cut-frame]")
   )
 
   test("no forced broadcast build on a corpus-proportional frame (r6 tripwire)") {
