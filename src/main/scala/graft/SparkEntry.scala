@@ -482,6 +482,12 @@ object SparkEntry {
     // r7: drift attribution — top token movers between two corpus
     // snapshots by smoothed log-frequency-ratio (full oracle)
     "token_drift_movers" -> (LlmQueries.tokenDriftMovers _),
+    // r7: distribution-free median CI via binomial order statistics
+    // (full oracle)
+    "median_ci_binomial" -> (ScalarQueries.medianCiBinomial _),
+    // r7: 5%-trimmed and winsorized means from rank-range overlaps on
+    // the histogram plane (full oracle)
+    "trimmed_mean" -> (ScalarQueries.trimmedMean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3690,5 +3696,47 @@ object SparkEntry {
         |SELECT tok, c_old, c_new, round(lr + 1e-7, 4) AS log_ratio
         |FROM scored
         |ORDER BY round(abs(lr) + 1e-9, 6) DESC, tok LIMIT 20""".stripMargin,
+    "median_ci_binomial" ->
+      """WITH hist AS (
+        |  SELECT event_type, value, count(*) AS c
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |cumf AS (
+        |  SELECT h.event_type, h.value, t.n,
+        |         sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.value
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         greatest(1, CAST(floor((t.n - 1.96 * sqrt(t.n)) / 2.0) AS BIGINT)) AS l
+        |  FROM hist h JOIN tot t USING (event_type)),
+        |cf2 AS (
+        |  SELECT event_type, value, n, cum, l,
+        |         least(n, n + 1 - l) AS u, CAST(floor((n + 1) / 2.0) AS BIGINT) AS rmed
+        |  FROM cumf)
+        |SELECT event_type, n, l AS l_rank, u AS u_rank,
+        |       min(CASE WHEN cum >= rmed THEN value END) AS median,
+        |       min(CASE WHEN cum >= l THEN value END) AS ci_lo,
+        |       min(CASE WHEN cum >= u THEN value END) AS ci_hi
+        |FROM cf2 GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    "trimmed_mean" ->
+      """WITH hist AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS iv, count(*) AS c
+        |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |cumf AS (
+        |  SELECT h.event_type, h.iv, h.c, t.n,
+        |         CAST(floor(t.n / 20.0) AS BIGINT) AS k,
+        |         sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.iv
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist h JOIN tot t USING (event_type)),
+        |kf AS (
+        |  SELECT event_type, iv, c, n, k, cum,
+        |         greatest(0, least(cum, n - k) - greatest(cum - c + 1, k + 1) + 1) AS keep
+        |  FROM cumf)
+        |SELECT event_type, n, k,
+        |       round(CAST(sum(iv * c) AS DOUBLE) / n / 100.0 + 1e-7, 4) AS mean,
+        |       round(CAST(sum(iv * keep) AS DOUBLE) / (n - 2 * k) / 100.0 + 1e-7, 4) AS trimmed_mean,
+        |       round(CAST(sum(iv * keep) + k * (min(CASE WHEN cum >= k + 1 THEN iv END)
+        |             + min(CASE WHEN cum >= n - k THEN iv END)) AS DOUBLE) / n / 100.0 + 1e-7, 4)
+        |         AS winsorized_mean
+        |FROM kf GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Det.r4
+import graft.operators.Checkpoints._
 import graft.sources.Tables
 
 /** Approximate nearest-neighbor search over embedding columns — the
@@ -538,21 +539,29 @@ object AnnOps {
       val a = slice(col("emb"), 1, d); val b = slice(col("qv"), 1, d)
       r6(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
     }
+    // one cosine pass over corpus x queries, materialized once; each
+    // truncation level then takes its top-10 through a SINGLE-rank
+    // window that lowers to WindowGroupLimit (map-side partial top-k)
+    // — three full per-query sorts of the pair frame cost 50x at 10x
+    // data before this shape (19.6 s -> sub-second at sf1)
     val pairs = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         r6(cosine(col("emb"), col("qv"))).as("c_full"),
         cosPrefix(16).as("c_16"), cosPrefix(32).as("c_32"))
-    def rnk(c: String) = row_number().over(
-      Window.partitionBy("qid").orderBy(col(c).desc, col("vec_id")))
-    val ranked = pairs
-      .withColumn("r_full", rnk("c_full"))
-      .withColumn("r_16", rnk("c_16"))
-      .withColumn("r_32", rnk("c_32"))
-      .filter(col("r_full") <= 10)
-    val perQ = ranked.groupBy("qid").agg(
-      sum(when(col("r_16") <= 10, 1L).otherwise(0L)).as("hit16"),
-      sum(when(col("r_32") <= 10, 1L).otherwise(0L)).as("hit32"))
+      .cut()
+    def top10(c: String): DataFrame = pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col(c).desc, col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id")
+    val full = top10("c_full")
+    val perQ = full
+      .join(top10("c_16").withColumn("h16", lit(1L)), Seq("qid", "vec_id"), "left")
+      .join(top10("c_32").withColumn("h32", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(
+        sum(coalesce(col("h16"), lit(0L))).as("hit16"),
+        sum(coalesce(col("h32"), lit(0L))).as("hit32"))
     perQ.agg(count(lit(1)).as("n_queries"),
       r4(avg(col("hit16") / lit(10.0))).as("recall_d16"),
       r4(avg(col("hit32") / lit(10.0))).as("recall_d32"))

@@ -937,4 +937,88 @@ object ScalarQueries {
         r4(col("se_raw")).as("se_boot"))
       .orderBy("event_type")
   }
+
+  /** `median_ci_binomial` — distribution-free 95% confidence interval
+    * for the MEDIAN via binomial order statistics (the classic
+    * sign-test inversion, public knowledge): ranks
+    * l = ⌊(n − 1.96√n)/2⌋, u = n + 1 − l bracket the true median with
+    * ≥95% coverage under NO distributional assumption — the third
+    * member of the uncertainty family (conformal = prediction
+    * interval, bootstrap = CI by resampling, this = CI by exact
+    * order statistics, zero randomness).
+    *
+    * Scale shape: the value-domain histogram plane again — value at
+    * rank r is min{v : cum(v) ≥ r}, so all three order statistics
+    * (l, median, u) come out of ONE conditional-min fold over the
+    * prefix-counted histogram; the corpus never sorts. Integer ranks
+    * from floor(n − 1.96·sqrt(n)) — identical double arithmetic both
+    * engines, then pure integer compares.
+    */
+  def medianCiBinomial(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+    hist.join(broadcast(tot), "event_type")
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("l", greatest(lit(1L),
+        floor((col("n") - lit(1.96) * sqrt(col("n"))) / lit(2.0))
+          .cast("long")))
+      .withColumn("u", least(col("n"), col("n") + 1L - col("l")))
+      // explicit floor: Spark's double->long cast truncates but
+      // DuckDB's CAST rounds — floor() is the one portable spelling
+      .withColumn("rmed", floor((col("n") + 1L) / lit(2.0)).cast("long"))
+      .groupBy("event_type", "n", "l", "u")
+      .agg(min(when(col("cum") >= col("rmed"), col("value"))).as("median"),
+        min(when(col("cum") >= col("l"), col("value"))).as("ci_lo"),
+        min(when(col("cum") >= col("u"), col("value"))).as("ci_hi"))
+      .select(col("event_type"), col("n"), col("l").as("l_rank"),
+        col("u").as("u_rank"), col("median"), col("ci_lo"), col("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  /** `trimmed_mean` — 5%-trimmed and 5%-winsorized means per event
+    * type (Tukey, public knowledge): the robust-location companions
+    * to mad_robust/iqr_outliers — trimming DROPS the k = ⌊0.05n⌋
+    * extreme ranks per side, winsorizing CLAMPS them to the boundary
+    * order statistics; on the fixture's exponential tail the gap
+    * between mean and trimmed mean IS the tail-mass readout.
+    *
+    * Scale shape: no corpus sort — each histogram row's contribution
+    * to the trimmed sum is its RANK-RANGE overlap with [k+1, n−k]
+    * (pure integer arithmetic on prefix counts), and the boundary
+    * order statistics fold as conditional mins. Sums run on the
+    * exact centi-grid (the anova discipline) so both engines produce
+    * bit-identical totals before the one division.
+    */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("iv"))
+      .groupBy("event_type", "iv").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("iv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val withCum = hist.join(broadcast(tot), "event_type")
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("k", floor(col("n") / lit(20.0)).cast("long"))
+      // overlap of this value's rank range [cum-c+1, cum] with the
+      // kept band [k+1, n-k]
+      .withColumn("keep", greatest(lit(0L),
+        least(col("cum"), col("n") - col("k")) -
+          greatest(col("cum") - col("c") + 1L, col("k") + 1L) + 1L))
+    withCum.groupBy("event_type", "n", "k")
+      .agg(sum(col("iv") * col("keep")).as("tsum"),
+        min(when(col("cum") >= col("k") + 1L, col("iv"))).as("vlo"),
+        min(when(col("cum") >= col("n") - col("k"), col("iv"))).as("vhi"),
+        sum(col("iv") * col("c")).as("fullsum"))
+      .select(col("event_type"), col("n"), col("k"),
+        r4(col("fullsum").cast("double") / col("n") / 100.0).as("mean"),
+        r4(col("tsum").cast("double") / (col("n") - col("k") * 2L) / 100.0)
+          .as("trimmed_mean"),
+        r4((col("tsum") + col("k") * (col("vlo") + col("vhi")))
+          .cast("double") / col("n") / 100.0).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
 }

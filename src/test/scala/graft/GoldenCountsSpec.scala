@@ -317,6 +317,9 @@ class GoldenCountsSpec extends SparkTestBase {
     "incremental_dedup" -> 5L,
     // r7 drift attribution: top-20 token movers
     "token_drift_movers" -> 20L,
+    // r7 robust-location family: one report row per type
+    "median_ci_binomial" -> 5L,
+    "trimmed_mean" -> 5L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

@@ -152,6 +152,28 @@ class InferenceLawSpec extends SparkTestBase {
     assert(totalVersions >= users, "fewer versions than users with history")
   }
 
+  test("median_ci_binomial: l <= median-rank <= u implies ci_lo <= median <= ci_hi") {
+    rows("median_ci_binomial").foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("median"),
+        r.getAs[Double]("ci_hi"))
+      assert(lo <= m && m <= hi, s"($lo, $m, $hi) out of order")
+      assert(r.getAs[Long]("l_rank") >= 1L)
+      assert(r.getAs[Long]("u_rank") <= r.getAs[Long]("n"))
+    }
+  }
+
+  test("trimmed_mean: trimmed <= winsorized <= mean on the right-skewed fixture") {
+    rows("trimmed_mean").foreach { r =>
+      val (m, t, wz) = (r.getAs[Double]("mean"), r.getAs[Double]("trimmed_mean"),
+        r.getAs[Double]("winsorized_mean"))
+      // exponential tail: the top 5% carries more mass than the
+      // bottom 5%, so trimming pulls the location down — fixture
+      // facts that catch a flipped rank band instantly
+      assert(t <= wz + 1e-9 && wz <= m + 1e-9, s"($t, $wz, $m) ordering")
+      assert(r.getAs[Long]("k") >= 1L)
+    }
+  }
+
   test("incremental_dedup: batch accounting identity holds per lang") {
     rows("incremental_dedup").foreach { r =>
       // n_batch - internal dups = distinct batch fingerprints

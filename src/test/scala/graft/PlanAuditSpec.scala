@@ -564,8 +564,9 @@ class PlanAuditSpec extends SparkTestBase {
     // r7 int8 SQ eval: d-grain scale agg runs in the collect pass;
     // printed are the label rollup pair (scale frame is a literal)
     "emb_quantize_error" -> 2,
-    // r7 Matryoshka eval: qid window exchange + the 20-row fold
-    "matryoshka_recall" -> 2,
+    // r7 Matryoshka eval: three group-limit-lowered qid window
+    // exchanges over the cut pair frame + the top-10 joins + fold
+    "matryoshka_recall" -> 8,
     // r7 label-ranking eval: qid window exchange + per-query agg +
     // the label rollup
     "knn_label_eval" -> 3,
@@ -590,7 +591,11 @@ class PlanAuditSpec extends SparkTestBase {
     "incremental_dedup" -> 4,
     // r7 drift movers: the token-count agg runs behind its cut();
     // printed is the TakeOrdered top-20 over the scored vocab frame
-    "token_drift_movers" -> 1)
+    "token_drift_movers" -> 1,
+    // r7 robust stats: histogram agg + per-type totals + the
+    // type-keyed window exchange + the report rollup + sort
+    "median_ci_binomial" -> 5,
+    "trimmed_mean" -> 5)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -752,6 +757,9 @@ class PlanAuditSpec extends SparkTestBase {
     "conformal_interval" -> "calibration score-domain histogram (domain-bounded)",
     // constant 32-resample-means frame per type
     "bootstrap_ci_mean" -> "B=32 resample means per type (constant grain)",
+    // value-domain histogram prefix counts (the mwu/ks plane)
+    "median_ci_binomial" -> "value-domain histogram order stats (domain-bounded)",
+    "trimmed_mean" -> "centi-grid histogram rank overlaps (domain-bounded)",
     // prefixSumBy offsets frame: |types| x shuffle.partitions rows,
     // data-size constant (the corpus-grain cumsum itself is keyed by
     // (type, slice)) — the ntile_quartiles r5 fix
@@ -908,9 +916,10 @@ class PlanAuditSpec extends SparkTestBase {
     "dft_periodogram" -> Set("events"),
     // r7: 1-row corpus doc total for the share column
     "dup_cluster_sizes" -> Set("documents"),
-    // r7: constant-size eval query samples (20 / 50 rows) — the ANN
-    // probe-frame class, not corpus-proportional
-    "matryoshka_recall" -> Set("embeddings"),
+    // r7: constant-size eval query sample (50 rows) — the ANN
+    // probe-frame class, not corpus-proportional (matryoshka_recall's
+    // identical 20-row sample broadcast runs eagerly inside its
+    // cut() pair build and so never appears in the printed plan)
     "knn_label_eval" -> Set("embeddings"),
     // r7: 1-row char-pair grand total for the share column
     "bpe_merge_candidates" -> Set("documents"),
@@ -919,7 +928,10 @@ class PlanAuditSpec extends SparkTestBase {
     // r7: the 1-row 51st-degree threshold off the cut edge frame
     "hill_tail_index" -> Set("[cut-frame]"),
     // r7: 1-row corpus totals off the cut token-count frame
-    "token_drift_movers" -> Set("[cut-frame]")
+    "token_drift_movers" -> Set("[cut-frame]"),
+    // r7: type-grain totals frames for the histogram order stats
+    "median_ci_binomial" -> Set("events"),
+    "trimmed_mean" -> Set("events")
   )
 
   test("no forced broadcast build on a corpus-proportional frame (r6 tripwire)") {
