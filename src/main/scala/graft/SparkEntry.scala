@@ -488,6 +488,9 @@ object SparkEntry {
     // r7: 5%-trimmed and winsorized means from rank-range overlaps on
     // the histogram plane (full oracle)
     "trimmed_mean" -> (ScalarQueries.trimmedMean _),
+    // r7: nDCG@10 with label-match relevance per query-label class —
+    // the position-weighted ranking metric (full oracle)
+    "ndcg_label_eval" -> (AnnOps.ndcgLabelEval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3738,5 +3741,29 @@ object SparkEntry {
         |             + min(CASE WHEN cum >= n - k THEN iv END)) AS DOUBLE) / n / 100.0 + 1e-7, 4)
         |         AS winsorized_mean
         |FROM kf GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "ndcg_label_eval" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM read_parquet('{dir}/embeddings.parquet')),
+        |q AS (SELECT vec_id AS qid, label AS q_label, v AS qv FROM e WHERE vec_id < 50),
+        |lc AS (SELECT label AS q_label, count(*) AS n_label FROM e GROUP BY 1),
+        |ranked AS (
+        |  SELECT qid, q_label, label,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(list_cosine_similarity(v, qv) + 1e-9, 6) DESC, vec_id) AS rnk
+        |  FROM e CROSS JOIN q WHERE vec_id <> qid),
+        |perq AS (
+        |  SELECT qid, q_label,
+        |         sum(CASE WHEN label = q_label THEN 1.0 / log2(rnk + 1) ELSE 0.0 END) AS dcg
+        |  FROM ranked WHERE rnk <= 10 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT perq.q_label,
+        |         coalesce(dcg / nullif(list_sum(list_transform(
+        |           range(1, least(10, n_label - 1) + 1),
+        |           r -> 1.0 / log2(r + 1))), 0.0), 0.0) AS ndcg
+        |  FROM perq JOIN lc USING (q_label))
+        |SELECT q_label, count(*) AS n_queries,
+        |       round(avg(ndcg) + 1e-7, 4) AS avg_ndcg
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

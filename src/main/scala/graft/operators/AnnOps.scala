@@ -583,19 +583,27 @@ object AnnOps {
     * so the per-query sort never sees the corpus. MRR's first-hit
     * rank folds min() over the ≤10 survivors.
     */
-  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+  /** Top-10 label-match ranking frame shared by [[knnLabelEval]] and
+    * [[ndcgLabelEval]]: (qid, q_label, label, vec_id, rnk ≤ 10) for
+    * the 50-query sample, grid+tie-break ranked, group-limit lowered.
+    */
+  private def rankedLabelTop10(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Det.r6
     val all = vecs(spark, dir)
     val q = all.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
         col("emb").as("qv"))
-    val ranked = all.crossJoin(broadcast(q))
+    all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("q_label"), col("label"), col("vec_id"),
         r6(cosine(col("emb"), col("qv"))).as("c"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rnk") <= 10)
+  }
+
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedLabelTop10(spark, dir)
     val perQ = ranked.groupBy("qid", "q_label").agg(
       (sum(when(col("label") === col("q_label"), 1L).otherwise(0L)) /
         lit(10.0)).as("p10"),
@@ -605,6 +613,42 @@ object AnnOps {
         count(lit(1)).as("n_queries"),
         r4(avg("p10")).as("avg_p_at_10"),
         r4(avg("rr")).as("mrr_at_10"))
+      .orderBy("q_label")
+  }
+
+  /** `ndcg_label_eval` — nDCG@10 of the exact cosine ranking with
+    * binary label-match relevance, per query-label class (full
+    * oracle): the position-weighted ranking metric (Järvelin &
+    * Kekäläinen 2002, public knowledge) that P@10 can't see — a hit
+    * at rank 1 and a hit at rank 10 are the same precision but very
+    * different nDCG. Completes the retrieval-eval family (P@10/MRR =
+    * knn_label_eval, recall-vs-truncation = matryoshka_recall).
+    *
+    * The ideal DCG normalizer uses the TRUE per-label relevant count
+    * (corpus label counts minus self, capped at 10) — a |labels|-row
+    * broadcast frame — and both DCG and IDCG fold as Σ 1/log₂(r+1)
+    * over ≤10 terms, identical arithmetic on both engines. Same
+    * shared group-limit-lowered ranking frame as knn_label_eval.
+    */
+  def ndcgLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = rankedLabelTop10(spark, dir)
+    val labelCounts = vecs(spark, dir).groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val perQ = ranked.groupBy("qid", "q_label").agg(
+      sum(when(col("label") === col("q_label"),
+        lit(1.0) / log2(col("rnk") + 1L)).otherwise(lit(0.0))).as("dcg"))
+    perQ.join(broadcast(labelCounts), "q_label")
+      .withColumn("n_rel", least(lit(10L), col("n_label") - 1L))
+      // n_rel >= 1 guard: Spark's sequence(1, 0) is DESCENDING [1,0],
+      // not empty — a single-member label must yield idcg 0, not ∞
+      .withColumn("idcg", when(col("n_rel") >= 1L,
+        aggregate(sequence(lit(1L), col("n_rel")),
+          lit(0.0), (acc, r) => acc + lit(1.0) / log2(r + lit(1L))))
+        .otherwise(lit(0.0)))
+      .withColumn("ndcg",
+        coalesce(try_divide(col("dcg"), col("idcg")), lit(0.0)))
+      .groupBy("q_label")
+      .agg(count(lit(1)).as("n_queries"), r4(avg("ndcg")).as("avg_ndcg"))
       .orderBy("q_label")
   }
 }

@@ -320,6 +320,8 @@ class GoldenCountsSpec extends SparkTestBase {
     // r7 robust-location family: one report row per type
     "median_ci_binomial" -> 5L,
     "trimmed_mean" -> 5L,
+    // r7 ranking metric: one row per query-label class
+    "ndcg_label_eval" -> 10L,
     "burn_forecast" -> 5L,
     "flap_rate" -> 5L,
     "seasonal_decompose" -> 5L,

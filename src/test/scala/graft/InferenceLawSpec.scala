@@ -152,6 +152,13 @@ class InferenceLawSpec extends SparkTestBase {
     assert(totalVersions >= users, "fewer versions than users with history")
   }
 
+  test("ndcg_label_eval: nDCG in [0,1] per class") {
+    rows("ndcg_label_eval").foreach { r =>
+      val n = r.getAs[Double]("avg_ndcg")
+      assert(n >= 0.0 && n <= 1.0, s"label ${r.getAs[Long]("q_label")}: $n")
+    }
+  }
+
   test("median_ci_binomial: l <= median-rank <= u implies ci_lo <= median <= ci_hi") {
     rows("median_ci_binomial").foreach { r =>
       val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("median"),

@@ -595,7 +595,10 @@ class PlanAuditSpec extends SparkTestBase {
     // r7 robust stats: histogram agg + per-type totals + the
     // type-keyed window exchange + the report rollup + sort
     "median_ci_binomial" -> 5,
-    "trimmed_mean" -> 5)
+    "trimmed_mean" -> 5,
+    // r7 nDCG: shared top-10 window exchange + per-query DCG agg +
+    // label rollup + sort (label-counts frame broadcasts)
+    "ndcg_label_eval" -> 4)
 
   test("shuffle-exchange budget: no query exceeds its audited exchange count") {
     val counts = SparkEntry.queries.keys.map { q =>
@@ -921,6 +924,8 @@ class PlanAuditSpec extends SparkTestBase {
     // identical 20-row sample broadcast runs eagerly inside its
     // cut() pair build and so never appears in the printed plan)
     "knn_label_eval" -> Set("embeddings"),
+    // r7: same 50-row sample + the |labels|-row count frame
+    "ndcg_label_eval" -> Set("embeddings"),
     // r7: 1-row char-pair grand total for the share column
     "bpe_merge_candidates" -> Set("documents"),
     // r7: type-grain train means + type-grain calibration totals
