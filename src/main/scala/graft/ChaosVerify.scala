@@ -107,6 +107,11 @@ object ChaosVerify {
       // the fault-tolerant lineage-cut plane: without this,
       // dedup_clusters' checkpoint blocks die with the executor
       .config("spark.graft.checkpointDir", s"$outDir/ckpt")
+      // r8 (r7 verdict #4): the streaming chaos phase runs a
+      // transformWithState query, which requires the RocksDB store —
+      // the same provider every streaming suite uses
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // shared-frames consumer under chaos (r6 verdict #8): the
       // cached supportEdges frame must survive executor loss because
       // the cut above routes it to the reliable store
@@ -175,12 +180,81 @@ object ChaosVerify {
       awaitExecs(2) // wait for the master's replacement before the next query
     }
 
+    // ---- streaming plane (r7 verdict #4): a RocksDB-stateful
+    // transformWithState query (the SCD2 maintainer) with an executor
+    // SIGKILLed while a micro-batch is in flight. The state store's
+    // recovery path — reload the keyed state from the checkpoint on a
+    // surviving executor, re-run the batch's tasks — must produce the
+    // same closed-version set as the healthy run. This is the
+    // checkpoint-recovery analog of the batch SIGKILL runs above, on
+    // the one execution plane they don't touch.
+    var streamKills = 0
+    def runScd2(name: String, chaos: Boolean): Set[(Long, Long, Long, Long, Long)] = {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Long)]
+      val q = graft.streaming.Scd2Stream
+        .closedVersions(input.toDF().toDF("user_id", "ts_ms", "event_id", "band"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$outDir/ckpt_$name")
+        .start()
+      try {
+        val evs = graft.sources.Tables.events(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("user_id"),
+            org.apache.spark.sql.functions.unix_millis(
+              org.apache.spark.sql.functions.col("ts")).as("ts_ms"),
+            org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.floor(
+              org.apache.spark.sql.functions.col("value") / 25)
+              .cast("long").as("band"))
+          .orderBy("ts_ms", "event_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val chunks = evs.grouped(evs.length / 5 + 1).toSeq
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          input.addData(chunk.toSeq)
+          if (chaos && i == 2) {
+            // fire the kill while batch 3's stateful tasks are running
+            val killer = new Thread(() => {
+              Thread.sleep(100)
+              if (killOneExecutor() > 0) { kills += 1; streamKills += 1 }
+            })
+            killer.start()
+            q.processAllAvailable()
+            killer.join()
+          } else q.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSet
+      } finally q.stop()
+    }
+    try {
+      if (!awaitExecs(2)) problems ::= "scd2_stream: cluster not healthy pre-chaos"
+      val removedBefore = removed
+      val healthy = runScd2("scd2_healthy", chaos = false)
+      val chaotic = runScd2("scd2_chaos", chaos = true)
+      if (chaotic != healthy)
+        problems ::= s"scd2_stream: chaos-only ${(chaotic -- healthy).take(3)}, " +
+          s"healthy-only ${(healthy -- chaotic).take(3)}"
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (removed == removedBefore && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      if (removed == removedBefore)
+        problems ::= "scd2_stream: no executor-removed event observed (vacuous run)"
+    } catch {
+      case e: Throwable =>
+        problems ::= s"scd2_stream: died under executor loss: ${e.getMessage}"
+    }
+
     def js(xs: List[String]) = xs.map("\"" + _.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/chaos_info.json"),
       s"""{"executors":$execs,"kills":$kills,"removed":$removed,""" +
         s""""task_failures":$taskFailures,"stage_reattempts":$stageReattempts,""" +
-        s""""queries":${queries.size},"problems":${js(problems.reverse)}}""")
+        s""""stream_kills":$streamKills,""" +
+        s""""queries":${queries.size + 1},"problems":${js(problems.reverse)}}""")
     spark.stop()
     if (problems.nonEmpty) sys.exit(1)
   }

@@ -3330,8 +3330,8 @@ object SparkEntry {
     "anova_value_test" ->
       """WITH per AS (
         |  SELECT event_type, count(*) AS ni,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS si,
-        |         CAST(sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS qi
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) AS si,
+        |         CAST(sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS qi
         |  FROM read_parquet('{dir}/events.parquet') GROUP BY 1),
         |f AS (
         |  SELECT count(*) AS k, sum(CAST(ni AS DOUBLE)) AS n, sum(si) AS s,
@@ -3453,7 +3453,9 @@ object SparkEntry {
         |r AS (
         |  SELECT label,
         |         list_transform(range(1, len(v) + 1),
-        |           i -> v[i] - floor(v[i] * 127.0 / scales[i] + 0.5) * scales[i] / 127.0) AS errs,
+        |           i -> CASE WHEN scales[i] > 0
+        |                THEN v[i] - floor(v[i] * 127.0 / scales[i] + 0.5) * scales[i] / 127.0
+        |                ELSE 0.0 END) AS errs,
         |         v
         |  FROM e CROSS JOIN sc),
         |m AS (

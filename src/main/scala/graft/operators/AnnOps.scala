@@ -498,8 +498,14 @@ object AnnOps {
       .groupBy("pos").agg(max(abs(col("x"))).as("s"))
       .orderBy("pos").collect()
     val scales = array(scaleRows.map(r => lit(r.getDouble(1))): _*)
+    // zero guard: a constant-zero dimension has scale s = max|x| = 0;
+    // every x in it is 0, so its true reconstruction error is 0 — the
+    // unguarded division would inject NaN (0·127/0) into the L2 fold
+    // and poison the whole vector's rel error. Oracle mirrors the CASE.
     val errs = zip_with(col("emb"), scales, (x, s) =>
-      x - floor(x * lit(127.0) / s + lit(0.5)) * s / lit(127.0))
+      when(s > 0,
+        x - floor(x * lit(127.0) / s + lit(0.5)) * s / lit(127.0))
+        .otherwise(lit(0.0)))
     import graft.functions.Det.r6
     e.withColumn("errs", errs)
       .withColumn("rel",

@@ -263,31 +263,32 @@ object GraphOps {
   }
 
   /** The ≥2-support co-purchase edge list (a < b, one row per
-    * undirected edge) — shared by [[triangleParts]],
-    * [[degreeAssortativity]] and RelationalQueries.degreeDist. The
-    * same-order pair join + support agg is copurchase_pairs' audited
-    * corpus-sized shape; everything downstream of it is edge-grain.
-    *
-    * Materialized (lineage-cut) here — every consumer scans it 2–4× —
-    * and, with `spark.graft.sharedFrames=true`, cached per SESSION
-    * through [[graft.sources.SharedFrames]]: the three graph queries
-    * pay the ~2 s corpus-sized build once instead of once each
-    * (CachedFramesSpec pins hash-identical results + exactly one
-    * build; the bench harness runs with sharing off, so per-query
-    * numbers stay honest).
+    * undirected edge) — shared by the nine graph-pack consumers.
+    * Since r8 this PROBES the persisted [[EdgeStore]] (the IvfIndex
+    * pattern: the audited lineitem self-join runs ONCE as ingest-time
+    * DDL, and every query reads the bucketed edge table with zero
+    * corpus-sized work) instead of rebuilding the self-join per
+    * session. The parquet store IS the materialization, so no
+    * lineage cut is needed; the SharedFrames wrapper stays so a
+    * session with `spark.graft.sharedFrames=true` also reuses the
+    * resolved frame object (CachedFramesSpec pins hash-identical
+    * results + exactly one resolve).
     */
   private[operators] def supportEdges(spark: SparkSession, dir: String): DataFrame =
     graft.sources.SharedFrames.getOrBuild(spark, s"supportEdges:$dir") {
-      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("a", "b")
-        .cut()
+      EdgeStore.canonical(spark, dir)
     }
+
+  /** Node degrees of the support graph, computed on the BUCKETED
+    * undirected adjacency: groupBy on the bucket column aggregates
+    * on the scan's own HashPartitioning — no exchange (pinned).
+    * Multiset-identical to unioning both endpoints of the canonical
+    * frame: each undirected edge {a,b} contributes one (x=a) and one
+    * (x=b) row.
+    */
+  private[operators] def degrees(spark: SparkSession, dir: String): DataFrame =
+    EdgeStore.undirected(spark, dir)
+      .groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
 
   /** `triangle_parts` — triangle census of the co-purchase affinity
     * graph (full oracle): nodes = parts, edges = part pairs that
@@ -321,9 +322,8 @@ object GraphOps {
     * on the degree frame, not by materializing wedges.
     */
   def triangleParts(spark: SparkSession, dir: String): DataFrame = {
-    val e = supportEdges(spark, dir) // materialized in the builder
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val e = supportEdges(spark, dir) // bucketed edge-store scan
+    val deg = degrees(spark, dir) // exchange-free off the bucketed store
     // orient low→high in the (deg, id) total order; carry the target's
     // ord key so the wedge condition needs no extra join
     val eo = e
@@ -382,9 +382,8 @@ object GraphOps {
     * scale (the chi2 lesson).
     */
   def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = supportEdges(spark, dir) // materialized in the builder
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val e = supportEdges(spark, dir) // bucketed edge-store scan
+    val deg = degrees(spark, dir) // exchange-free off the bucketed store
     val j = e
       .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
@@ -463,16 +462,13 @@ object GraphOps {
           .as("avg_core_degree"))
   }
 
-  /** Both-direction (x → y) view of [[supportEdges]], the adjacency
-    * frame the traversal queries below share. Cut once: every
-    * consumer scans it ≥ 2×.
+  /** Both-direction (x → y) adjacency — since r8 a direct bucketed
+    * scan of the persisted [[EdgeStore]] (the store keeps the
+    * symmetric closure on disk precisely because this is the frame
+    * degree aggs, wedge joins and BFS consume).
     */
-  private def undirected(spark: SparkSession, dir: String): DataFrame = {
-    val e = supportEdges(spark, dir)
-    e.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
-      .cut()
-  }
+  private def undirected(spark: SparkSession, dir: String): DataFrame =
+    EdgeStore.undirected(spark, dir)
 
   /** `common_neighbor_recs` — link prediction on the co-purchase
     * graph (full oracle): the top-10 part pairs that are NOT
@@ -497,11 +493,29 @@ object GraphOps {
     * this exact form; the 5th consumer of the session-shared
     * supportEdges frame.
     */
-  def commonNeighborRecs(spark: SparkSession, dir: String): DataFrame = {
-    val e = supportEdges(spark, dir)
-    val und = undirected(spark, dir)
-    val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
-    val wedges = und.as("e1").join(und.as("e2"),
+  def commonNeighborRecs(spark: SparkSession, dir: String): DataFrame =
+    recsFromFrames(supportEdges(spark, dir), undirected(spark, dir),
+      degrees(spark, dir), cap = None)
+
+  /** The wedge-candidate link-prediction plan over explicit (e, und,
+    * deg) frames — shared by the two declared queries and GraphBench
+    * (which feeds synthetic hub-dense graphs to measure the cap's
+    * wall-clock crossover). `cap`: Some(c) folds the hub cap into the
+    * wedge build side as a count-over-(partition x) window (no
+    * semi-join — the window rides the adjacency's partitioning);
+    * None is the exact Σ deg² form.
+    */
+  private[graft] def recsFromFrames(e: DataFrame, und: DataFrame,
+      deg: DataFrame, cap: Option[Int]): DataFrame = {
+    val adj = cap match {
+      case Some(c) =>
+        val wDeg = org.apache.spark.sql.expressions.Window.partitionBy("x")
+        und.withColumn("cdeg", count(lit(1)).over(wDeg))
+          .filter(col("cdeg") <= c)
+          .select("x", "y")
+      case None => und
+    }
+    val wedges = adj.as("e1").join(adj.as("e2"),
         col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
       .groupBy(col("e1.y").as("a"), col("e2.y").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -538,29 +552,23 @@ object GraphOps {
     * equality with [[commonNeighborRecs]] when the cap doesn't bind
     * and (b) candidate recall when it does; the bench SkewBench-style
     * row shows the Σ deg² flattening.
+    *
+    * r8 (the r7 verdict's crossover ask): the center filter is FOLDED
+    * into the wedge join's build side — a count-over-(partition x)
+    * window on the bucketed edge-store scan instead of a separate
+    * degree semi-join. Bucketing already hash-partitions (and
+    * SORTED BY pre-sorts) the scan on x, so the window adds neither
+    * an exchange nor a sort, and the capped adjacency reaches the
+    * wedge self-join with the same zero-exchange partitioning the
+    * uncapped form enjoys — the semi-join exchange that made capped
+    * SLOWER than uncapped at sf0.1 in the r7 verdict's run is gone
+    * (GraphBench measures the crossover; EdgeStoreSpec pins the
+    * window-not-join shape).
     */
   def commonNeighborRecsCapped(spark: SparkSession, dir: String,
-      cap: Int = 10): DataFrame = {
-    val e = supportEdges(spark, dir)
-    val und = undirected(spark, dir)
-    val deg = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
-    // centers at-or-under the cap: node-grain, hub tail removed
-    val okCenters = deg.filter(col("deg") <= cap)
-      .select(col("n").as("x"))
-    val capped = und.join(okCenters, Seq("x"), "left_semi")
-    val wedges = capped.as("e1").join(capped.as("e2"),
-        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
-      .groupBy(col("e1.y").as("a"), col("e2.y").as("b"))
-      .agg(count(lit(1)).as("common"))
-    wedges.join(e, Seq("a", "b"), "left_anti")
-      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
-      .select(col("a"), col("b"), col("common"),
-        r4(col("common") /
-          (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))
-      .orderBy(col("common").desc, col("a"), col("b"))
-      .limit(10)
-  }
+      cap: Int = 10): DataFrame =
+    recsFromFrames(supportEdges(spark, dir), undirected(spark, dir),
+      degrees(spark, dir), cap = Some(cap))
 
   /** `hub_distance` — BFS hop-distance distribution from the graph's
     * top-degree part (the hub) over the ≥2-support co-purchase graph
@@ -582,7 +590,7 @@ object GraphOps {
     */
   def hubDistance(spark: SparkSession, dir: String): DataFrame = {
     val und = undirected(spark, dir)
-    val hub = und.groupBy(col("x").as("n")).agg(count(lit(1)).as("deg"))
+    val hub = degrees(spark, dir)
       .orderBy(col("deg").desc, col("n")).limit(1).select("n")
     var dist = hub.withColumn("d", lit(0)).cut()
     var frontier = dist
@@ -629,9 +637,8 @@ object GraphOps {
     * degree-ordered plan.
     */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val e = supportEdges(spark, dir) // materialized in the builder
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val e = supportEdges(spark, dir) // bucketed edge-store scan
+    val deg = degrees(spark, dir) // exchange-free off the bucketed store
     val eo = e
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), Seq("b"))
@@ -681,9 +688,8 @@ object GraphOps {
     * even though the tied node ids are interchangeable.
     */
   def hillTailIndex(spark: SparkSession, dir: String): DataFrame = {
-    val e = supportEdges(spark, dir) // materialized in the builder
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val e = supportEdges(spark, dir) // bucketed edge-store scan
+    val deg = degrees(spark, dir) // exchange-free off the bucketed store
     val top = deg.orderBy(col("deg").desc, col("n")).limit(51)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("deg").desc, col("n"))

@@ -938,8 +938,22 @@ object LlmQueries {
     * it; the 1-row totals frame broadcasts (pinned); top-20 is
     * TakeOrderedAndProject, never a global sort.
     */
-  def tokenDriftMovers(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
+  def tokenDriftMovers(spark: SparkSession, dir: String): DataFrame =
+    driftMoversFromCounts(
+      driftTokenCounts(Tables.documents(spark, dir)).cut())
+
+  /** The per-token side-count aggregation stage of
+    * [[tokenDriftMovers]] — ONE shared running aggregate (vocab-grain
+    * state, bounded), which is exactly what makes it streamable: the
+    * streaming twin ([[graft.streaming.StreamingQueries
+    * .driftTokenCounts]], the psi_drift playbook) runs THIS
+    * aggregation incrementally in complete mode and reads the movers
+    * through the same [[driftMoversFromCounts]] finisher, so a live
+    * drift alarm and the nightly report share arithmetic by
+    * construction (StreamingSpec pins the equivalence).
+    */
+  def driftTokenCounts(docs: DataFrame): DataFrame =
+    docs
       .withColumn("side", when((instr(lit("0123456789abcdef"),
         substring(md5(col("doc_id").cast("string")), 1, 1)) - 1) < 8,
         lit("old")).otherwise(lit("new")))
@@ -948,7 +962,12 @@ object LlmQueries {
       .groupBy("tok")
       .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("c_old"),
         sum(when(col("side") === "new", 1L).otherwise(0L)).as("c_new"))
-      .cut()
+
+  /** The bounded mover finisher over a (tok, c_old, c_new) count
+    * frame: smoothed log-ratio, min-support 20, top-20 by |ratio| on
+    * the 1e-6 grid with token tie-breaks.
+    */
+  def driftMoversFromCounts(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"),
       count(lit(1)).as("v"))
     counts.filter(col("c_old") + col("c_new") >= 20)

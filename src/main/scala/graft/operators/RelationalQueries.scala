@@ -1087,9 +1087,7 @@ object RelationalQueries {
     * one partial-agg'd node-grain exchange; buckets are ≤64 rows.
     */
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val e = GraphOps.supportEdges(spark, dir)
-    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val deg = GraphOps.degrees(spark, dir) // exchange-free off the bucketed store
     deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_nodes"),
         min("deg").as("min_deg"), max("deg").as("max_deg"))

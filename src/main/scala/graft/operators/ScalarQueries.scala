@@ -700,19 +700,23 @@ object ScalarQueries {
     * CENTI-grid (round(v·100) as int64 — the 2-dp fixture grid), so
     * the corpus-size sums are exact integers on both engines and the
     * only float work is the 5-row fold — cross-engine parity by
-    * construction, not by epsilon luck. (Σ(v·100)² stays inside
-    * int64 to ~1e8 rows per type; past that the sums promote to
-    * double with deterministic per-term conversion.) Scales: the
-    * corpus is touched exactly once and the fold input is
-    * enum-bounded.
+    * construction, not by epsilon luck. Σiv and Σiv² accumulate as
+    * decimal(38,0) (DuckDB: HUGEINT — its 128-bit twin), so they stay
+    * EXACT far past int64: a long sum would wrap silently once
+    * per-type Σ(v·100)² passes ~9.2e18 (~1e6 rows at iv ≈ 1e6), and
+    * the two engines would diverge with Spark silently wrong. The
+    * one double conversion per sum happens AFTER aggregation —
+    * deterministic, order-independent. Scales: the corpus is touched
+    * exactly once and the fold input is enum-bounded.
     */
   def anovaValueTest(spark: SparkSession, dir: String): DataFrame = {
     val per = Tables.events(spark, dir)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("iv"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("ni"), sum("iv").as("si"),
-        sum(col("iv") * col("iv")).as("qi"))
+      .agg(count(lit(1)).as("ni"),
+        sum(col("iv").cast("decimal(38,0)")).as("si"),
+        sum(col("iv").cast("decimal(38,0)") * col("iv")).as("qi"))
     per.select(col("ni").cast("double").as("ni"),
         col("si").cast("double").as("si"), col("qi").cast("double").as("qi"))
       .agg(count(lit(1)).as("k"), sum("ni").as("n"), sum("si").as("s"),

@@ -162,4 +162,29 @@ object StreamingQueries {
     */
   def psiBuckets(events: DataFrame): DataFrame =
     graft.operators.SliQueries.psiBucketCounts(events)
+
+  /** Streaming `documents` source: file stream over the sf
+    * directory's documents parquet (schema from a one-time footer
+    * peek, like [[eventsStream]]; documents has no ts layout quirk).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val glob = s"${dir.stripSuffix("/")}/documents*.parquet"
+    val schema = spark.read.parquet(glob).schema
+    spark.readStream.schema(schema).parquet(glob)
+  }
+
+  /** Streaming twin of `token_drift_movers`' aggregation stage (the
+    * psi_drift playbook, r7 verdict #5): the SAME per-token side-count
+    * aggregation ([[graft.operators.LlmQueries.driftTokenCounts]]),
+    * run incrementally as a plain running aggregate — VOCAB-grain
+    * state (bounded by the token domain, not the corpus), no window,
+    * complete output. A live deployment sinks this frame and reads
+    * the top-20 movers through the SAME bounded finisher the nightly
+    * report uses ([[graft.operators.LlmQueries
+    * .driftMoversFromCounts]]), so the mid-stream drift alarm and the
+    * batch report can never disagree on arithmetic — StreamingSpec
+    * pins stream == batch movers.
+    */
+  def driftTokenCounts(docs: DataFrame): DataFrame =
+    graft.operators.LlmQueries.driftTokenCounts(docs)
 }

@@ -73,5 +73,9 @@ class ChaosSpec extends SparkTestBase {
       .exists(_.group(1).toInt >= 5), s"expected >=5 executor-removed events: $infoStr")
     assert("\"task_failures\":(\\d+)".r.findFirstMatchIn(infoStr)
       .exists(_.group(1).toInt >= 1), s"expected task failures under SIGKILL: $infoStr")
+    // r8: the streaming phase's kill (RocksDB-stateful
+    // transformWithState, mid-micro-batch) must also have landed
+    assert("\"stream_kills\":(\\d+)".r.findFirstMatchIn(infoStr)
+      .exists(_.group(1).toInt >= 1), s"expected a streaming-phase kill: $infoStr")
   }
 }

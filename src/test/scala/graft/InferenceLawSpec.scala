@@ -52,6 +52,17 @@ class InferenceLawSpec extends SparkTestBase {
     assert(kw.getAs[Double]("h_stat") >= 0.0)
     val eps = kw.getAs[Double]("eps_sq")
     assert(eps >= 0.0 && eps <= 1.0)
+    // kruskal_value_test (like its SQL twin must) hardcodes the five
+    // event types as pivot columns — an event type added to the
+    // fixture would silently drop out of the k-group H while the
+    // dynamic-k ANOVA beside it would include it. Pin the fixture's
+    // distinct-type set to the hardcoded list so that drift fails
+    // loudly here instead of diverging the two omnibus tests.
+    val fixtureTypes = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(fixtureTypes == Set("click", "error", "purchase", "signup", "view"),
+      s"kruskal_value_test's hardcoded arm list is stale: fixture has $fixtureTypes")
   }
 
   test("spearman_value_hour: rho in [-1,1]") {

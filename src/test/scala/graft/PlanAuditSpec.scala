@@ -375,11 +375,11 @@ class PlanAuditSpec extends SparkTestBase {
     // 2 exchanges are the k×d-grain centroid-update agg + the final
     // k-grain report agg
     "kmeans_assign" -> 2,
-    // r5 triangle census: edge build runs at construction behind the
-    // localCheckpoint (copurchase's audited shape); the 7 printed
-    // exchanges are all EDGE-grain — degree agg, orient joins, the
-    // wedge + closing joins, and the two single-row stat aggs
-    "triangle_parts" -> 7,
+    // r5 triangle census; r8: reads the persisted bucketed edge
+    // store — the degree agg and the orient/wedge joins keyed on the
+    // bucket column carry no exchange; printed are the closing join's
+    // vk re-key and a single-row stat collapse
+    "triangle_parts" -> 2,
     // r5 CUSUM: (type, day) rollup (appearing twice pre-AQE: stats
     // branch + probe branch), the type-partitioned running windows +
     // peak rank, and the final type-grain fold — all calendar-grain
@@ -397,9 +397,10 @@ class PlanAuditSpec extends SparkTestBase {
     // partitioning (no re-key); plus the supplier-grain count — the
     // supplier dim broadcasts and top-10 is TakeOrdered
     "blame_supplier" -> 6,
-    // r5 degree distribution: copurchase pair join + support agg +
-    // node-grain degree agg + ≤64-row bucket agg + sort
-    "degree_dist" -> 5,
+    // r5 degree distribution; r8: degree agg rides the bucketed
+    // edge-store scan — printed are only the ≤64-row bucket agg +
+    // sort
+    "degree_dist" -> 2,
     // r5 Tukey fences: the quartile agg (broadcast back) + the probe
     // rollup + sort — two corpus passes by design (exact quartiles
     // need the data before the fences exist)
@@ -419,11 +420,11 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 Gini: customer-revenue rollup (the fact exchange), the
     // segment-partitioned rank window, segment-grain fold
     "revenue_gini_by_segment" -> 3,
-    // r5 assortativity: edge build runs at construction behind the
-    // checkpoint; printed are the node-grain degree agg (per
-    // consumer branch pre-AQE), the two endpoint joins, and the
-    // single-row moment fold
-    "degree_assortativity" -> 5,
+    // r5 assortativity; r8: degree agg and the a-keyed endpoint
+    // join ride the bucketed edge-store scan — printed is only the
+    // b-keyed endpoint join's re-key (the moment fold collapses into
+    // the single-row agg)
+    "degree_assortativity" -> 1,
     // r5 char entropy: the (lang, char)-grain agg (appearing on the
     // totals branch and the probe branch pre-AQE), the lang-grain
     // totals, their join, and the sort — alphabet-grain throughout
@@ -490,21 +491,19 @@ class PlanAuditSpec extends SparkTestBase {
     // pair, the bounded offsets-window exchange, the seeds agg over
     // the checkpointed frame, and the final sort
     "holt_smooth" -> 5,
-    // r6 link prediction: the adjacency frame is checkpointed (edge
-    // build behind it); printed are the wedge join's exchange pair,
-    // the (a,b) pair agg, the anti-join re-key, and the top-10 sort
-    // path — degree frames broadcast
-    // r7: the degree attach is UNHINTED (node = part is SF-scaled —
-    // the broadcast-build tripwire class), so the static plan carries
-    // the two keyed-join exchanges; AQE re-elects a runtime BHJ
-    // whenever the degree frame is actually small, collapsing them
-    "common_neighbor_recs" -> 8,
-    // + the degree-filter semi join against the center side
-    "common_neighbor_recs_capped" -> 10,
+    // r6 link prediction; r8: the wedge self-join and every degree
+    // agg ride the bucketed edge-store scan (exchange-free on x) —
+    // printed is only the (a,b) pair agg's re-key; the degree
+    // attaches stay UNHINTED (node = part is SF-scaled — the
+    // broadcast-build tripwire class) and AQE elects BHJ when small
+    "common_neighbor_recs" -> 1,
+    // the r8 capped variant derives the center filter from a window
+    // count INSIDE the bucketed partitioning (no semi-join exchange)
+    "common_neighbor_recs_capped" -> 1,
     // r6 BFS: rounds run behind per-round cut()s; printed are the
-    // node-distinct exchange pair over the checkpointed adjacency,
-    // the hop histogram agg, and the sort
-    "hub_distance" -> 4,
+    // node-distinct pair-collapse off the bucketed store, the hop
+    // histogram agg, and the sort
+    "hub_distance" -> 3,
     // r6 skyline: price-grain agg + the bounded cummax window's
     // single-partition exchange + final sort (part probe broadcasts)
     "skyline_parts" -> 3,
@@ -573,17 +572,19 @@ class PlanAuditSpec extends SparkTestBase {
     // r7 BPE profile: pair-count agg (TakeOrdered top-20, no sort
     // exchange) + the 1-row total
     "bpe_merge_candidates" -> 2,
-    // r7 local clustering: edge build + degree agg + wedge/close
-    // joins behind the cut + per-node explode agg + bucket rollup
-    "clustering_coeff" -> 8,
+    // r7 local clustering; r8: degree/orient ride the bucketed
+    // store — printed are the closing join's vk re-key, the per-node
+    // explode agg, the bucket rollup + sort
+    "clustering_coeff" -> 4,
     // r7 conformal: train-mean agg + calibration score histogram +
     // its type-keyed window exchange + the n_cal rollup + sort
     "conformal_interval" -> 7,
     // r7 Poisson bootstrap: base stats agg + the (type, b) resample
     // agg + the 32-row-per-type window exchange + final join/sort
     "bootstrap_ci_mean" -> 4,
-    // r7 Hill: degree agg over the cut edge frame + TakeOrdered(51)
-    "hill_tail_index" -> 2,
+    // r7 Hill; r8: the degree agg rides the bucketed edge-store
+    // scan and the top-51 list is TakeOrdered — zero exchanges
+    "hill_tail_index" -> 0,
     // r7 SCD2: user-keyed window exchange + version agg + band rollup
     "scd2_versions" -> 3,
     // r7 incremental dedup: fingerprint aggs on both sides + the
@@ -930,8 +931,9 @@ class PlanAuditSpec extends SparkTestBase {
     "bpe_merge_candidates" -> Set("documents"),
     // r7: type-grain train means + type-grain calibration totals
     "conformal_interval" -> Set("events"),
-    // r7: the 1-row 51st-degree threshold off the cut edge frame
-    "hill_tail_index" -> Set("[cut-frame]"),
+    // r7: the 1-row 51st-degree threshold; r8: its degree frame now
+    // reads the persisted bucketed edge store, not a cut frame
+    "hill_tail_index" -> Set("[edge-store]"),
     // r7: 1-row corpus totals off the cut token-count frame
     "token_drift_movers" -> Set("[cut-frame]"),
     // r7: type-grain totals frames for the histogram order stats
@@ -950,7 +952,11 @@ class PlanAuditSpec extends SparkTestBase {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
             val paths = fs.location.rootPaths.map(_.toString).mkString(" ")
-            bigTables.filter(t => paths.contains(s"$t.parquet"))
+            // the persisted co-purchase edge store (r8): edge-grain —
+            // SF-scaled like its source fact table, so a forced
+            // broadcast of it needs a boundedness argument too
+            if (paths.contains("graft_edges")) Seq("[edge-store]")
+            else bigTables.filter(t => paths.contains(s"$t.parquet"))
           case _ => Seq.empty
         }
         case _: LogicalRDD => Seq("[cut-frame]")

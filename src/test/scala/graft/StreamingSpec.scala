@@ -114,6 +114,23 @@ class StreamingSpec extends SparkTestBase {
       == orig.count())
   }
 
+  test("streaming drift token counts through the shared finisher == batch token_drift_movers") {
+    // the r7-verdict #5 twin: the vocab-grain count aggregation runs
+    // incrementally; the movers come off the SAME finisher the batch
+    // query uses. localCheckpoint for the same memory-sink expr-id
+    // reason as the PSI twin below (the finisher crossJoins its input).
+    val counts = runToCompletion(
+      StreamingQueries.driftTokenCounts(
+        StreamingQueries.documentsStream(spark, sf)),
+      "drift_equiv").localCheckpoint()
+    val got = graft.operators.LlmQueries.driftMoversFromCounts(counts)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = SparkEntry.queries("token_drift_movers")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expect.length && got.sameElements(expect),
+      s"stream movers ${got.toSeq} != batch ${expect.toSeq}")
+  }
+
   test("streaming PSI buckets through the shared finisher == batch psi_drift") {
     // localCheckpoint: the finisher self-joins its input, and a
     // memory-sink View carries fixed expr ids that break self-join
