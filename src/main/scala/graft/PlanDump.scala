@@ -17,6 +17,7 @@ object PlanDump {
       .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.configureSketchPerf(spark) // mirror Bench's session
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, dir)
     df.show(showRows, truncate = false)

@@ -64,7 +64,16 @@ object Tables {
     * don't silently inherit it (round-3 verdict note #2).
     */
   val SketchPerfConfs: Map[String, String] = Map(
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
+    // r8, for the bucketed edge store (EdgeStore writes one file per
+    // bucket, SORTED BY the bucket key): expose the recorded sort
+    // order on bucketed scans so partition-keyed windows and SMJs
+    // skip their per-partition Sort. Spark gates this behind a
+    // default-off flag (SPARK-28232: multi-file buckets would need a
+    // read-time merge-sort); with exactly one file per bucket the
+    // order is free, and Spark itself re-checks the one-file
+    // precondition before trusting it.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
 
   def configureSketchPerf(spark: SparkSession): Unit =
     SketchPerfConfs.foreach { case (k, v) => spark.conf.set(k, v) }
