@@ -39,7 +39,7 @@ object EdgeStoreBuild {
     val t0 = System.nanoTime()
     graft.operators.EdgeStore.ensure(spark, dir)
     val sec = (System.nanoTime() - t0) / 1e9
-    val edges = spark.read.parquet(path).count() / 2
+    val edges = spark.read.parquet(s"$path/und").count() / 2
     println(s"""{"metric":"edge_store_build","value":$sec,"unit":"sec",""" +
       s""""spill_mb":${spill.get() >> 20},"edges":$edges,"dir":"$dir"}""")
     spark.stop()

@@ -87,10 +87,72 @@ class EdgeStoreSpec extends SparkTestBase {
 
   test("store layout: one file per bucket (sort order readable)") {
     EdgeStore.ensure(spark, sf)
-    val files = new java.io.File(EdgeStore.storePath(sf))
+    val files = new java.io.File(s"${EdgeStore.storePath(sf)}/und")
       .listFiles().filter(f => f.getName.endsWith(".parquet"))
     assert(files.length == EdgeStore.NumBuckets,
       s"expected ${EdgeStore.NumBuckets} bucket files, got ${files.length}")
+  }
+
+  test("appendOrders == full rebuild; replay-safe; compaction-invariant") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    // split by ORDER (lines of one order share l_orderkey, so each
+    // half is complete orders — the appendOrders contract)
+    val half1 = li.filter(col("l_orderkey") % 2 === 0)
+    val half2 = li.filter(col("l_orderkey") % 2 === 1)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_edges_inc").toString
+    half1.write.mode("overwrite").parquet(s"$dirA/lineitem.parquet")
+    def und(d: String): Seq[(Long, Long)] =
+      EdgeStore.undirected(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val truth = und(sf) // the full-corpus build is the ground truth
+    EdgeStore.ensure(spark, dirA)
+    // incrementally ingest the second half: O(batch) pair counts +
+    // delta partition + republish — must equal the full rebuild
+    EdgeStore.appendOrders(spark, dirA, half2, batchId = 1L)
+    assert(und(dirA) == truth, "append diverged from full rebuild")
+    // replay the SAME batch: dynamic overwrite replaces its delta
+    // partition, so support counts must not double
+    EdgeStore.appendOrders(spark, dirA, half2, batchId = 1L)
+    assert(und(dirA) == truth, "replayed batch double-counted support")
+    // compaction folds deltas into the base without touching the
+    // published adjacency
+    EdgeStore.compact(spark, dirA)
+    assert(!new java.io.File(s"${EdgeStore.storePath(dirA)}/deltas").exists(),
+      "compaction left the delta directory")
+    assert(und(dirA) == truth, "compaction changed the adjacency")
+    // and the pair base alone now carries the merged supports: a
+    // fresh append on top of the compacted base still agrees
+    EdgeStore.appendOrders(spark, dirA, half2.limit(0), batchId = 2L)
+    assert(und(dirA) == truth, "post-compaction append diverged")
+  }
+
+  test("streamingAppend maintains the adjacency exactly-once across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_edges_stream").toString
+    li.filter(col("l_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$dirB/lineitem.parquet")
+    EdgeStore.ensure(spark, dirB)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_edges_ckpt").toString
+    val q = EdgeStore.streamingAppend(spark, dirB,
+        input.toDF().toDF("l_orderkey", "l_partkey"))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      Seq(1L, 2L).foreach { m =>
+        input.addData(li.filter(col("l_orderkey") % 3 === m)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def und(d: String): Seq[(Long, Long)] =
+      EdgeStore.undirected(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(und(dirB) == und(sf),
+      "streamed adjacency diverged from the full-corpus build")
   }
 
   test("graph consumers never scan lineitem (the no-rebuild pin)") {
