@@ -1,71 +1,113 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
+import StoreProtocol.{Pointer, committedIds, liveIds, readPointer, writePointer}
+
 /** Persisted co-purchase edge store — the IvfIndex pattern applied to
-  * the graph plane (r7 verdict #1, the last structural scale gap).
+  * the graph plane (r7 verdict #1), extended in v3 to carry the full
+  * co-purchase STATISTICS planes (r8 verdict #1) and a crash-safe
+  * maintenance protocol (r8 verdict #2 / ADVICE).
   *
-  * The ≥2-support co-purchase edge list is consumed by NINE queries
-  * (triangle_parts, clustering_coeff, kcore_parts, degree_dist,
-  * degree_assortativity, common_neighbor_recs[_capped], hub_distance,
-  * hill_tail_index) but built by a lineitem self-join that is the
-  * single most expensive plan fragment in the suite: corpus-sized on
-  * both sides, it spilled 20–34 GB at sf3–sf10 when every bench query
-  * re-paid it, and its ~100 GB projected sf30 spill forced the two
-  * heaviest consumers out of the round-7 300× scale row entirely.
+  * Twelve queries consume co-purchase structure: the nine graph-pack
+  * consumers (triangle_parts, clustering_coeff, kcore_parts,
+  * degree_dist, degree_assortativity, common_neighbor_recs[_capped],
+  * hub_distance, hill_tail_index) read the ≥2-support adjacency, and
+  * the three basket-statistics queries (copurchase_pairs, lift_rules,
+  * copurchase_pagerank) need ALL co-occurring pairs with their
+  * basket-distinct support plus per-part / total basket counts. All
+  * of that derives from the one corpus-sized lineitem self-join that
+  * used to be re-paid per query (418 s for copurchase_pagerank at
+  * sf10). v3 pays it ONCE at ingest and persists every derived plane.
   *
-  * Lifecycle (the standard database-index shape, same as IvfIndex):
-  *   1. BUILD (once per corpus — `CREATE INDEX` DDL, run untimed at
-  *      ingest): the audited same-order pair join, aggregated to the
-  *      full (a, b, w≥1) PAIR-SUPPORT table (kept because a w = 1
-  *      pair can cross the support floor later), and the ≥2-support
-  *      SYMMETRIC closure published as a parquet table CLUSTERED BY
-  *      (x) INTO [[NumBuckets]] BUCKETS, SORTED BY (x), one file per
-  *      bucket. The build pays the corpus-sized shuffle exactly once.
-  *   2. PROBE (every query): a bucketed table scan. Bucketing makes
-  *      the scan's output partitioning HashPartitioning(x, 32), so
-  *      the degree aggregation (groupBy x) and the wedge self-join
-  *      (e1.x = e2.x) — the two shapes every graph consumer starts
-  *      from — run with ZERO exchange on the edge side (pinned in
-  *      PlanAuditSpec); SORTED BY (x) with one file per bucket also
-  *      hands windows and SMJs their sort for free (graft sessions
-  *      expose it via bucketedTableScan.outputOrdering).
-  *   3. REFRESH (per ingest batch — [[appendOrders]]): pair counts
-  *      for the NEW orders only (O(batch), no corpus self-join) land
-  *      as a delta partition under `ingest_batch=<id>` (dynamic
-  *      partition overwrite — replaying a batch REPLACES its delta,
-  *      the IvfIndex.appendVectors idempotency contract), then the
-  *      adjacency republishes from base ∪ deltas. [[compact]] folds
-  *      accumulated deltas into the base — the LSM maintenance shape.
-  *      Correct because per-(a,b) support is ADDITIVE over complete
-  *      orders: batches must not split an order's lines (the natural
-  *      ingest grain — an order is one transaction).
+  * Two support conventions coexist deliberately (the fixture has
+  * (order, part) groups with duplicate lines, where they differ):
+  *   - `w`  — RAW line-pair count (Σ per order: lines(a)·lines(b)),
+  *     the convention the nine graph consumers' oracles use via the
+  *     ≥2 floor;
+  *   - `wd` — BASKET-DISTINCT count (number of distinct orders
+  *     containing both parts), the convention the three statistics
+  *     queries' oracles use (their SQL pre-`SELECT DISTINCT`s the
+  *     (order, part) frame).
+  * Both are counted in ONE pass over the same pair join
+  * (`w = count(*)`, `wd = count(DISTINCT orderkey)`), both are
+  * additive over complete-order ingest batches, and both are stored.
   *
-  * At 100 TB the edge list is an ingest-time artifact maintained next
-  * to the fact table; queries never touch lineitem at all. The
-  * canonical (a < b) edge frame is a filter over the same table —
-  * parquet IS the materialization, so the probe path needs no
-  * localCheckpoint and no per-session SharedFrames build.
+  * == Store layout (v3) ==
+  * {{{
+  *   <root>/CURRENT                      pointer: "epoch foldedStream foldedAdHoc"
+  *   <root>/base/epoch=<N>/pairs         (a, b, w, wd)       maintenance state
+  *   <root>/base/epoch=<N>/parts         (part, c)           c = distinct orders containing part
+  *   <root>/base/epoch=<N>/meta          (n)                 n = distinct orders
+  *   <root>/deltas/ingest_batch=<id>/        pair deltas   (dynamic overwrite)
+  *   <root>/deltas_parts/ingest_batch=<id>/  part deltas
+  *   <root>/deltas_meta/ingest_batch=<id>/   order-count deltas
+  *   <root>/deltas_commits/<id>              per-batch commit marker
+  *   <root>/und      published ≥2-raw-support symmetric adjacency (x, y)
+  *   <root>/wpairs   published all-pairs symmetric weighted adjacency (x, y, w, wd)
+  *   <root>/parts_pub, <root>/meta_pub   published part / order counts
+  * }}}
+  * `und` and `wpairs` are parquet tables CLUSTERED BY (x) INTO
+  * [[NumBuckets]] BUCKETS, SORTED BY (x), one file per bucket: the
+  * degree aggregation (groupBy x) and the wedge self-join (e1.x =
+  * e2.x) — the shapes every consumer starts from — run with ZERO
+  * exchange on the edge side (pinned in PlanAuditSpec/EdgeStoreSpec).
   *
-  * Correctness: the stored edge SET is identical to the inline
-  * build's (same join, same support floor), so all nine consumers'
-  * oracle hashes are unchanged; EdgeStoreSpec pins store ≡ inline
-  * build row-for-row, append ≡ full rebuild, replay idempotency, and
-  * compaction invariance.
+  * == Maintenance protocol (LSM with an atomic pointer) ==
+  *   - BUILD ([[ensure]]): base epoch 1 + pointer + publish. Publish
+  *     is idempotent and self-healing: if a crash left any published
+  *     artifact incomplete (missing `_SUCCESS`), the next open
+  *     re-publishes from the (complete) maintenance state instead of
+  *     rebuilding.
+  *   - APPEND ([[appendOrders]]): O(batch) pair/part/order counts land
+  *     as delta partitions under `ingest_batch=<id>` (dynamic
+  *     partition overwrite ⇒ replaying a batch REPLACES its deltas),
+  *     then a commit marker, then republish. A batch is visible to
+  *     merges only once its marker exists, so a crash mid-append
+  *     (some planes written, others not) leaves the store serving the
+  *     pre-batch state until the batch is replayed with the SAME id —
+  *     which streaming restart does by contract; ad-hoc callers that
+  *     crash mid-append must retry the same explicit id (documented).
+  *   - COMPACT ([[compact]]): write base epoch N+1 from the merged
+  *     state, atomically swap the pointer (tmp-write + rename, with
+  *     recovery-on-open for a torn swap), then garbage-collect the
+  *     old epoch and folded deltas. The pointer records per-namespace
+  *     FOLDED WATERMARKS: a replayed batch whose id is ≤ its
+  *     namespace's watermark is already inside the base, so
+  *     [[appendOrders]] skips it — compaction cannot double-count a
+  *     replayed micro-batch (the exactly-once contract survives
+  *     compaction under an active stream). A crash at ANY boundary
+  *     leaves either the old pointer with the old state fully intact,
+  *     or the new pointer with folded deltas ignored by watermark —
+  *     never a missing base, never a double count (crash-injection
+  *     pinned in EdgeStoreSpec).
+  *   - ID SPACES: streaming ids are `batchId + 1` (small, dense);
+  *     ad-hoc auto-derived ids live at [[AdHocIdBase]]` + seq` so the
+  *     two namespaces can never collide (a replayed stream batch can
+  *     never overwrite an ad-hoc delta or vice versa), and the
+  *     auto-id derivation is synchronized so concurrent ad-hoc
+  *     appends cannot race to the same id.
+  *
+  * At 100 TB the store is an ingest-time artifact maintained next to
+  * the fact table; the twelve consumers never touch lineitem at all.
+  * Correctness: the published planes are definitionally equal to the
+  * inline builds (same join, same floors), so all twelve consumers'
+  * oracle hashes are unchanged — the driver's DuckDB gate proves
+  * store ≡ inline per round.
   */
 object EdgeStore {
 
   /** Bump when the stored FORMAT changes (schema, bucketing, support
     * floor, layout) — a persisted store from older code must never be
-    * reused. v2: pair-support base + ingest_batch deltas under the
-    * store root; the published adjacency moved to `<root>/und`.
+    * reused. v3: dual-convention pair supports + part/order-count
+    * planes + epoch/pointer maintenance protocol.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   /** Bucket count: matches the bench session's 32 threads so a full
     * probe scan is width-parallel; bucketed joins don't require it to
@@ -73,28 +115,51 @@ object EdgeStore {
     */
   val NumBuckets = 32
 
-  def storePath(dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_edges/v${FormatVersion}_$key"
-  }
-
-  /** Catalog identifier for (dir) — bucketing metadata lives in the
-    * catalog, so each session re-registers the external table over
-    * the persisted files (cheap, idempotent).
+  /** Ad-hoc auto-derived batch ids start above this floor; streaming
+    * ids (micro-batch id + 1) stay far below it. Separate id spaces
+    * mean a replayed stream batch can never dynamic-overwrite an
+    * ad-hoc delta (and the per-namespace folded watermarks in the
+    * pointer never mask each other).
     */
-  def tableName(dir: String): String = {
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"graft_edges_v${FormatVersion}_$key"
-  }
+  val AdHocIdBase: Long = StoreProtocol.AdHocIdBase
 
-  private def fs(spark: SparkSession, p: String) =
+  /** One sanitizer for BOTH the filesystem key and the catalog key,
+    * plus an md5 prefix of the RAW dir string: two corpus dirs that
+    * differ only in punctuation (`sf0.1` vs `sf0_1`) sanitize to the
+    * same slug but can never alias the same store or table (the r8
+    * ADVICE aliasing bug — the old code kept '.' in the path key but
+    * stripped it from the table key, silently cross-serving corpora).
+    */
+  private def storeKey(dir: String): String = StoreProtocol.storeKey(dir)
+
+  def storePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_edges/v${FormatVersion}_${storeKey(dir)}"
+
+  /** Catalog identifier of the published ≥2-support adjacency —
+    * bucketing metadata lives in the catalog, so each session
+    * re-registers the external table over the persisted files
+    * (cheap, idempotent).
+    */
+  def tableName(dir: String): String =
+    s"graft_edges_v${FormatVersion}_${storeKey(dir)}"
+
+  /** Catalog identifier of the published all-pairs weighted adjacency. */
+  def weightedTableName(dir: String): String =
+    s"graft_wpairs_v${FormatVersion}_${storeKey(dir)}"
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Co-purchase pair supports for a lineitem slice: (a < b, w) with
-    * w = number of shared orders IN THIS SLICE. The audited
-    * corpus-sized shape — the one plan fragment that touches
-    * lineitem. Additive over complete-order slices, which is what
-    * makes [[appendOrders]] exact.
+  // ------------------------------------------------------------------
+  // Counting kernels — the ONLY code that touches lineitem.
+  // ------------------------------------------------------------------
+
+  /** Co-purchase pair supports for a lineitem slice: (a < b, w, wd)
+    * with `w` = raw line-pair count and `wd` = distinct orders
+    * containing both parts, IN THIS SLICE — one self-join, one agg
+    * (the distinct-count runs at build time, where a two-phase agg is
+    * fine). Both counts are additive over complete-order slices,
+    * which is what makes [[appendOrders]] exact.
     */
   def pairCounts(lineitem: DataFrame): DataFrame = {
     val li = lineitem.select("l_orderkey", "l_partkey")
@@ -102,93 +167,190 @@ object EdgeStore {
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
       .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("w"),
+        count_distinct(col("x.l_orderkey")).as("wd"))
   }
 
-  /** Base ∪ deltas, re-aggregated to current per-pair support.
-    * Deltas read with an explicit schema: an EMPTY ingest batch
-    * legitimately writes a file-less delta directory (only the
-    * commit marker), and schema inference has nothing to read there.
+  /** Per-part distinct-order counts for a slice: (part, c). Additive
+    * over complete-order slices (each order counts once per part it
+    * contains, and an order's lines never split across batches).
     */
-  private def mergedPairs(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/pairs")
-    val deltaDir = s"$path/deltas"
-    val all =
-      if (fs(spark, deltaDir).exists(new Path(deltaDir)))
-        base.unionByName(
-          spark.read.schema("a BIGINT, b BIGINT, w BIGINT")
-            .parquet(deltaDir).select("a", "b", "w"))
-      else base
-    all.groupBy("a", "b").agg(sum("w").as("w"))
+  def partCounts(lineitem: DataFrame): DataFrame =
+    lineitem.select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey").as("part")).agg(count(lit(1)).as("c"))
+
+  /** Distinct-order count of a slice, as a 1-row (n) frame. */
+  def orderCounts(lineitem: DataFrame): DataFrame =
+    lineitem.agg(count_distinct(col("l_orderkey")).as("n"))
+
+  // ------------------------------------------------------------------
+  // Merge: base epoch ∪ committed, unfolded deltas.
+  // ------------------------------------------------------------------
+
+  /** Read one delta plane restricted to `ids` (partition-pruned via
+    * the partition column; explicit schema because an EMPTY ingest
+    * batch legitimately writes a file-less delta directory).
+    */
+  private def deltaPlane(spark: SparkSession, path: String, schema: String,
+      cols: Seq[String], ids: Seq[Long]): Option[DataFrame] = {
+    if (ids.isEmpty || !fs(spark, path).exists(new Path(path))) None
+    else Some(spark.read.schema(schema).parquet(path)
+      .filter(col("ingest_batch").isin(ids: _*))
+      .select(cols.map(col): _*))
   }
 
-  /** Publish the ≥2-support symmetric adjacency from a pair frame as
-    * the bucketed catalog table (one sorted file per bucket). The
-    * adjacency derives from pairs/deltas — never from its own table —
-    * so the overwrite has no read-write conflict.
-    */
-  private def publishUnd(spark: SparkSession, dir: String,
-      pairs: DataFrame): Unit = {
-    val e = pairs.filter(col("w") >= 2).select("a", "b")
-    val und = e.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(e.select(col("b").as("x"), col("a").as("y")))
-    val t = tableName(dir)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    und.repartition(NumBuckets, col("x"))
+  private def mergedPairs(spark: SparkSession, root: String, p: Pointer,
+      ids: Seq[Long]): DataFrame = {
+    val base = spark.read.parquet(s"$root/base/epoch=${p.epoch}/pairs")
+    deltaPlane(spark, s"$root/deltas",
+        "a BIGINT, b BIGINT, w BIGINT, wd BIGINT, ingest_batch BIGINT",
+        Seq("a", "b", "w", "wd"), ids)
+      .map(d => base.unionByName(d).groupBy("a", "b")
+        .agg(sum("w").as("w"), sum("wd").as("wd")))
+      .getOrElse(base)
+  }
+
+  private def mergedParts(spark: SparkSession, root: String, p: Pointer,
+      ids: Seq[Long]): DataFrame = {
+    val base = spark.read.parquet(s"$root/base/epoch=${p.epoch}/parts")
+    deltaPlane(spark, s"$root/deltas_parts",
+        "part BIGINT, c BIGINT, ingest_batch BIGINT", Seq("part", "c"), ids)
+      .map(d => base.unionByName(d).groupBy("part").agg(sum("c").as("c")))
+      .getOrElse(base)
+  }
+
+  private def mergedMeta(spark: SparkSession, root: String, p: Pointer,
+      ids: Seq[Long]): DataFrame = {
+    val base = spark.read.parquet(s"$root/base/epoch=${p.epoch}/meta")
+    deltaPlane(spark, s"$root/deltas_meta",
+        "n BIGINT, ingest_batch BIGINT", Seq("n"), ids)
+      .map(d => base.unionByName(d).agg(sum("n").as("n")))
+      .getOrElse(base)
+  }
+
+  // ------------------------------------------------------------------
+  // Publish: the probe-facing artifacts, all derived from merged state.
+  // ------------------------------------------------------------------
+
+  private def writeBucketed(spark: SparkSession, table: String, path: String,
+      df: DataFrame): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.repartition(NumBuckets, col("x"))
       .write.bucketBy(NumBuckets, "x").sortBy("x")
-      .option("path", s"${storePath(dir)}/und")
-      .mode("overwrite").saveAsTable(t)
+      .option("path", path).mode("overwrite").saveAsTable(table)
   }
 
-  /** Idempotent build-if-missing (JVM-synchronized like IvfIndex;
-    * the published adjacency's `_SUCCESS` is the completion marker).
+  /** Republish all probe artifacts from the current merged state:
+    * `wpairs` (all pairs, symmetric, both counts), `und` (the
+    * ≥2-raw-support edge set — derived from the just-written wpairs
+    * files, so the merge agg runs once), `parts_pub`, `meta_pub`.
+    * Ends by invalidating session state that resolved the OLD files
+    * (catalog file listings and the SharedFrames supportEdges frame) —
+    * the r8 ADVICE staleness bug.
+    */
+  private def publish(spark: SparkSession, dir: String): Unit = {
+    val root = storePath(dir)
+    val f = fs(spark, root)
+    val p = readPointer(f, root).getOrElse(
+      sys.error(s"edge store at $root has no pointer"))
+    val ids = liveIds(f, root, p)
+    val pairs = mergedPairs(spark, root, p, ids)
+    val sym = pairs
+      .select(explode(array(
+        struct(col("a").as("x"), col("b").as("y"), col("w"), col("wd")),
+        struct(col("b").as("x"), col("a").as("y"), col("w"), col("wd")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"),
+        col("e.w").as("w"), col("e.wd").as("wd"))
+    writeBucketed(spark, weightedTableName(dir), s"$root/wpairs", sym)
+    writeBucketed(spark, tableName(dir), s"$root/und",
+      spark.read.parquet(s"$root/wpairs")
+        .filter(col("w") >= 2).select("x", "y"))
+    mergedParts(spark, root, p, ids)
+      .write.mode("overwrite").parquet(s"$root/parts_pub")
+    mergedMeta(spark, root, p, ids)
+      .write.mode("overwrite").parquet(s"$root/meta_pub")
+    Seq(tableName(dir), weightedTableName(dir)).foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+    graft.sources.SharedFrames.remove(spark, s"supportEdges:$dir")
+  }
+
+  private def publishedComplete(f: FileSystem, root: String): Boolean =
+    Seq("und", "wpairs", "parts_pub", "meta_pub")
+      .forall(a => f.exists(new Path(s"$root/$a/_SUCCESS")))
+
+  // ------------------------------------------------------------------
+  // Lifecycle.
+  // ------------------------------------------------------------------
+
+  private def writeBase(spark: SparkSession, root: String, epoch: Long,
+      pairs: DataFrame, parts: DataFrame, meta: DataFrame): Unit = {
+    pairs.write.mode("overwrite").parquet(s"$root/base/epoch=$epoch/pairs")
+    parts.write.mode("overwrite").parquet(s"$root/base/epoch=$epoch/parts")
+    meta.write.mode("overwrite").parquet(s"$root/base/epoch=$epoch/meta")
+  }
+
+  /** Idempotent build-if-missing. Short-circuits only when the
+    * pointer resolves AND the pointed-at base exists AND every
+    * published artifact is complete — a crash mid-publish (or a
+    * half-deleted store) re-publishes from maintenance state instead
+    * of serving a torn probe surface (the r8 ADVICE `_SUCCESS`
+    * short-circuit bug).
     */
   def ensure(spark: SparkSession, dir: String): String = synchronized {
-    val path = storePath(dir)
-    if (fs(spark, path).exists(new Path(s"$path/und/_SUCCESS"))) return path
-    pairCounts(Tables.lineitem(spark, dir))
-      .write.mode("overwrite").parquet(s"$path/pairs")
-    publishUnd(spark, dir, spark.read.parquet(s"$path/pairs"))
-    path
+    val root = storePath(dir)
+    val f = fs(spark, root)
+    readPointer(f, root) match {
+      case Some(p) if f.exists(new Path(s"$root/base/epoch=${p.epoch}/pairs/_SUCCESS")) =>
+        if (!publishedComplete(f, root)) publish(spark, dir)
+      case _ =>
+        val li = Tables.lineitem(spark, dir)
+        writeBase(spark, root, 1L, pairCounts(li), partCounts(li), orderCounts(li))
+        writePointer(f, root, Pointer(1L, 0L, AdHocIdBase))
+        publish(spark, dir)
+    }
+    root
   }
 
   /** Incremental refresh for an ingest batch of NEW orders (an
-    * order's lines must not split across batches). O(batch) pair
-    * counting + a delta-partition write scoped to this `batchId`
-    * (dynamic overwrite ⇒ replay-safe), then the adjacency
-    * republishes from base ∪ deltas. No corpus self-join — the
-    * difference between a nightly maintenance window and a rebuild.
+    * order's lines must not split across batches). O(batch) counting
+    * + delta partitions scoped to this `batchId` (dynamic overwrite ⇒
+    * replay-safe) + a commit marker, then republish. A `batchId`
+    * already folded by [[compact]] is a replay of history — skipped,
+    * which is what keeps compaction-under-streaming exactly-once.
     */
   def appendOrders(spark: SparkSession, dir: String, newLineitem: DataFrame,
       batchId: Long): Unit = synchronized {
-    val path = ensure(spark, dir)
-    pairCounts(newLineitem)
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$path/deltas")
-    publishUnd(spark, dir, mergedPairs(spark, path))
+    val root = ensure(spark, dir)
+    val f = fs(spark, root)
+    val p = readPointer(f, root).get
+    if (p.folded(batchId)) return
+    def writeDelta(df: DataFrame, sub: String): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(s"$root/$sub")
+    writeDelta(pairCounts(newLineitem), "deltas")
+    writeDelta(partCounts(newLineitem), "deltas_parts")
+    writeDelta(orderCounts(newLineitem), "deltas_meta")
+    StoreProtocol.commit(f, root, batchId)
+    publish(spark, dir)
   }
 
-  /** Ad-hoc append with an auto-derived batch id (max existing + 1)
-    * so successive default appends ACCUMULATE — the IvfIndex
-    * convention; callers that manage replay-safe ids (foreachBatch)
-    * use the explicit overload.
+  /** Ad-hoc append with an auto-derived batch id, in the ad-hoc id
+    * space ([[AdHocIdBase]]` + seq`) so it can never collide with
+    * streaming ids. Synchronized around the id scan + write —
+    * concurrent default appends cannot race to the same id (the r8
+    * ADVICE lost-delta bug). Derivation starts from the pointer's
+    * ad-hoc watermark, so ids keep advancing across compactions.
     */
   def appendOrders(spark: SparkSession, dir: String,
-      newLineitem: DataFrame): Unit = {
-    val path = ensure(spark, dir)
-    val deltaDir = new Path(s"$path/deltas")
-    val f = fs(spark, path)
-    // batch ids from the partition DIRECTORY names (driver-side
-    // metadata listing — robust to empty batches, no schema read)
-    val next =
-      if (!f.exists(deltaDir)) 1L
-      else f.listStatus(deltaDir).map(_.getPath.getName)
-        .filter(_.startsWith("ingest_batch="))
-        .map(_.stripPrefix("ingest_batch=").toLong)
-        .foldLeft(0L)(math.max) + 1L
+      newLineitem: DataFrame): Unit = synchronized {
+    val root = ensure(spark, dir)
+    val f = fs(spark, root)
+    val p = readPointer(f, root).get
+    val next = StoreProtocol.nextAdHocId(f, root, p)
     appendOrders(spark, dir, newLineitem, next)
   }
 
@@ -197,9 +359,10 @@ object EdgeStore {
     * batches are complete-order slices in any order-grain ingest —
     * Kafka keyed by order, or the order-atomic file drop). Batch ids
     * are offset by +1 so replays can never collide with the build's
-    * own base; each batch's delta partition is dynamic-overwritten on
-    * replay, so the published adjacency is exactly-once regardless of
-    * restarts — the IvfIndex.streamingAppend contract on the graph
+    * own base; each batch's delta partitions are dynamic-overwritten
+    * on replay and batches folded by a compaction are skipped by
+    * watermark, so the published planes are exactly-once regardless
+    * of restarts — the IvfIndex.streamingAppend contract on the graph
     * plane. Start/stop/checkpoint belong to the caller.
     */
   def streamingAppend(spark: SparkSession, dir: String, newLineitem: DataFrame):
@@ -209,43 +372,95 @@ object EdgeStore {
         appendOrders(spark, dir, batch, batchId + 1)
     }
 
-  /** Fold accumulated deltas into the pair-support base (the LSM
-    * compaction step; the published adjacency is already current, so
-    * this touches only maintenance state). Staged write + rename so a
-    * crash mid-compaction leaves the old base intact.
+  // ------------------------------------------------------------------
+  // Compaction: fold deltas into a NEW base epoch, swap the pointer.
+  // ------------------------------------------------------------------
+
+  /** Step 1 — write base epoch N+1 from the merged state (bounded to
+    * the committed delta set captured in the returned pointer's
+    * watermarks). Leaves the live pointer untouched: a crash after
+    * this step orphans the half-written epoch (overwritten by the
+    * next compaction) and changes nothing observable.
+    */
+  private[graft] def compactPrepare(spark: SparkSession,
+      dir: String): Option[Pointer] = {
+    val root = storePath(dir)
+    val f = fs(spark, root)
+    readPointer(f, root).flatMap { p =>
+      val ids = liveIds(f, root, p)
+      if (ids.isEmpty) None
+      else {
+        writeBase(spark, root, p.epoch + 1,
+          mergedPairs(spark, root, p, ids),
+          mergedParts(spark, root, p, ids),
+          mergedMeta(spark, root, p, ids))
+        Some(p.fold(ids))
+      }
+    }
+  }
+
+  /** Step 2 — atomically swap the pointer to the new epoch. After
+    * this instant every merge reads the new base and ignores the
+    * folded deltas by watermark — no window where supports double-
+    * count and no window where the base is missing.
+    */
+  private[graft] def compactCommit(spark: SparkSession, dir: String,
+      next: Pointer): Unit =
+    writePointer(fs(spark, storePath(dir)), storePath(dir), next)
+
+  /** Step 3 — garbage-collect unreferenced state: stale base epochs,
+    * folded delta partitions, trimmed commit markers. Best-effort by
+    * design (a crash here leaves garbage the watermarks already
+    * ignore; the next compaction retries the deletes).
+    */
+  private[graft] def compactGc(spark: SparkSession, dir: String): Unit = {
+    val root = storePath(dir)
+    val f = fs(spark, root)
+    readPointer(f, root).foreach(p =>
+      StoreProtocol.gc(f, root, p, Seq("deltas", "deltas_parts", "deltas_meta")))
+  }
+
+  /** Fold accumulated deltas into a new pair/part/meta base epoch
+    * (the LSM compaction step; the published artifacts are already
+    * current, so this touches only maintenance state). Crash-safe at
+    * every boundary — see the step scaladocs; EdgeStoreSpec injects a
+    * crash between each pair of steps and pins that merges neither
+    * throw nor double-count.
     */
   def compact(spark: SparkSession, dir: String): Unit = synchronized {
-    val path = storePath(dir)
-    val deltaDir = new Path(s"$path/deltas")
-    val f = fs(spark, path)
-    if (!f.exists(deltaDir)) return
-    mergedPairs(spark, path)
-      .write.mode("overwrite").parquet(s"$path/pairs_next")
-    f.delete(new Path(s"$path/pairs"), true)
-    f.rename(new Path(s"$path/pairs_next"), new Path(s"$path/pairs"))
-    f.delete(deltaDir, true)
+    compactPrepare(spark, dir).foreach { next =>
+      compactCommit(spark, dir, next)
+      compactGc(spark, dir)
+    }
   }
 
-  /** Session-local registration of the persisted files as a bucketed
-    * external table (the catalog holds the bucket spec; files carry
+  // ------------------------------------------------------------------
+  // Probes — bucketed scans, build-once.
+  // ------------------------------------------------------------------
+
+  /** Session-local registration of the persisted files as bucketed
+    * external tables (the catalog holds the bucket spec; files carry
     * the bucket-id suffix the bucketed writer gave them). Must match
-    * [[publishUnd]]'s layout exactly — FormatVersion guards drift.
+    * [[writeBucketed]]'s layout exactly — FormatVersion guards drift.
     */
-  private def register(spark: SparkSession, dir: String): DataFrame = {
-    val t = tableName(dir)
-    if (!spark.catalog.tableExists(t))
+  private def register(spark: SparkSession, table: String, path: String,
+      schema: String): DataFrame = {
+    if (!spark.catalog.tableExists(table))
       spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS $t (x BIGINT, y BIGINT)
+        s"""CREATE TABLE IF NOT EXISTS $table ($schema)
            |USING parquet
            |CLUSTERED BY (x) SORTED BY (x) INTO $NumBuckets BUCKETS
-           |LOCATION '${storePath(dir)}/und'""".stripMargin)
-    spark.table(t)
+           |LOCATION '$path'""".stripMargin)
+    spark.table(table)
   }
 
-  /** The undirected (x → y) adjacency — a bucketed scan, build-once. */
+  /** The undirected ≥2-raw-support (x → y) adjacency — a bucketed
+    * scan; the nine graph-pack consumers' base frame.
+    */
   def undirected(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark, dir)
-    register(spark, dir)
+    register(spark, tableName(dir), s"${storePath(dir)}/und",
+      "x BIGINT, y BIGINT")
   }
 
   /** The canonical (a < b) support-edge frame — the same table with
@@ -257,4 +472,28 @@ object EdgeStore {
     undirected(spark, dir)
       .filter(col("x") < col("y"))
       .select(col("x").as("a"), col("y").as("b"))
+
+  /** ALL co-occurring pairs, symmetric, with both support counts
+    * (x, y, w, wd) — a bucketed scan. The statistics consumers'
+    * base frame: degree aggregation (groupBy x) is exchange-free,
+    * the a<b half is a filter, and the raw/basket conventions are
+    * both one column away.
+    */
+  def weighted(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir)
+    register(spark, weightedTableName(dir), s"${storePath(dir)}/wpairs",
+      "x BIGINT, y BIGINT, w BIGINT, wd BIGINT")
+  }
+
+  /** Per-part distinct-order counts (part, c) — part-dimension-sized. */
+  def parts(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.read.parquet(s"$root/parts_pub")
+  }
+
+  /** Total distinct-order count as a 1-row (n) frame. */
+  def norders(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensure(spark, dir)
+    spark.read.parquet(s"$root/meta_pub")
+  }
 }

@@ -380,31 +380,28 @@ object RelationalQueries {
     * oracle): the top-20 pairs of parts appearing in the same order,
     * the market-basket / co-occurrence-matrix primitive (identical in
     * shape to term co-occurrence in LLM corpus analysis: replace
-    * orders with documents and parts with vocabulary). Self-join of
-    * the distinct (order, part) frame on the order key with `a < b`
-    * to canonicalize the unordered pair.
+    * orders with documents and parts with vocabulary). Semantics:
+    * self-join of the distinct (order, part) frame on the order key
+    * with `a < b` to canonicalize the unordered pair — which is
+    * exactly the basket-distinct `wd` support the persisted
+    * [[EdgeStore]] maintains, so since r9 this PROBES the bucketed
+    * weighted-pair table (the r8 verdict's #1: the corpus-sized
+    * basket self-join ran per query here even though the store
+    * persisted the pair base it needed). The oracle still computes
+    * the self-join in DuckDB, so the hash gate proves store ≡ inline.
     *
-    * Scale: the pair explosion is bounded by basket size — ≤ C(k,2)
-    * pairs per order for k lines (k ≤ 7 here), LINEAR in orders, not
-    * quadratic in anything. Both join sides shuffle once on the
-    * SAME key (l_orderkey) and the pair counts collapse map-side
-    * (hot pairs partial-agg); top-20 lowers to TakeOrderedAndProject
-    * — no global sort. A vocabulary-scale co-occurrence (huge k)
-    * would cap or sample per-basket items first; the plan is
-    * otherwise unchanged at 100 TB.
+    * Scale: the probe reads pair-grain rows (bounded by Σ C(k,2)
+    * over baskets, linear in orders) and top-20 lowers to
+    * TakeOrderedAndProject off the scan — no shuffle at all; the
+    * basket explosion happened once at ingest.
     */
-  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_orders"))
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    EdgeStore.weighted(spark, dir)
+      .filter(col("x") < col("y"))
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        col("wd").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
-  }
 
   /** `lift_rules` — market-basket association rules a→b over order
     * baskets: confidence `P(b|a) = n_ab/n_a` and lift
@@ -415,28 +412,31 @@ object RelationalQueries {
     * recommender/assortment report actually ranks by. Full oracle;
     * rank on the r4-rounded lift with (a, b) tie-breaks.
     *
-    * Scale: same order-keyed basket self-join as copurchase_pairs
-    * (pair volume = Σ basket·(basket−1), linear in orders for bounded
-    * baskets — the skew note there applies); per-part counts join
-    * partkey-KEYED twice (part is SF-scaled — the corpus-proportional
+    * Since r9 every input is a persisted [[EdgeStore]] plane (the r8
+    * verdict's #1): n_ab is the basket-distinct `wd` support from the
+    * symmetric weighted-pair table (both directions stored, so no
+    * re-orientation), n_a/n_b come from the maintained per-part
+    * distinct-order counts, and N from the maintained order count —
+    * the corpus-sized basket self-join this query used to re-pay per
+    * run happened once at ingest. The oracle still self-joins in
+    * DuckDB, so the hash gate proves store ≡ inline.
+    *
+    * Scale: pair-grain scan → support-floor filter → two part-KEYED
+    * dim joins (part is SF-scaled — the corpus-proportional
     * convention; unhinted, so the planner still broadcasts while the
-    * count frame fits); N is a single-row broadcast;
-    * top-10 is TakeOrderedAndProject. Lift arithmetic is the same
-    * literal double order in both engines (int64-safe: products are
-    * double before they can overflow at fact scale).
+    * count frame fits); N is a single-row broadcast; top-10 is
+    * TakeOrderedAndProject. Lift arithmetic is the same literal
+    * double order in both engines (int64-safe: products are double
+    * before they can overflow at fact scale).
     */
   def liftRules(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pc = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
-    val n = li.agg(countDistinct("l_orderkey").as("n"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    val pairs = a.join(b, Seq("l_orderkey"))
-      .filter(col("part_a") =!= col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 3)
+    val pc = EdgeStore.parts(spark, dir)
+      .select(col("part").as("l_partkey"), col("c"))
+    val n = EdgeStore.norders(spark, dir)
+    val pairs = EdgeStore.weighted(spark, dir)
+      .filter(col("wd") >= 3)
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        col("wd").as("n_ab"))
     pairs
       .join(pc.select(col("l_partkey").as("part_a"), col("c").as("ca")),
         Seq("part_a"))
@@ -654,32 +654,16 @@ object RelationalQueries {
     * engines cut the same top-20.
     */
   def copurchasePagerank(spark: SparkSession, dir: String): DataFrame = {
-    // The per-(order, part) pre-distinct looks redundant (the edge
-    // distinct subsumes it) but is MEASURED faster kept: it shrinks
-    // the join build side and its removal cost ~0.9 s at sf0.1.
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    // r6: dedup the a<b HALF, then emit both orientations with a
-    // scan-side explode — the dedup exchange (the query's dominant
-    // stage) carries HALF the pair rows of the r5 both-orientation
-    // form, and the explode adds no shuffle (measured 4.2 → 2.0 s
-    // warm at sf0.1). Same edge set either way.
-    // The half frame checkpoints to DISK_ONLY blocks (Spark 4's
-    // storage-level overload): default MEMORY_AND_DISK checkpoint
-    // unrolls through the unified memory pool, and at sf3 (72 M
-    // edges) that unroll squeezed the pair-distinct's hash
-    // aggregation into AGGREGATE_OUT_OF_MEMORY — disk-resident
-    // blocks leave the whole execution pool to the agg.
-    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    val half = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("x"), col("b.pk").as("y"))
-      .distinct()
-      .localCheckpoint(true, diskOnly)
-    val deg = half.select(col("x").as("src"))
-      .unionAll(half.select(col("y").as("src")))
-      .groupBy("src").agg(count(lit(1)).as("deg"))
+    // r9 (the r8 verdict's #1 — 418 s at sf10, ~all of it the
+    // per-query edge rebuild): the edge set IS the persisted
+    // EdgeStore weighted-pair table — distinct co-occurring pairs,
+    // BOTH orientations already stored, bucketed on x. The corpus
+    // self-join + distinct this query used to re-pay happened once
+    // at ingest; only the node-grain iteration plane remains.
+    val wp = EdgeStore.weighted(spark, dir)
+    // Degrees off the bucketed scan: groupBy on the bucket column —
+    // zero exchange (the EdgeStoreSpec-pinned probe shape).
+    val deg = wp.groupBy(col("x").as("src")).agg(count(lit(1)).as("deg"))
       .cut() // node-grain: tiny, memory is fine
     val nDf = deg.agg(count(lit(1)).as("n"))
     // The per-iteration frame (src, dst, deg), both orientations.
@@ -688,16 +672,14 @@ object RelationalQueries {
     // scans cost ~0.15 s each from memory vs ~1.5 s total extra from
     // row-serialized disk at sf0.1 — DISK_ONLY above, where the
     // unroll pressure and block size make executor memory the scarce
-    // resource (the validated sf3 configuration). half is already
-    // materialized, so the count is a metadata-cheap action.
+    // resource (the validated sf3 configuration). The count is a
+    // parquet-metadata action on the store scan.
     val sharesLevel =
-      if (half.count() * 2 > 16000000L) diskOnly
+      if (wp.count() > 16000000L)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shares = half
-      .select(explode(array(
-        struct(col("x").as("src"), col("y").as("dst")),
-        struct(col("y").as("src"), col("x").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val shares = wp
+      .select(col("x").as("src"), col("y").as("dst"))
       .join(broadcast(deg), "src")
       .select(col("src"), col("dst"), col("deg"))
       .localCheckpoint(true, sharesLevel)

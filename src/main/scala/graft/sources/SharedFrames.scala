@@ -50,4 +50,12 @@ object SharedFrames {
   /** Drop every cached frame of this session. */
   def clear(spark: SparkSession): Unit =
     cache.keys.filter(_._1 eq spark).foreach(cache.remove)
+
+  /** Drop ONE cached frame for this session — maintenance operations
+    * (e.g. an EdgeStore republish) call this so a long-lived session
+    * never serves a frame whose resolved file listing predates the
+    * refresh (the r8 ADVICE staleness bug).
+    */
+  def remove(spark: SparkSession, key: String): Unit =
+    cache.remove((spark, key))
 }

@@ -93,6 +93,55 @@ class EdgeStoreSpec extends SparkTestBase {
       s"expected ${EdgeStore.NumBuckets} bucket files, got ${files.length}")
   }
 
+  test("weighted planes equal the inline distinct-basket builds, row-for-row") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey")
+    val dli = li.distinct()
+    // basket-distinct pair supports (the statistics-consumer convention)
+    val inlineWd = dli.as("x").join(dli.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("wd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val storedWd = EdgeStore.weighted(spark, sf)
+      .filter(col("x") < col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(storedWd == inlineWd, "wd plane diverged from the inline distinct build")
+    // raw line-pair supports (the graph-consumer convention) must
+    // DIFFER from wd exactly on duplicate-(order, part) line groups —
+    // pinning that both conventions are really carried
+    val storedW = EdgeStore.weighted(spark, sf)
+      .filter(col("x") < col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(storedW.forall { case (k, w) => w >= inlineWd(k) },
+      "raw support below basket-distinct support")
+    // per-part distinct-order counts and the total order count
+    val inlineParts = dli.groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val storedParts = EdgeStore.parts(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedParts == inlineParts, "parts plane diverged")
+    val inlineN = li.select("l_orderkey").distinct().count()
+    assert(EdgeStore.norders(spark, sf).collect().head.getLong(0) == inlineN,
+      "order-count plane diverged")
+  }
+
+  test("statistics consumers never scan lineitem (the r9 no-rebuild pin)") {
+    Seq("copurchase_pairs", "lift_rules").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("lineitem"),
+        s"$q re-paid the corpus-sized basket self-join:\n${p.take(1500)}")
+      assert(p.contains("graft_wpairs"), s"$q did not read the weighted store")
+    }
+    // pagerank's RETURNED plan reads only its final rank checkpoint
+    // (lineage cut, the kcore shape) — pin the no-lineitem property
+    // on the shares/degree derivation instead
+    val wp = EdgeStore.weighted(spark, sf)
+    assert(!wp.queryExecution.executedPlan.toString.contains("lineitem"))
+  }
+
   test("appendOrders == full rebuild; replay-safe; compaction-invariant") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     // split by ORDER (lines of one order share l_orderkey, so each
@@ -117,13 +166,96 @@ class EdgeStoreSpec extends SparkTestBase {
     // compaction folds deltas into the base without touching the
     // published adjacency
     EdgeStore.compact(spark, dirA)
-    assert(!new java.io.File(s"${EdgeStore.storePath(dirA)}/deltas").exists(),
-      "compaction left the delta directory")
+    val dd = new java.io.File(s"${EdgeStore.storePath(dirA)}/deltas")
+    assert(!dd.exists() ||
+      dd.listFiles().forall(f => !f.getName.startsWith("ingest_batch=")),
+      "compaction left folded delta partitions")
     assert(und(dirA) == truth, "compaction changed the adjacency")
+    // a replayed FOLDED batch must be a no-op (the per-namespace
+    // watermark — the r8 ADVICE compaction-under-streaming bug)
+    EdgeStore.appendOrders(spark, dirA, half2, batchId = 1L)
+    assert(und(dirA) == truth, "replay of a folded batch double-counted")
     // and the pair base alone now carries the merged supports: a
     // fresh append on top of the compacted base still agrees
     EdgeStore.appendOrders(spark, dirA, half2.limit(0), batchId = 2L)
     assert(und(dirA) == truth, "post-compaction append diverged")
+  }
+
+  test("compaction crash windows: prepare-only, commit-without-gc, torn pointer") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val half1 = li.filter(col("l_orderkey") % 2 === 0)
+    val half2 = li.filter(col("l_orderkey") % 2 === 1)
+    val dirC = java.nio.file.Files.createTempDirectory("graft_edges_crash").toString
+    half1.write.mode("overwrite").parquet(s"$dirC/lineitem.parquet")
+    def und(d: String): Seq[(Long, Long)] =
+      EdgeStore.undirected(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    EdgeStore.ensure(spark, dirC)
+    EdgeStore.appendOrders(spark, dirC, half2, batchId = 1L)
+    val truth = und(sf)
+    assert(und(dirC) == truth)
+    val root = EdgeStore.storePath(dirC)
+    // window A: crash AFTER prepare (new epoch fully written, pointer
+    // still old) — nothing observable changes, and re-running the
+    // compaction just overwrites the orphaned epoch
+    val next = EdgeStore.compactPrepare(spark, dirC).get
+    assert(und(dirC) == truth, "prepare changed observable state")
+    val next2 = EdgeStore.compactPrepare(spark, dirC).get
+    assert(next2 == next, "re-prepared compaction diverged")
+    // window B: crash AFTER commit, BEFORE gc — folded deltas still
+    // on disk are ignored by watermark: no double count, no throw
+    EdgeStore.compactCommit(spark, dirC, next2)
+    assert(und(dirC) == truth, "folded deltas double-counted after commit")
+    EdgeStore.appendOrders(spark, dirC, half2, batchId = 1L)
+    assert(und(dirC) == truth, "replay of a folded batch re-applied")
+    // window C: torn pointer swap — CURRENT deleted, complete tmp
+    // left behind; the next open must promote it
+    val cur = new java.io.File(s"$root/CURRENT")
+    val tmp = new java.io.File(s"$root/CURRENT.tmp")
+    java.nio.file.Files.copy(cur.toPath, tmp.toPath)
+    assert(cur.delete())
+    assert(und(dirC) == truth, "torn pointer swap not recovered")
+    assert(cur.exists() && !tmp.exists(), "recovery did not promote the tmp pointer")
+    // and the gc retry leaves a clean, still-correct store
+    EdgeStore.compactGc(spark, dirC)
+    assert(und(dirC) == truth, "gc retry changed the adjacency")
+  }
+
+  test("ad-hoc and streaming id spaces are disjoint and both fold correctly") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val dirD = java.nio.file.Files.createTempDirectory("graft_edges_ids").toString
+    li.filter(col("l_orderkey") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$dirD/lineitem.parquet")
+    def und(d: String): Seq[(Long, Long)] =
+      EdgeStore.undirected(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    EdgeStore.ensure(spark, dirD)
+    // an ad-hoc append (auto id, AdHocIdBase space) and a
+    // streaming-style append (small explicit id) must coexist
+    EdgeStore.appendOrders(spark, dirD, li.filter(col("l_orderkey") % 3 === 1))
+    EdgeStore.appendOrders(spark, dirD, li.filter(col("l_orderkey") % 3 === 2),
+      batchId = 1L)
+    val truth = und(sf)
+    assert(und(dirD) == truth, "mixed-namespace appends diverged")
+    def commitIds(): Seq[Long] =
+      new java.io.File(s"${EdgeStore.storePath(dirD)}/deltas_commits")
+        .listFiles().flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+        .toSeq.sorted
+    val commits = commitIds()
+    assert(commits == Seq(1L, EdgeStore.AdHocIdBase + 1L),
+      s"unexpected id assignment: $commits")
+    // compaction folds BOTH namespaces; replays of either are no-ops
+    EdgeStore.compact(spark, dirD)
+    EdgeStore.appendOrders(spark, dirD, li.filter(col("l_orderkey") % 3 === 2),
+      batchId = 1L)
+    assert(und(dirD) == truth, "folded streaming replay re-applied")
+    // a NEW ad-hoc append keeps advancing past the folded watermark
+    // (empty batch: id accounting only)
+    EdgeStore.appendOrders(spark, dirD, li.limit(0))
+    val commits2 = commitIds()
+    assert(commits2.contains(EdgeStore.AdHocIdBase + 2L),
+      s"ad-hoc id did not advance past the folded watermark: $commits2")
+    assert(und(dirD) == truth, "empty ad-hoc append changed the adjacency")
   }
 
   test("streamingAppend maintains the adjacency exactly-once across micro-batches") {
