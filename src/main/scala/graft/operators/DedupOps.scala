@@ -150,8 +150,19 @@ object DedupOps {
     * the property that keeps CC input linear in corpus size.
     * Output: (lang, a_id = bucket rep, b_id).
     */
-  def nearDupRepEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sk = docSketches(docs)
+  def nearDupRepEdges(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    nearDupRepEdgesFromSketches(docSketches(docs), threshold)
+
+  /** [[nearDupRepEdges]] starting from an ALREADY-SKETCHED frame —
+    * the [[SketchStore]] probe path: the corpus-sized explode +
+    * 64-min aggregate happened once at ingest, and candidate
+    * generation + exact verify start from the persisted doc-grain
+    * rows. Null-signature rows (token-less docs, present in the
+    * store by contract) collide only among themselves and die at the
+    * exact verify, so results are row-identical to the inline build.
+    */
+  def nearDupRepEdgesFromSketches(sk: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
     val cands = dedupCandidates(sk)
     val aSide = sk.select(col("doc_id").as("a_id"), col("hs").as("a_hs"), col("n_tok").as("n_a"))
     val bSide = sk.select(col("doc_id").as("b_id"), col("hs").as("b_hs"), col("n_tok").as("n_b"))
@@ -173,6 +184,13 @@ object DedupOps {
       .select(col("lang"), col("b_id").as("doc_id"))
       .distinct()
 
+  /** [[nearDupKillList]] from persisted [[SketchStore]] rows. */
+  def nearDupKillListFromSketches(sk: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    nearDupRepEdgesFromSketches(sk, threshold)
+      .select(col("lang"), col("b_id").as("doc_id"))
+      .distinct()
+
   /** Declared query `near_dup_minhash` (rows-only check; probabilistic
     * recall is asserted against the exact ground truth in
     * MinhashRecallSpec): per-lang corpus size vs verified near-dup
@@ -180,11 +198,10 @@ object DedupOps {
     * that #32 cannot do.
     */
   def nearDupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), tokensCol.as("toks"))
-    val kills = nearDupKillList(docs)
+    val sk = SketchStore.sketches(spark, dir)
+    val kills = nearDupKillListFromSketches(sk)
       .groupBy("lang").agg(count(lit(1)).as("n_near_dup_docs"))
-    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    sk.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .join(kills, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"),
         coalesce(col("n_near_dup_docs"), lit(0L)).as("n_near_dup_docs"))
@@ -225,11 +242,19 @@ object DedupOps {
     * common-vocabulary corpus would pile into few buckets).
     */
   def containmentLshPairs(docs: DataFrame, t: Double = 0.9,
+      aMinTok: Int = 20): DataFrame =
+    containmentLshPairsFromSketches(docSketches(docs), t, aMinTok)
+
+  /** [[containmentLshPairs]] starting from an already-sketched frame
+    * (the [[SketchStore]] probe path — the ensemble reuses the ONE
+    * persisted K=64 signature; strata derive from the stored n_tok).
+    */
+  def containmentLshPairsFromSketches(sketched: DataFrame, t: Double = 0.9,
       aMinTok: Int = 20): DataFrame = {
     import graft.operators.Checkpoints._
     val r = 2
     val bands2 = K / r // 32 bands of 2 rows
-    val sk = docSketches(docs)
+    val sk = sketched
       .withColumn("stratum", (length(bin(col("n_tok"))) - 1).cast("int"))
       .cut() // scanned by two key frames + both verify sides
     // A-side eligibility (|A| ≥ aMinTok distinct tokens) and the
@@ -321,9 +346,7 @@ object DedupOps {
     * unbounded twin `containment_pairs`' scaladoc promised.
     */
   def containmentLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), tokensCol.as("toks"))
-    containmentLshPairs(docs)
+    containmentLshPairsFromSketches(SketchStore.sketches(spark, dir))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_contained_pairs"),
         graft.functions.Det.r4(avg(col("cont"))).as("avg_containment"))

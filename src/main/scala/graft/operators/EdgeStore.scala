@@ -201,7 +201,8 @@ object EdgeStore {
 
   private def mergedPairs(spark: SparkSession, root: String, p: Pointer,
       ids: Seq[Long]): DataFrame = {
-    val base = spark.read.parquet(s"$root/base/epoch=${p.epoch}/pairs")
+    val base = spark.read.schema("a BIGINT, b BIGINT, w BIGINT, wd BIGINT")
+      .parquet(s"$root/base/epoch=${p.epoch}/pairs")
     deltaPlane(spark, s"$root/deltas",
         "a BIGINT, b BIGINT, w BIGINT, wd BIGINT, ingest_batch BIGINT",
         Seq("a", "b", "w", "wd"), ids)
@@ -212,7 +213,8 @@ object EdgeStore {
 
   private def mergedParts(spark: SparkSession, root: String, p: Pointer,
       ids: Seq[Long]): DataFrame = {
-    val base = spark.read.parquet(s"$root/base/epoch=${p.epoch}/parts")
+    val base = spark.read.schema("part BIGINT, c BIGINT")
+      .parquet(s"$root/base/epoch=${p.epoch}/parts")
     deltaPlane(spark, s"$root/deltas_parts",
         "part BIGINT, c BIGINT, ingest_batch BIGINT", Seq("part", "c"), ids)
       .map(d => base.unionByName(d).groupBy("part").agg(sum("c").as("c")))
@@ -221,7 +223,8 @@ object EdgeStore {
 
   private def mergedMeta(spark: SparkSession, root: String, p: Pointer,
       ids: Seq[Long]): DataFrame = {
-    val base = spark.read.parquet(s"$root/base/epoch=${p.epoch}/meta")
+    val base = spark.read.schema("n BIGINT")
+      .parquet(s"$root/base/epoch=${p.epoch}/meta")
     deltaPlane(spark, s"$root/deltas_meta",
         "n BIGINT, ingest_batch BIGINT", Seq("n"), ids)
       .map(d => base.unionByName(d).agg(sum("n").as("n")))
@@ -263,7 +266,8 @@ object EdgeStore {
         col("e.w").as("w"), col("e.wd").as("wd"))
     writeBucketed(spark, weightedTableName(dir), s"$root/wpairs", sym)
     writeBucketed(spark, tableName(dir), s"$root/und",
-      spark.read.parquet(s"$root/wpairs")
+      spark.read.schema("x BIGINT, y BIGINT, w BIGINT, wd BIGINT")
+        .parquet(s"$root/wpairs")
         .filter(col("w") >= 2).select("x", "y"))
     mergedParts(spark, root, p, ids)
       .write.mode("overwrite").parquet(s"$root/parts_pub")
@@ -488,12 +492,12 @@ object EdgeStore {
   /** Per-part distinct-order counts (part, c) — part-dimension-sized. */
   def parts(spark: SparkSession, dir: String): DataFrame = {
     val root = ensure(spark, dir)
-    spark.read.parquet(s"$root/parts_pub")
+    spark.read.schema("part BIGINT, c BIGINT").parquet(s"$root/parts_pub")
   }
 
   /** Total distinct-order count as a 1-row (n) frame. */
   def norders(spark: SparkSession, dir: String): DataFrame = {
     val root = ensure(spark, dir)
-    spark.read.parquet(s"$root/meta_pub")
+    spark.read.schema("n BIGINT").parquet(s"$root/meta_pub")
   }
 }

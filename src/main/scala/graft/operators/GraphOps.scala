@@ -229,9 +229,8 @@ object GraphOps {
     * driver-side beyond CC's changed-count LIMIT 1.
     */
   def lshDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
-    val edges = DedupOps.nearDupRepEdges(docs)
+    val edges = DedupOps.nearDupRepEdgesFromSketches(
+      SketchStore.sketches(spark, dir))
       .select(col("lang").as("part"), col("a_id").as("a"), col("b_id").as("b"))
     val clusters = connectedComponents(edges)
       .groupBy(col("part"), col("lbl"))

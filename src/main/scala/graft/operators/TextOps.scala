@@ -468,9 +468,8 @@ object TextOps {
     */
   def curateCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lshDocs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
-    val kills = DedupOps.nearDupKillList(lshDocs).select("doc_id")
+    val kills = DedupOps.nearDupKillListFromSketches(
+      SketchStore.sketches(spark, dir)).select("doc_id")
     val q = lit(0.5) * least(col("n_chars"), lit(400)) / lit(400.0) +
       lit(0.5) * stopCount(Seq("the", "a", "and", "of", "to")) / size(toks)
     val bucket = (instr(lit("0123456789abcdef"),
@@ -924,9 +923,10 @@ object TextOps {
     * O(batch ⋈ store-index), never O(corpus²)).
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("h", md5(concat_ws(" ",
-        array_sort(array_distinct(split(lower(col("text")), " "))))))
+    // probes the persisted SketchStore: `bag_h` IS the stored
+    // fingerprint column, so the nightly query never touches text
+    val docs = SketchStore.sketches(spark, dir)
+      .select(col("doc_id"), col("lang"), col("bag_h").as("h"))
       .withColumn("bucket", (instr(lit("0123456789abcdef"),
         substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
         .cast("int"))
