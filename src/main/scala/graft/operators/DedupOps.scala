@@ -338,18 +338,126 @@ object DedupOps {
       .select("lang", "a_id", "b_id", "cont")
   }
 
+  /** OUTPUT-LINEAR containment audit (the r8 verdict's #5 reshape of
+    * the `containment_lsh` report): instead of ENUMERATING every
+    * verified directed-containment pair — Θ(n²) on a template-heavy
+    * closed-vocabulary corpus (1.6 M true pairs at sf0.1, and the
+    * in-bucket pair join that finds them was 13 of the query's 20 s)
+    * — answer the DOC-grain question a curation pipeline actually
+    * acts on: *is doc A contained in some other doc, and which one?*
+    *
+    * The star-candidate trick ([[dedupCandidates]]) adapted to
+    * DIRECTED containment: within each (lang, band, bucket, stratum)
+    * LSH bucket, only the top-[[ContainmentWitnesses]] docs by
+    * (n_tok desc, doc_id) — the docs most able to CONTAIN others —
+    * stand as candidate witnesses, and every eligible doc pairs with
+    * the witnesses of its own and adjacent strata (near lane) or of
+    * strata ≥ 2 above (far lane, singleton bands). Candidate volume
+    * is ≤ witnesses × band keys — LINEAR in corpus size; the
+    * quadratic in-bucket pair join is gone. Each candidate is still
+    * EXACT-verified on the token-hash sets, so a flagged doc is
+    * contained with probability 1 (precision 1.0 by construction);
+    * a contained doc is flagged when ANY of its ≤ witnesses × bands
+    * candidates verifies — ContainmentLshSpec measures that doc-level
+    * recall vs the exact all-pairs truth (≥ 0.95 on the fixture)
+    * alongside the retained pair-level lane
+    * ([[containmentLshPairsFromSketches]], the exact ground-truth
+    * path the spec still exercises in full).
+    *
+    * Output per (lang, a_id): the best witness and its containment.
+    */
+  def containmentAuditPerDoc(sketched: DataFrame, t: Double = 0.9,
+      aMinTok: Int = 20, witnesses: Int = ContainmentWitnesses): DataFrame = {
+    import graft.operators.Checkpoints._
+    import org.apache.spark.sql.expressions.Window
+    val r = 2
+    val bands2 = K / r
+    val sk = sketched
+      .withColumn("stratum", (length(bin(col("n_tok"))) - 1).cast("int"))
+      .cut()
+    val keys2 = sk.select(col("doc_id"), col("lang"), col("stratum"),
+      col("n_tok"),
+      posexplode(array((0 until bands2).map { b =>
+        xxhash64(lit(b) +: (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)
+      }: _*)).as(Seq("band", "bucket")))
+    val wByBucket = Window
+      .partitionBy("lang", "band", "bucket", "stratum")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    def topWitnesses(keys: DataFrame): DataFrame =
+      keys.withColumn("rk", row_number().over(wByBucket))
+        .filter(col("rk") <= witnesses)
+        .select(col("lang"), col("band"), col("bucket"),
+          col("doc_id").as("b_id"), col("n_tok").as("n_b_key"),
+          col("stratum").as("b_stratum"))
+    // near lane: same/adjacent stratum witnesses off the 32x2 bands
+    val nearCands = keys2.filter(col("n_tok") >= aMinTok).as("l")
+      .join(topWitnesses(keys2).as("r"), Seq("lang", "band", "bucket"))
+      .filter(col("l.doc_id") =!= col("b_id") &&
+        abs(col("l.stratum") - col("b_stratum")) <= 1 &&
+        col("n_b_key") >= lit(t) * col("l.n_tok"))
+      .select(col("lang"), col("l.doc_id").as("a_id"), col("b_id"))
+    // far lane: singleton bands, witnesses >= 2 strata up (the LSH
+    // Ensemble geometry — J falls toward t/rho, so only per-row
+    // collisions can catch it)
+    val minAStratum = 31 - Integer.numberOfLeadingZeros(aMinTok)
+    def keys1(frame: DataFrame): DataFrame =
+      frame.select(col("doc_id"), col("lang"), col("stratum"), col("n_tok"),
+        posexplode(array((0 until K).map(i =>
+          xxhash64(lit(1000 + i), col(s"m$i"))): _*))
+          .as(Seq("band", "bucket")))
+    val farCands = keys1(sk.filter(col("n_tok") >= aMinTok)).as("l")
+      .join(topWitnesses(keys1(sk.filter(col("stratum") >= minAStratum + 2))).as("r"),
+        Seq("lang", "band", "bucket"))
+      .filter(col("b_stratum") - col("l.stratum") >= 2)
+      .select(col("lang"), col("l.doc_id").as("a_id"), col("b_id"))
+    val cands = nearCands.unionAll(farCands).distinct()
+    val aSide = sk.filter(col("n_tok") >= aMinTok)
+      .select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+        col("n_tok").as("n_a"))
+    val bSide = sk.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
+      col("n_tok").as("n_b"))
+    cands.join(aSide, "a_id").join(bSide, "b_id")
+      .filter(col("n_b") * lit(1.0) >= lit(t) * col("n_a"))
+      .withColumn("cont",
+        size(array_intersect(col("a_hs"), col("b_hs"))) * lit(1.0) / col("n_a"))
+      .filter(col("cont") >= t)
+      .groupBy("lang", "a_id")
+      .agg(max_by(col("b_id"), struct(col("cont"), -col("b_id"))).as("witness_id"),
+        max("cont").as("max_cont"),
+        count(lit(1)).as("n_witnesses"))
+  }
+
+  /** Default witness fan-out per LSH bucket stratum — 8 gives
+    * doc-level recall ≥ 0.95 on the fixture (ContainmentLshSpec)
+    * while keeping candidates ≤ 8 × band keys.
+    */
+  val ContainmentWitnesses = 8
+
   /** Declared query `containment_lsh` (rows-only; ContainmentLshSpec
-    * pins recall ≥ 0.85 and precision 1.0 vs the exact all-pairs
-    * ground truth, plus candidate-volume sanity): per-lang count and
-    * mean of verified directed-containment pairs (C ≥ 0.9, |A| ≥ 20
-    * distinct tokens) over the ENTIRE corpus — the executable
-    * unbounded twin `containment_pairs`' scaladoc promised.
+    * pins doc-level recall and precision 1.0 vs the exact all-pairs
+    * ground truth, and pair-level recall ≥ 0.85 on the retained
+    * enumeration lane): the per-lang CONTAINMENT AUDIT — of the docs
+    * with ≥ 20 distinct tokens, how many are contained (C ≥ 0.9) in
+    * some other same-lang doc, with the average best-witness
+    * containment. The output-linear reshape of the old Θ(n²) pair
+    * enumeration (see [[containmentAuditPerDoc]]); the doc-grain
+    * numbers are what a dedup/decontamination pass acts on.
     */
   def containmentLsh(spark: SparkSession, dir: String): DataFrame = {
-    containmentLshPairsFromSketches(SketchStore.sketches(spark, dir))
+    val sk = SketchStore.sketches(spark, dir)
+    val audit = containmentAuditPerDoc(sk)
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_contained_pairs"),
-        graft.functions.Det.r4(avg(col("cont"))).as("avg_containment"))
+      .agg(count(lit(1)).as("n_contained_docs"),
+        graft.functions.Det.r4(avg(col("max_cont"))).as("avg_best_containment"))
+    sk.filter(col("n_tok") >= 20)
+      .groupBy("lang").agg(count(lit(1)).as("n_eligible_docs"))
+      .join(audit, Seq("lang"), "left")
+      .select(col("lang"), col("n_eligible_docs"),
+        coalesce(col("n_contained_docs"), lit(0L)).as("n_contained_docs"),
+        graft.functions.Det.r4(coalesce(col("n_contained_docs"), lit(0L)) *
+          lit(100.0) / col("n_eligible_docs")).as("pct_contained"),
+        coalesce(col("avg_best_containment"), lit(0.0))
+          .as("avg_best_containment"))
       .orderBy("lang")
   }
 

@@ -64,16 +64,18 @@ object Tables {
     * don't silently inherit it (round-3 verdict note #2).
     */
   val SketchPerfConfs: Map[String, String] = Map(
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
-    // r8, for the bucketed edge store (EdgeStore writes one file per
-    // bucket, SORTED BY the bucket key): expose the recorded sort
-    // order on bucketed scans so partition-keyed windows and SMJs
-    // skip their per-partition Sort. Spark gates this behind a
-    // default-off flag (SPARK-28232: multi-file buckets would need a
-    // read-time merge-sort); with exactly one file per bucket the
-    // order is free, and Spark itself re-checks the one-file
-    // precondition before trusting it.
-    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536")
+  // The r8 addition `spark.sql.legacy.bucketedTableScan.outputOrdering
+  // =true` (expose the edge store's SORTED BY order so partition-keyed
+  // windows/SMJs skip their per-partition Sort) was REMOVED in r9: the
+  // r8 verdict's A/B and our own (BASELINE round-9) both measure it
+  // neutral end-to-end at this graph size — the support graph is ~4k
+  // edges at every SF, so the elided Sort is sub-millisecond, and the
+  // r8 capped-recs gain it was credited with actually came from the
+  // window-fold of the hub cap. A deployment whose edge stores reach
+  // millions of rows per bucket can re-add the conf per session; a
+  // global legacy knob that buys nothing measurable here should not
+  // ride along in every graft session.
 
   def configureSketchPerf(spark: SparkSession): Unit =
     SketchPerfConfs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -74,7 +74,12 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("dedup sketch aggregation is a hash aggregate over exploded tokens (no HOF signature)") {
-    val p = plan("near_dup_minhash")
+    // r9: the signature aggregate moved to the SketchStore BUILD
+    // (ingest DDL) — audit the build plan; the query side is pinned
+    // store-probing (no documents scan) in SketchStoreSpec
+    val p = graft.operators.SketchStore.sketchRows(
+        graft.sources.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"), "sketches must be hash aggregates")
     assert(p.contains("Generate explode"), "token explode missing")
   }
@@ -351,7 +356,12 @@ class PlanAuditSpec extends SparkTestBase {
     // report agg (the r6 perf rework split the lanes: A/B-eligibility
     // pushed into both key frames, orientation expansion after the
     // dedup — 57.6 -> 15.7 s at sf0.1 with identical output)
-    "containment_lsh" -> 5,
+    // r9 audit reshape: witness windows need their own (lang, band,
+    // bucket, stratum) partitioning (a strict superset of the join
+    // key, so the probe re-partitions), and the doc-grain rollup +
+    // eligible-count join add two more — all seven carry band-key or
+    // doc-grain volume, never in-bucket pairs
+    "containment_lsh" -> 7,
     // r5 linear interpolation: locf's rollup shape + one partitioned
     // Window exchange for the four neighbor frames + sort
     "interp_impute" -> 4,
@@ -934,6 +944,10 @@ class PlanAuditSpec extends SparkTestBase {
     // r7: the 1-row 51st-degree threshold; r8: its degree frame now
     // reads the persisted bucketed edge store, not a cut frame
     "hill_tail_index" -> Set("[edge-store]"),
+    // r9: the 1-ROW maintained order-count frame (meta_pub) lives
+    // under the store root, so it carries the [edge-store] tag; it is
+    // bounded by construction (a single grand total)
+    "lift_rules" -> Set("[edge-store]"),
     // r7: 1-row corpus totals off the cut token-count frame
     "token_drift_movers" -> Set("[cut-frame]"),
     // r7: type-grain totals frames for the histogram order stats

@@ -328,4 +328,32 @@ class ContainmentLshSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "containment_lsh degenerated to an all-pairs join")
   }
+
+  test("containment audit: doc-level precision 1.0 and recall >= 0.95 vs exact truth") {
+    // exact doc-grain truth: docs with >= 1 true container
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), DedupOps.tokensCol.as("toks"))
+    val t = docs.select(col("doc_id"), col("lang"), col("toks"),
+      size(col("toks")).as("n"))
+    val a = t.filter(col("n") >= 20)
+      .select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_ws"),
+        col("n").as("n_a"))
+    val b = t.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+      col("toks").as("b_ws"))
+    val truthDocs = a.join(b,
+        col("lang") === col("b_lang") && col("a_id") =!= col("b_id"))
+      .filter(size(array_intersect(col("a_ws"), col("b_ws"))) * lit(1.0) /
+        col("n_a") >= 0.9)
+      .select("a_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(truthDocs.nonEmpty, "ground truth is empty — fixture changed?")
+    val flagged = DedupOps.containmentAuditPerDoc(
+        graft.operators.SketchStore.sketches(spark, sf))
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    assert((flagged -- truthDocs).isEmpty,
+      s"audit false positives (exact verify broken?): ${(flagged -- truthDocs).take(5)}")
+    val recall = (flagged & truthDocs).size.toDouble / truthDocs.size
+    assert(recall >= 0.95,
+      s"doc-level recall $recall < 0.95 (|truth|=${truthDocs.size}, |flagged|=${flagged.size})")
+  }
 }
