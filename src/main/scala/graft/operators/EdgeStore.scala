@@ -304,12 +304,25 @@ object EdgeStore {
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val root = storePath(dir)
     val f = fs(spark, root)
+    // source-regeneration guard: same dir path, different lineitem
+    // data (file listing stamp) ⇒ wipe and rebuild rather than serve
+    // the old corpus's derived planes
+    val d = if (dir.endsWith("/")) dir.dropRight(1) else dir
+    val stamp = StoreProtocol.sourceStamp(f, s"$d/lineitem.parquet")
+    if (StoreProtocol.stampChanged(f, root, stamp))
+      f.delete(new Path(root), true)
+    else if (f.exists(new Path(s"$root/CURRENT")) &&
+        !f.exists(new Path(s"$root/SOURCE")))
+      // pre-stamp store: adopt the current stamp so future in-place
+      // regenerations are detected from now on
+      StoreProtocol.writeStamp(f, root, stamp)
     readPointer(f, root) match {
       case Some(p) if f.exists(new Path(s"$root/base/epoch=${p.epoch}/pairs/_SUCCESS")) =>
         if (!publishedComplete(f, root)) publish(spark, dir)
       case _ =>
         val li = Tables.lineitem(spark, dir)
         writeBase(spark, root, 1L, pairCounts(li), partCounts(li), orderCounts(li))
+        StoreProtocol.writeStamp(f, root, stamp)
         writePointer(f, root, Pointer(1L, 0L, AdHocIdBase))
         publish(spark, dir)
     }

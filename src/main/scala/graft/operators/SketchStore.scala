@@ -105,11 +105,23 @@ object SketchStore {
   def ensure(spark: SparkSession, dir: String): String = synchronized {
     val root = storePath(dir)
     val f = fs(spark, root)
+    // source-regeneration guard (the StoreProtocol stamp): documents
+    // regenerated in place ⇒ wipe and rebuild
+    val d = if (dir.endsWith("/")) dir.dropRight(1) else dir
+    val stamp = StoreProtocol.sourceStamp(f, s"$d/documents.parquet")
+    if (StoreProtocol.stampChanged(f, root, stamp))
+      f.delete(new Path(root), true)
+    else if (f.exists(new Path(s"$root/CURRENT")) &&
+        !f.exists(new Path(s"$root/SOURCE")))
+      // pre-stamp store: adopt the current stamp so future in-place
+      // regenerations are detected from now on
+      StoreProtocol.writeStamp(f, root, stamp)
     val ok = readPointer(f, root).exists(p =>
       f.exists(new Path(s"$root/base/epoch=${p.epoch}/sketches/_SUCCESS")))
     if (!ok) {
       sketchRows(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(s"$root/base/epoch=1/sketches")
+      StoreProtocol.writeStamp(f, root, stamp)
       writePointer(f, root, StoreProtocol.Initial)
     }
     root

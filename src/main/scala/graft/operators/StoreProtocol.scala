@@ -147,6 +147,56 @@ private[graft] object StoreProtocol {
   def nextAdHocId(f: FileSystem, root: String, p: Pointer): Long =
     (committedIds(f, root).filter(_ >= AdHocIdBase) :+ p.foldedAdHoc).max + 1L
 
+  /** Fingerprint of a source dataset's FILE LISTING (sorted path,
+    * length, mtime — no data read): the cheap stand-in for a table
+    * snapshot id. A store records the stamp of the source it was
+    * built from; [[stampChanged]] at open detects a source that was
+    * REGENERATED IN PLACE (same dir path, different data) so the
+    * store rebuilds instead of silently serving derived state of the
+    * old corpus — the in-place twin of the dir-aliasing bug
+    * [[storeKey]] closes. Append APIs add data through the store, not
+    * by mutating the source dir, so maintenance leaves the stamp
+    * valid.
+    */
+  def sourceStamp(f: FileSystem, src: String): String = {
+    val p = new Path(src)
+    val parts =
+      if (!f.exists(p)) Seq("absent")
+      else {
+        val it = f.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.getPath.getName.startsWith("."))
+            buf += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        }
+        buf.sorted.toSeq
+      }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** True when the recorded stamp exists and differs from `stamp` —
+    * the rebuild trigger. A missing record (fresh store, or pre-stamp
+    * layout) is NOT a change; the build writes the record.
+    */
+  def stampChanged(f: FileSystem, root: String, stamp: String): Boolean = {
+    val rec = new Path(s"$root/SOURCE")
+    if (!f.exists(rec)) false
+    else {
+      val in = f.open(rec)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt != stamp
+    }
+  }
+
+  def writeStamp(f: FileSystem, root: String, stamp: String): Unit = {
+    val out = f.create(new Path(s"$root/SOURCE"), true)
+    try out.write(stamp.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Garbage-collect unreferenced state: stale base epochs, folded
     * delta partitions under each of `deltaSubs`, trimmed commit
     * markers. Best-effort by design (a crash here leaves garbage the

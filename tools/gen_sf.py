@@ -39,8 +39,16 @@ REGIONS = ['AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST']
 
 def write(out, name, table):
     # version 2.6 keeps TIMESTAMP(NANOS) physical for events.ts,
-    # matching the driver fixture's layout quirk
-    pq.write_table(table, f'{out}/{name}.parquet', version='2.6')
+    # matching the driver fixture's layout quirk.
+    # row_group_size: pyarrow's default writes ONE giant row group per
+    # table, and Spark can only split parquet at row-group boundaries —
+    # so every scan of a big-SF fixture ran as a single task no matter
+    # the split size (measured: vocab_growth at sf10 had run_ms == wall,
+    # parallelism 1.0). 16k-row groups restore the many-splits reality
+    # of production data (real corpora arrive as many files anyway);
+    # small-SF fixtures are unaffected (they fit one group regardless).
+    pq.write_table(table, f'{out}/{name}.parquet', version='2.6',
+                   row_group_size=16384)
     print(f'  {name}: {table.num_rows} rows')
 
 
