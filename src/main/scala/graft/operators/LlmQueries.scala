@@ -209,15 +209,24 @@ object LlmQueries {
   def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
     val ws = filter(split(col("text"), " "), t => t =!= "")
     val d = Tables.documents(spark, dir).select(ws.as("ws"))
+    // r9: bigram construction via arrays_zip(slice, slice) — a fully
+    // codegen'd expression chain — instead of a transform() lambda:
+    // higher-order functions run interpreted with per-element boxing
+    // (the docSketches lesson), and this scan-side kernel IS the
+    // query's cost at scale (sf10 executor time 105 -> 33 s)
     val bg = d.filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(element_at(ws, i) as x, element_at(ws, i + 1) as y))"))
-        .as("p"))
-      .select(col("p.x").as("x"), col("p.y").as("y"))
-    val bc = bg.groupBy("x", "y").agg(count(lit(1)).as("cb"))
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("p").getField("0").as("x"), col("p").getField("1").as("y"))
+    // model frames are VOCABULARY-grain (hundreds of rows) but their
+    // lineage is a corpus explode — cut so the totals and the two
+    // join probes below reuse ONE materialization instead of
+    // re-exploding the corpus per consumer (sf10: four corpus passes
+    // became two; 5.2 -> ~2.6 s)
+    val bc = bg.groupBy("x", "y").agg(count(lit(1)).as("cb")).cut()
     val uc = d.select(explode(col("ws")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("cu"))
+      .groupBy("t").agg(count(lit(1)).as("cu")).cut()
     val t1 = uc.agg(sum("cu").as("t1"))
     val t2 = bc.agg(sum("cb").as("t2"))
     bc
@@ -547,9 +556,13 @@ object LlmQueries {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', slice(t, i, 2)))"))
-        .as("g"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
+      // codegen'd pair explode (no HOF lambda — see bigramPmi); the
+      // bigram string forms AFTER the explode, still scan-side
+      .select(col("doc_id"),
+        concat_ws(" ", col("p").getField("0"), col("p").getField("1")).as("g"))
     val nb = bg.groupBy("g").agg(expr("min(doc_id) div 50").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("new_bigrams"))
     val buckets = Tables.documents(spark, dir)
@@ -807,12 +820,11 @@ object LlmQueries {
         filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("source"),
-        explode(zip_with(
+        explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("bg"))
       .select(col("doc_id"), col("source"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
     // one (w1,w2)-grain model; prefix totals + vocab derive from IT
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")).cut()
     val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
@@ -864,12 +876,11 @@ object LlmQueries {
         filter(split(col("text"), " "), w => w =!= "").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), col("source"),
-        explode(zip_with(
+        explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("bg"))
       .select(col("doc_id"), col("source"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
     val c2full = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")).cut()
     // model = the repeated-transition slice; denominators stay full
     val c2 = c2full.filter(col("n2") >= 2)
