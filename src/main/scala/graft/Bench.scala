@@ -29,6 +29,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     val spark = builder.getOrCreate()
+    // A/B hook for session-conf experiments (e.g. the r9 sorted-bucket
+    // flag measurement): SPARK_GRAFT_EXTRA_CONFS="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     spark.sparkContext.setLogLevel("WARN")
     // Self-diagnosis counters (r6 verdict #6): a contended host shows
     // up as shuffle SPILL under memory pressure — record per-query

@@ -105,9 +105,12 @@ object EdgeStore {
   /** Bump when the stored FORMAT changes (schema, bucketing, support
     * floor, layout) — a persisted store from older code must never be
     * reused. v3: dual-convention pair supports + part/order-count
-    * planes + epoch/pointer maintenance protocol.
+    * planes + epoch/pointer maintenance protocol; v4: the published
+    * weighted adjacency carries the source node's degree (`deg_x`) so
+    * iterative consumers read a self-contained vectorized scan — no
+    * per-iteration degree join, no row-serialized checkpoint.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   /** Bucket count: matches the bench session's 32 threads so a full
     * probe scan is width-parallel; bucketed joins don't require it to
@@ -264,9 +267,16 @@ object EdgeStore {
         struct(col("b").as("x"), col("a").as("y"), col("w"), col("wd")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"),
         col("e.w").as("w"), col("e.wd").as("wd"))
-    writeBucketed(spark, weightedTableName(dir), s"$root/wpairs", sym)
+    // deg_x = node degree of x, denormalized into the adjacency so a
+    // PageRank-class consumer's per-iteration frame is ONE vectorized
+    // column scan (publish-time join; the write's repartition on x
+    // serves both the join and the bucketed layout)
+    val deg = sym.groupBy("x").agg(count(lit(1)).as("deg_x"))
+    writeBucketed(spark, weightedTableName(dir), s"$root/wpairs",
+      sym.join(deg, "x"))
     writeBucketed(spark, tableName(dir), s"$root/und",
-      spark.read.schema("x BIGINT, y BIGINT, w BIGINT, wd BIGINT")
+      spark.read
+        .schema("x BIGINT, y BIGINT, w BIGINT, wd BIGINT, deg_x BIGINT")
         .parquet(s"$root/wpairs")
         .filter(col("w") >= 2).select("x", "y"))
     mergedParts(spark, root, p, ids)
@@ -499,7 +509,7 @@ object EdgeStore {
   def weighted(spark: SparkSession, dir: String): DataFrame = {
     ensure(spark, dir)
     register(spark, weightedTableName(dir), s"${storePath(dir)}/wpairs",
-      "x BIGINT, y BIGINT, w BIGINT, wd BIGINT")
+      "x BIGINT, y BIGINT, w BIGINT, wd BIGINT, deg_x BIGINT")
   }
 
   /** Per-part distinct-order counts (part, c) — part-dimension-sized. */

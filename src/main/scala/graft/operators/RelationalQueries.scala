@@ -661,28 +661,27 @@ object RelationalQueries {
     // self-join + distinct this query used to re-pay happened once
     // at ingest; only the node-grain iteration plane remains.
     val wp = EdgeStore.weighted(spark, dir)
-    // Degrees off the bucketed scan: groupBy on the bucket column —
-    // zero exchange (the EdgeStoreSpec-pinned probe shape).
-    val deg = wp.groupBy(col("x").as("src")).agg(count(lit(1)).as("deg"))
-      .cut() // node-grain: tiny, memory is fine
+    // Node degrees come DENORMALIZED from the store (deg_x, baked in
+    // at publish), so the per-iteration frame below is a raw
+    // vectorized parquet scan — v3 joined a broadcast degree frame
+    // and localCheckpointed the result, and at sf10 the 10 scans of
+    // 180 M ROW-SERIALIZED checkpoint blocks were the query's
+    // dominant cost (row deserialization, not compute).
+    val deg = wp.groupBy(col("x").as("src")).agg(first(col("deg_x")).as("deg"))
+      .cut() // node-grain: tiny, memory is fine (zero-exchange agg)
     val nDf = deg.agg(count(lit(1)).as("n"))
-    // The per-iteration frame (src, dst, deg), both orientations.
-    // Storage ADAPTS to the measured edge count (the srpChunkBits
-    // precedent): memory-resident below 16 M rows — the 10 iteration
-    // scans cost ~0.15 s each from memory vs ~1.5 s total extra from
-    // row-serialized disk at sf0.1 — DISK_ONLY above, where the
-    // unroll pressure and block size make executor memory the scarce
-    // resource (the validated sf3 configuration). The count is a
-    // parquet-metadata action on the store scan.
-    val sharesLevel =
-      if (wp.count() > 16000000L)
-        org.apache.spark.storage.StorageLevel.DISK_ONLY
-      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shares = wp
-      .select(col("x").as("src"), col("y").as("dst"))
-      .join(broadcast(deg), "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .localCheckpoint(true, sharesLevel)
+    val bigGraph = wp.count() > 16000000L
+    // Small graphs additionally pin the frame as memory blocks (10
+    // scans at ~0.15 s each vs ~0.9 s of repeated parquet decode at
+    // sf0.1); big graphs read the parquet directly — vectorized
+    // decode beats row-serialized disk blocks by ~3.5x there and
+    // leaves executor memory to the aggregation.
+    val shares0 = wp
+      .select(col("x").as("src"), col("y").as("dst"), col("deg_x").as("deg"))
+    val shares =
+      if (bigGraph) shares0
+      else shares0.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 0.15/n teleport term precomputed ONCE (node-grain) instead of a
     // crossJoin per iteration
     val base = deg.crossJoin(broadcast(nDf))
@@ -706,10 +705,24 @@ object RelationalQueries {
     val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", if (bigGraph) "32" else "8")
       for (i <- 1 to 10) {
-        val contrib = shares.join(broadcast(ranks), col("src") === col("node"))
-          .groupBy("dst").agg(sum(col("rank") / col("deg")).as("contrib"))
+        val scored = shares.join(broadcast(ranks), col("src") === col("node"))
+          .select(col("dst"), (col("rank") / col("deg")).as("share"))
+        // Big graphs: map-side partial aggregation on the dst key
+        // builds a |nodes|-sized hash map PER TASK (2 M keys at
+        // sf10), which blows past per-task execution memory and
+        // falls back to sort-based aggregation — measured 159 GB of
+        // sorted-run spill across the 10 iterations at sf10 under an
+        // 8 GB heap. Repartitioning the RAW contributions on dst
+        // first moves the agg AFTER the exchange, so every hash map
+        // holds only its partition's ~|nodes|/parts keys (the
+        // memory-oblivious shape a 100 TB cluster needs); the
+        // exchange carries narrow (dst, share) rows once per
+        // iteration. Small graphs keep map-side combine — it
+        // collapses the edge stream to node grain before the wire.
+        val contrib = (if (bigGraph) scored.repartition(col("dst")) else scored)
+          .groupBy("dst").agg(sum(col("share")).as("contrib"))
         val updated = base
           .join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
