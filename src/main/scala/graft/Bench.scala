@@ -32,8 +32,13 @@ object Bench {
     // A/B hook for session-conf experiments (e.g. the r9 sorted-bucket
     // flag measurement): SPARK_GRAFT_EXTRA_CONFS="k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      // skip malformed segments (no '='): a stray token must not
+      // abort the whole bench run before any query executes (r9 ADVICE)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case other => if (other.mkString.trim.nonEmpty)
+          System.err.println(s"SPARK_GRAFT_EXTRA_CONFS: skipping malformed segment '$kv'")
+      }
     })
     spark.sparkContext.setLogLevel("WARN")
     // Self-diagnosis counters (r6 verdict #6): a contended host shows

@@ -319,9 +319,8 @@ object EdgeStore {
     // the old corpus's derived planes
     val d = if (dir.endsWith("/")) dir.dropRight(1) else dir
     val stamp = StoreProtocol.sourceStamp(f, s"$d/lineitem.parquet")
-    if (StoreProtocol.stampChanged(f, root, stamp))
-      f.delete(new Path(root), true)
-    else if (f.exists(new Path(s"$root/CURRENT")) &&
+    if (!StoreProtocol.wipeOnSourceChange(f, root, stamp) &&
+        f.exists(new Path(s"$root/CURRENT")) &&
         !f.exists(new Path(s"$root/SOURCE")))
       // pre-stamp store: adopt the current stamp so future in-place
       // regenerations are detected from now on
@@ -330,6 +329,10 @@ object EdgeStore {
       case Some(p) if f.exists(new Path(s"$root/base/epoch=${p.epoch}/pairs/_SUCCESS")) =>
         if (!publishedComplete(f, root)) publish(spark, dir)
       case _ =>
+        // rebuild-from-source: wipe any residue first (a corrupt
+        // pointer self-heals to None — r9 ADVICE — and stale deltas /
+        // commit markers under a fresh epoch-1 base would double-count)
+        f.delete(new Path(root), true)
         val li = Tables.lineitem(spark, dir)
         writeBase(spark, root, 1L, pairCounts(li), partCounts(li), orderCounts(li))
         StoreProtocol.writeStamp(f, root, stamp)

@@ -96,8 +96,12 @@ object SketchStore {
       DedupOps.tokensCol.as("toks"))
     val sk = DedupOps.docSketches(base.select(col("doc_id"), col("lang"),
       col("toks")))
+    // join on doc_id ALONE (unique per doc): a non-null-text doc with
+    // NULL lang never equi-joins on lang (null != null), which would
+    // store a null signature the inline docSketches path sketches —
+    // a latent store≢inline divergence (r9 ADVICE)
     base.select("doc_id", "lang", "bag_h")
-      .join(sk, Seq("doc_id", "lang"), "left")
+      .join(sk.drop("lang"), Seq("doc_id"), "left")
       .select(planeSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
@@ -109,9 +113,8 @@ object SketchStore {
     // regenerated in place ⇒ wipe and rebuild
     val d = if (dir.endsWith("/")) dir.dropRight(1) else dir
     val stamp = StoreProtocol.sourceStamp(f, s"$d/documents.parquet")
-    if (StoreProtocol.stampChanged(f, root, stamp))
-      f.delete(new Path(root), true)
-    else if (f.exists(new Path(s"$root/CURRENT")) &&
+    if (!StoreProtocol.wipeOnSourceChange(f, root, stamp) &&
+        f.exists(new Path(s"$root/CURRENT")) &&
         !f.exists(new Path(s"$root/SOURCE")))
       // pre-stamp store: adopt the current stamp so future in-place
       // regenerations are detected from now on
@@ -119,6 +122,11 @@ object SketchStore {
     val ok = readPointer(f, root).exists(p =>
       f.exists(new Path(s"$root/base/epoch=${p.epoch}/sketches/_SUCCESS")))
     if (!ok) {
+      // rebuild-from-source: wipe any residue first (a corrupt
+      // pointer self-heals to None — r9 ADVICE — and stale deltas /
+      // commit markers under a fresh epoch-1 base would duplicate
+      // doc-grain rows in the probe union)
+      f.delete(new Path(root), true)
       sketchRows(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(s"$root/base/epoch=1/sketches")
       StoreProtocol.writeStamp(f, root, stamp)

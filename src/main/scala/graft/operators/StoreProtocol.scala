@@ -88,6 +88,12 @@ private[graft] object StoreProtocol {
       s"pointer recovery failed: cannot rename $tmp")
   }
 
+  /** A corrupt/unparseable CURRENT (possible on an OS/power crash —
+    * pointer writes are not hsync'd, so the process-crash guarantees
+    * above do not extend to machine crashes) reads as `None`, which
+    * routes every `ensure()` into its rebuild branch instead of
+    * permanently bricking the store on a parse exception (r9 ADVICE).
+    */
   def readPointer(f: FileSystem, root: String): Option[Pointer] = {
     recoverPointer(f, root)
     val cur = new Path(s"$root/CURRENT")
@@ -96,8 +102,10 @@ private[graft] object StoreProtocol {
       val in = f.open(cur)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      val Array(e, s, a) = txt.split("\\s+").map(_.toLong)
-      Some(Pointer(e, s, a))
+      scala.util.Try {
+        val Array(e, s, a) = txt.split("\\s+").map(_.toLong)
+        Pointer(e, s, a)
+      }.toOption
     }
   }
 
@@ -157,6 +165,17 @@ private[graft] object StoreProtocol {
     * [[storeKey]] closes. Append APIs add data through the store, not
     * by mutating the source dir, so maintenance leaves the stamp
     * valid.
+    *
+    * Residual windows, by design of the cheap listing-only stamp
+    * (r9 verdict #5): (a) a regeneration that preserves every file's
+    * name, length AND mtime is undetectable — after such a rewrite
+    * (or to force consistency after any doubt) wipe the store root
+    * manually; (b) a byte-identical rewrite that only touches mtimes
+    * is a FALSE POSITIVE — the store wipes and rebuilds correctly but
+    * unnecessarily, discarding appended deltas (see
+    * [[wipeOnSourceChange]]'s warning); (c) a store created before
+    * the stamp existed is blessed as-is on first open and only
+    * guarded from then on.
     */
   def sourceStamp(f: FileSystem, src: String): String = {
     val p = new Path(src)
@@ -195,6 +214,30 @@ private[graft] object StoreProtocol {
   def writeStamp(f: FileSystem, root: String, stamp: String): Unit = {
     val out = f.create(new Path(s"$root/SOURCE"), true)
     try out.write(stamp.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The source-regeneration guard both stores run at open: wipe the
+    * store root when the recorded source stamp no longer matches.
+    * Wiping a store that holds COMMITTED DELTA BATCHES discards data
+    * that exists only in the store (appends never touch the source
+    * dir) — that is the correct call when the source really was
+    * regenerated (the deltas described the old corpus) but is a
+    * silent loss on a false-positive mtime-only rewrite, so it is
+    * logged loudly rather than silently (r9 ADVICE). Returns whether
+    * a wipe happened.
+    */
+  def wipeOnSourceChange(f: FileSystem, root: String, stamp: String): Boolean = {
+    if (!stampChanged(f, root, stamp)) false
+    else {
+      val nDeltas = committedIds(f, root).size
+      if (nDeltas > 0)
+        System.err.println(
+          s"graft store $root: source regenerated in place — wiping a store " +
+            s"with $nDeltas committed delta batch(es); their appended data " +
+            "is discarded with the stale derived state")
+      f.delete(new Path(root), true)
+      true
+    }
   }
 
   /** Garbage-collect unreferenced state: stale base epochs, folded

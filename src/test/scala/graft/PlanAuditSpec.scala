@@ -950,6 +950,13 @@ class PlanAuditSpec extends SparkTestBase {
     "lift_rules" -> Set("[edge-store]"),
     // r7: 1-row corpus totals off the cut token-count frame
     "token_drift_movers" -> Set("[cut-frame]"),
+    // r10 (the r9 verdict's red-gate item): bigram_pmi's `t1`/`t2`
+    // grand totals build from the CUT vocab/pair model frames (the r9
+    // arrays_zip refactor added the cut), so the hinted broadcasts now
+    // classify as cut-frame builds. Bounded by construction — each is
+    // a SINGLE-ROW aggregate (sum over the model frame), the exact
+    // token_drift_movers shape.
+    "bigram_pmi" -> Set("[cut-frame]"),
     // r7: type-grain totals frames for the histogram order stats
     "median_ci_binomial" -> Set("events"),
     "trimmed_mean" -> Set("events")
