@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -131,21 +131,44 @@ object MediaOps {
   }
 
   /** Near-duplicate media pairs at hamming ≤ `maxHamming`, found by
-    * 16-bit chunk banding + exact `bit_count(xor)` verify. The
-    * pigeonhole guarantee: a ≤ 3-bit difference over 4 chunks leaves
-    * ≥ 1 chunk identical, so recall at the default threshold is 1.0
-    * BY CONSTRUCTION (not probabilistic — unlike MinHash/SRP, the
-    * hash is short enough to band exhaustively). Only (media_id,
-    * chunk-key) ints cross the candidate shuffle.
+    * block-COMBINATION banding + exact `bit_count(xor)` verify.
+    *
+    * r10 reshape (the r9 verdict's worst sf30 cell — 367 s / 167 GB
+    * spill): the old 16-bit single-chunk bands put every distinct
+    * hash into 4 buckets keyed by only 65k values, so at millions of
+    * distinct hashes the dense buckets' in-bucket self-join went
+    * Θ(m²). The fix widens the band KEY without giving up exact
+    * recall — the generalized pigeonhole of Manku/Jain/Sarma (WWW'07,
+    * public knowledge): split the 64-bit hash into 6 blocks; ≤ 3
+    * differing bits touch ≤ 3 blocks, so ≥ 3 blocks are untouched and
+    * some specific 3-block SUBSET matches exactly. Banding on all
+    * C(6,3) = 20 three-block combinations (subset id packed with the
+    * three block values into one ≤ 38-bit long) keeps recall 1.0 BY
+    * CONSTRUCTION while the per-band key space grows from 2^16 to
+    * ~2^33 — bucket occupancy collapses to near-singletons and the
+    * self-join is output-linear again. 20 (media_id, long-key) rows
+    * per distinct hash cross the candidate shuffle — 5× the old row
+    * count, a linear price for removing the quadratic term.
     */
   def phashNearDupPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"block-combination banding is exact only for hamming <= 3, got $maxHamming")
+    // 6 blocks tiling the 64 bits: 11,11,11,11,10,10 (offsets below)
+    val offsets = Array(0, 11, 22, 33, 44, 54)
+    val widths = Array(11, 11, 11, 11, 10, 10)
+    def block(i: Int): Column =
+      shiftright(col("phash"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1L))
+    val keys = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+      case (c, s) =>
+        c.foldLeft(lit(s.toLong): Column)((acc, b) =>
+          shiftleft(acc, 11).bitwiseOR(block(b)))
+    }
     val keyed = hashed.select(col("media_id"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("phash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "ckey")))
+      explode(array(keys: _*)).as("bkey"))
     val cands = keyed.as("l")
       .join(keyed.as("r"),
-        col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
+        col("l.bkey") === col("r.bkey") &&
           col("l.media_id") < col("r.media_id"))
       .select(col("l.media_id").as("a_id"), col("r.media_id").as("b_id"))
       .distinct()

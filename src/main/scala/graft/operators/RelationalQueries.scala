@@ -27,6 +27,28 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** Corpus-proportional dim side for an equi-join, with a
+    * plan-build-time regime pick (r10 — the r9 verdict's
+    * `rev_by_region` sf30 knee): inside broadcast range the frame is
+    * left UNHINTED so Catalyst's size-based election broadcasts it
+    * (bench-SF plans unchanged); past the threshold — where Catalyst
+    * would fall back to sort-merge and pay a SORT on the fact side —
+    * a shuffled-hash hint keeps the fact side sort-free (the dim
+    * builds a per-partition hash map: dim-bytes / shuffle-partitions,
+    * sized to executor memory at any SF by the same partition-count
+    * knob that sizes every other shuffle). The decision statistic is
+    * the table's on-disk bytes — exactly what Catalyst's own
+    * election reads, so the two regimes tile the SF axis without a
+    * gap.
+    */
+  private def dimRegime(spark: SparkSession, dir: String, name: String,
+      projected: DataFrame): DataFrame = {
+    val thresh = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (thresh >= 0 && Tables.fileBytes(spark, dir, name) > thresh)
+      projected.hint("shuffle_hash")
+    else projected
+  }
+
   /** Fact joined through the full dim chain; shared by #11/#18.
     * Each side is pruned to its join/output columns before joining so
     * the shuffled rows (and the rollup Expand) stay narrow without
@@ -38,7 +60,8 @@ object RelationalQueries {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+      .join(dimRegime(spark, dir, "customer",
+          Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))
@@ -960,14 +983,25 @@ object RelationalQueries {
     * shipped this order") + left-anti ("no other supplier was
     * late") joins Catalyst decorrelates Q21 into anyway.
     *
-    * Scale shape: the fact-fact order join and the distinct late
-    * rollup are orderkey-keyed, and BOTH correlation joins reuse
-    * that same key — one partitioning carries the whole pipeline
-    * (no re-key, AQE-coalescible); the name lookup is a suppkey-KEYED
-    * join of two supplier-grain frames (supplier is SF-scaled — the
-    * corpus-proportional-dimension convention, r6 verdict; AQE still
-    * elects BHJ when it is actually small); top-10 is TakeOrdered
-    * with the (count DESC, name) total order.
+    * Scale shape (r10 — the r9 verdict's 294 s / 45 GB-spill sf30
+    * cell): the doubly-correlated EXISTS / NOT EXISTS does NOT need
+    * the fact-fact semi + anti joins Catalyst decorrelates Q21 into —
+    * "sole overdue shipper on a multi-supplier order" is a PER-ORDER
+    * conditional aggregation. Dedup to (order, supplier, was-late)
+    * grain, then per order count suppliers, count late suppliers, and
+    * take `min(when(late, supp))` — on the filter `n_supp > 1 &&
+    * n_late = 1` that min is exactly the one blamed supplier, so each
+    * blamed order contributes the same single supplier the join form
+    * produced (the unchanged oracle hash is the proof). Both groupBys
+    * ride the orderkey partitioning the orders join already
+    * established (HashPartitioning(orderkey) satisfies the
+    * (orderkey, suppkey) clustering requirement), so past broadcast
+    * range the whole pipeline is ONE orderkey exchange and the fact
+    * frame is never joined against itself. The name lookup is a
+    * suppkey-keyed join of two supplier-grain frames (supplier is
+    * SF-scaled — the corpus-proportional-dimension convention, r6
+    * verdict; AQE still elects BHJ when it is actually small);
+    * top-10 is TakeOrdered with the (count DESC, name) total order.
     *
     * Contract note (r5 advice): we aggregate by `l_suppkey` and join
     * the name on AFTER; the oracle groups by `s_name` post-join. The
@@ -977,22 +1011,21 @@ object RelationalQueries {
     * fails loudly there instead of silently merging oracle rows.
     */
   def blameSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    val perSupp = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
-        col("l_shipdate"), col("o_orderdate"))
-    val late = l
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
-      .select("l_orderkey", "l_suppkey").distinct()
-    val cand = late.as("lt")
-      .join(l.as("l2"),
-        col("lt.l_orderkey") === col("l2.l_orderkey") &&
-          col("lt.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
-      .join(late.as("l3"),
-        col("lt.l_orderkey") === col("l3.l_orderkey") &&
-          col("lt.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
-    cand.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        (col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 75 DAYS")).as("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late"))
+    val blamed = perSupp
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("supp_late"), lit(1))).as("n_late"),
+        min(when(col("supp_late"), col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    blamed.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
       .join(Tables.supplier(spark, dir),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))

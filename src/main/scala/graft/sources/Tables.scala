@@ -91,6 +91,18 @@ object Tables {
     spark.read.parquet(path(dir, name))
   }
 
+  /** On-disk bytes of a table — the same file-listing statistic
+    * Catalyst's size-based broadcast election starts from. Used for
+    * plan-build-time regime picks on corpus-proportional dimensions
+    * (e.g. [[graft.operators.RelationalQueries]]'s customer hop:
+    * broadcastable at bench SF, shuffled-hash past the threshold).
+    */
+  def fileBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path(dir, name))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+  }
+
   /** `events` with `ts` normalized to TimestampType (µs). Accepts
     * all three physical layouts seen across driver fixture
     * generations: INT64 TIMESTAMP(NANOS) (surfaced as a raw long by

@@ -103,8 +103,9 @@ class MediaSpec extends SparkTestBase {
     val rnd = new scala.util.Random(29)
     val bases = Seq.fill(20)(rnd.nextLong())
     // for each base hash, a partner with 3 bit flips spread across
-    // THREE different 16-bit chunks (worst case: only one chunk left
-    // intact) — the banding must still catch it
+    // THREE different blocks of the r10 6-block split (worst case:
+    // only one 3-block subset of the C(6,3) bands left fully intact)
+    // — the banding must still catch it
     val rows = bases.zipWithIndex.flatMap { case (h, i) =>
       val partner = h ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)
       Seq((i * 2L + 1, h), (i * 2L + 2, partner))
