@@ -302,6 +302,59 @@ class EdgeStoreSpec extends SparkTestBase {
       "streamed adjacency diverged from the full-corpus build")
   }
 
+  test("append is O(batch): no published-cache rewrite until compaction (v5)") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val half1 = li.filter(col("l_orderkey") % 2 === 0)
+    val half2 = li.filter(col("l_orderkey") % 2 === 1)
+    val dirP = java.nio.file.Files.createTempDirectory("graft_edges_pub").toString
+    half1.write.mode("overwrite").parquet(s"$dirP/lineitem.parquet")
+    EdgeStore.ensure(spark, dirP)
+    val root = EdgeStore.storePath(dirP)
+    def artifactState(): Seq[(String, Long, Long)] =
+      Seq("und", "wpairs").flatMap { a =>
+        new java.io.File(s"$root/$a").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified))
+      }.sorted
+    val before = artifactState()
+    // the append must not touch the published artifacts (the r9
+    // verdict item: per-append republish was O(graph), not O(batch))
+    EdgeStore.appendOrders(spark, dirP, half2, batchId = 1L)
+    assert(artifactState() == before,
+      "appendOrders rewrote the published cache — O(graph) republish regressed")
+    // ...and probes must MERGE the live deltas, matching the
+    // full-corpus build exactly (merge-on-read path)
+    def und(d: String): Seq[(Long, Long)] =
+      EdgeStore.undirected(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(und(dirP) == und(sf), "merge-on-read probe diverged")
+    // the merge-path probe is NOT the bucketed table scan (probe the
+    // degree-agg shape — a bare scan auto-disables bucketing anyway)
+    def degPlan(): String = EdgeStore.undirected(spark, dirP)
+      .groupBy("x").agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!degPlan().contains("Bucketed: true"),
+      "expected the merged live view while deltas are outstanding")
+    // compaction folds the deltas AND refreshes the cache: probes
+    // return to the bucketed fast path with identical content
+    EdgeStore.compact(spark, dirP)
+    assert(degPlan().contains("Bucketed: true"),
+      "published cache not servable after compaction")
+    assert(und(dirP) == und(sf), "post-compaction probe diverged")
+    // crash window: a stale PUBLISHED marker (simulating a crash
+    // between the pointer swap and the republish) must never serve
+    // the stale cache — the probe's own ensure() repairs it at open
+    // (no deltas outstanding) and the content stays exact
+    val mf = new java.io.File(s"$root/PUBLISHED")
+    val mtxt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath, "999".getBytes("UTF-8"))
+    // drop the checksum sidecar the raw rewrite invalidated (the
+    // simulated crash scenario has no sidecar either)
+    new java.io.File(s"$root/.PUBLISHED.crc").delete()
+    assert(und(dirP) == und(sf), "stale-marker open diverged")
+    assert(new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8") == mtxt,
+      "open did not republish over the stale marker")
+  }
+
   test("graph consumers never scan lineitem (the no-rebuild pin)") {
     val graphPack = Seq("triangle_parts", "clustering_coeff", "kcore_parts",
       "degree_assortativity", "degree_dist", "common_neighbor_recs",

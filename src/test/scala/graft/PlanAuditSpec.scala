@@ -402,11 +402,13 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 percent_rank tail: one brand-partitioned sort exchange for
     // the window + the output sort
     "price_position" -> 2,
-    // r5 Q21 shape: the fact-fact order join keys lineitem+orders,
-    // then the distinct/semi/anti chain stays on that same orderkey
-    // partitioning (no re-key); plus the supplier-grain count — the
-    // supplier dim broadcasts and top-10 is TakeOrdered
-    "blame_supplier" -> 6,
+    // r10 Q21 reshape (no fact-fact joins): the (orderkey, suppkey)
+    // dedup agg + the per-order conditional agg + the supplier-grain
+    // count. At bench SF orders broadcasts so the first two both
+    // print; past broadcast range the orders SMJ's orderkey
+    // partitioning carries BOTH aggs (subset clustering) and the
+    // whole pipeline is one orderkey exchange + the tiny suppkey one
+    "blame_supplier" -> 3,
     // r5 degree distribution; r8: degree agg rides the bucketed
     // edge-store scan — printed are only the ≤64-row bucket agg +
     // sort
@@ -944,9 +946,10 @@ class PlanAuditSpec extends SparkTestBase {
     // r7: the 1-row 51st-degree threshold; r8: its degree frame now
     // reads the persisted bucketed edge store, not a cut frame
     "hill_tail_index" -> Set("[edge-store]"),
-    // r9: the 1-ROW maintained order-count frame (meta_pub) lives
-    // under the store root, so it carries the [edge-store] tag; it is
-    // bounded by construction (a single grand total)
+    // r9: the 1-ROW maintained order-count frame (the base `meta`
+    // plane since v5) lives under the store root, so it carries the
+    // [edge-store] tag; it is bounded by construction (a single
+    // grand total)
     "lift_rules" -> Set("[edge-store]"),
     // r7: 1-row corpus totals off the cut token-count frame
     "token_drift_movers" -> Set("[cut-frame]"),
