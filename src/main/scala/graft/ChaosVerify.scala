@@ -94,6 +94,24 @@ object ChaosVerify {
     }
   }
 
+  /** Wait (bounded) until the scheduler reports at least one RUNNING
+    * task, so a chaos kill fired after this lands MID-QUERY instead of
+    * in the gap between queries. The r10 flake this replaces: a fixed
+    * `sleep(400)` before the kill let every warm sub-400 ms query
+    * finish first — six kills, zero task failures, and the spec's
+    * "chaos was real" assertion tripped on an otherwise-green run.
+    * Returns true when a running task was observed.
+    */
+  private def awaitRunningTask(spark: SparkSession, timeoutMs: Long): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      if (spark.sparkContext.statusTracker.getExecutorInfos
+          .map(_.numRunningTasks()).sum >= 1) return true
+      Thread.sleep(5)
+    }
+    false
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     new java.io.File(outDir).mkdirs()
@@ -154,8 +172,10 @@ object ChaosVerify {
       if (!awaitExecs(2)) problems ::= s"$name: cluster not healthy pre-chaos"
       val removedBefore = removed
       val killer = new Thread(() => {
-        Thread.sleep(400) // let the query's first stages start
-        if (killOneExecutor() > 0) kills += 1
+        // kill only once a task is verifiably RUNNING (not after a
+        // fixed sleep — see awaitRunningTask's scaladoc)
+        if (awaitRunningTask(spark, 10000) && killOneExecutor() > 0)
+          kills += 1
       })
       killer.start()
       try {
@@ -217,8 +237,9 @@ object ChaosVerify {
           if (chaos && i == 2) {
             // fire the kill while batch 3's stateful tasks are running
             val killer = new Thread(() => {
-              Thread.sleep(100)
-              if (killOneExecutor() > 0) { kills += 1; streamKills += 1 }
+              if (awaitRunningTask(spark, 10000) && killOneExecutor() > 0) {
+                kills += 1; streamKills += 1
+              }
             })
             killer.start()
             q.processAllAvailable()
