@@ -12,19 +12,38 @@ object Bench {
     // would (the ClusterVerify channel). Defaults unchanged: the
     // driver's per-round bench still runs local[cpus].
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    // Scale-row knob (r7): the local gen_sf fixtures are ONE parquet
-    // file per table, so at sf >= 1 the default 128 MB
-    // maxPartitionBytes yields 2-3 input splits and scan parallelism
-    // collapses to 3/32 threads — the superlinear-looking ratios in
-    // the r6 sf3/sf10 rows were partly THIS artifact, not plan cost.
-    // Sizing maxPartitionBytes to the input (the knob the 100 TB
-    // design doc names next to shuffle.partitions) restores full-width
-    // scans; a real deployment reads many files and never hits it.
+    // Scan-split sizing, derived from the input (r10; generalizing
+    // the r7 scale-row knob): the local fixtures are ONE parquet file
+    // per table, so the default 128 MB maxPartitionBytes collapses
+    // EVERY scan to a single task at bench SF (dq_profile measured
+    // 1.9 s of single-threaded agg over a 1-task orders scan) and to
+    // 2-3 tasks at sf10/sf30 — the r6 superlinear-ratio artifact.
+    // Derive the split size so the largest input file scans at the
+    // session's full width: largest-file-bytes / cpus, clamped to
+    // [256 KB, 128 MB] (the floor keeps splits at parquet row-group
+    // grain — gen_sf writes 16 k-row groups; the cap is the Spark
+    // default, and a many-file production layout never reaches
+    // either bound). This follows the optimization guide's §2/§6
+    // rule — partitioning derived from input size and core count,
+    // not a constant tuned for one host — and it adapts with the
+    // driver's low-core scaling runs through the same $SPARK_GRAFT_
+    // CPUS they set. SPARK_GRAFT_MAX_PARTITION_BYTES still overrides.
+    val derivedSplit = {
+      val files = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      def bytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(bytes).sum
+        else f.length()
+      val biggest = files.filter(_.getName.endsWith(".parquet"))
+        .map(bytes).foldLeft(0L)(math.max)
+      math.min(128L << 20, math.max(256L << 10, biggest / cpus.toLong.max(1L)))
+    }
     val builder0 = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
-    val builder = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
-      .fold(builder0)(v => builder0.config("spark.sql.files.maxPartitionBytes", v))
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", derivedSplit.toString))
+    val builder = builder0
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))

@@ -46,23 +46,37 @@ object GraphOps {
     * cluster; callers that need them union them back).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     // checkpoint the symmetrized edge list once: it is re-scanned every
     // round (worth materializing), and the fresh attribute ids keep the
     // per-round label unions free of cross-child id sharing
-    val sym = edges
+    val sym0 = edges
       .select(col("part"), col("a").as("s"), col("b").as("d"))
       .union(edges.select(col("part"), col("b").as("s"), col("a").as("d")))
       .cut()
-    // r5: the FIRST propagation folds into label init for free —
-    // with labels = node ids, "min over self and neighbors' labels"
-    // is a plain agg over the edge list (no label-frame join yet):
-    // one round's worth of convergence at a fraction of a round's
-    // cost, and for dense dup clusters (star-ish) most nodes land on
-    // their component minimum immediately.
-    var labels = sym.select(col("part"), col("d").as("node"), col("s").as("lbl"))
-      .union(sym.select(col("part"), col("s").as("node"), col("s").as("lbl")))
-      .groupBy(col("part"), col("node")).agg(min("lbl").as("lbl"))
-      .cut()
+    // r10 loop regime (measured; the copurchasePagerank pattern): on
+    // SMALL graphs the rounds are sub-second stages where the cost is
+    // pure scheduler floor — AQE's stage-at-a-time execution ran
+    // semantic_dedup's closure as 97 single-task jobs for 1.9 s of
+    // task time (3.3 s wall). The small regime pre-partitions the
+    // edge frame on its join key with the loop's width, narrows the
+    // session shuffle width, disables AQE for the loop's duration,
+    // and pins the tiny label-side hash joins with SHUFFLE_HASH (the
+    // broadcast AQE would otherwise elect, without its per-stage
+    // jobs) — each round is then ONE co-partitioned 3-stage job plus
+    // the convergence count. Straight AQE-off was measured WORSE
+    // (task time 1.9 → 12 s: it traded the runtime broadcast election
+    // away and left unpartitioned sort-merge rounds), hence the
+    // explicit co-partitioning. Corpus-scale graphs keep the r5 shape
+    // untouched: AQE coalescing/skew handling, unhinted joins, the
+    // cluster-wide partition default.
+    val bigGraph = sym0.count() > 16000000L
+    val loopParts = 8
+    val sym =
+      if (bigGraph) sym0
+      else sym0.repartition(loopParts, col("part"), col("s")).cut()
+    def pin(df: DataFrame): DataFrame =
+      if (bigGraph) df else df.hint("shuffle_hash")
     // pointer jump: lbl := lbl(lbl). A label is always a live node
     // id, and labels only decrease, so the jump is monotone-safe;
     // left join + coalesce covers the already-minimal root. (r5 note:
@@ -73,37 +87,81 @@ object GraphOps {
     // way.)
     def jump(df: DataFrame): DataFrame = df.alias("x")
       .join(
-        df.select(col("part").as("jp"), col("node").as("jn"), col("lbl").as("jl")),
+        pin(df.select(col("part").as("jp"), col("node").as("jn"),
+          col("lbl").as("jl"))),
         col("x.part") === col("jp") && col("x.lbl") === col("jn"), "left")
       .select(col("x.part").as("part"), col("x.node").as("node"),
         col("x.old").as("old"),
         coalesce(least(col("jl"), col("x.lbl")), col("x.lbl")).as("lbl"))
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // propagate: node adopts min(own label, neighbors' labels) —
-      // neighbor mins partial-agg BEFORE the exchange (hot nodes
-      // collapse map-side), then one join back to the label frame.
-      // The round carries the incoming label as `old`, so convergence
-      // detection is a filter over the materialized round output —
-      // not an extra join job against the previous frame (r5).
-      val nbrMin = sym
-        .join(
-          labels.select(col("part").as("mp"), col("node").as("mn"), col("lbl")),
-          col("part") === col("mp") && col("s") === col("mn"))
-        .groupBy(col("part"), col("d").as("node"))
-        .agg(min("lbl").as("nlbl"))
-      val prop = labels
-        .join(nbrMin, Seq("part", "node"), "left")
-        .select(col("part"), col("node"), col("lbl").as("old"),
-          coalesce(least(col("lbl"), col("nlbl")), col("lbl")).as("lbl"))
-      val next = jump(prop).cut()
-      val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
-      labels = next.select(col("part"), col("node"), col("lbl"))
-      converged = changed == 0L
-      iter += 1
+    var labels: DataFrame = null
+    withLoopRegime(spark, small = !bigGraph, parts = loopParts) {
+      // r5: the FIRST propagation folds into label init for free —
+      // with labels = node ids, "min over self and neighbors' labels"
+      // is a plain agg over the edge list (no label-frame join yet):
+      // one round's worth of convergence at a fraction of a round's
+      // cost, and for dense dup clusters (star-ish) most nodes land on
+      // their component minimum immediately.
+      labels = sym.select(col("part"), col("d").as("node"), col("s").as("lbl"))
+        .union(sym.select(col("part"), col("s").as("node"), col("s").as("lbl")))
+        .groupBy(col("part"), col("node")).agg(min("lbl").as("lbl"))
+        .cut()
+      while (!converged && iter < maxIter) {
+        // propagate: node adopts min(own label, neighbors' labels) —
+        // neighbor mins partial-agg BEFORE the exchange (hot nodes
+        // collapse map-side), then one join back to the label frame.
+        // The round carries the incoming label as `old`, so convergence
+        // detection is a filter over the materialized round output —
+        // not an extra join job against the previous frame (r5).
+        val nbrMin = sym
+          .join(
+            pin(labels.select(col("part").as("mp"), col("node").as("mn"),
+              col("lbl"))),
+            col("part") === col("mp") && col("s") === col("mn"))
+          .groupBy(col("part"), col("d").as("node"))
+          .agg(min("lbl").as("nlbl"))
+        val prop = labels
+          .join(pin(nbrMin), Seq("part", "node"), "left")
+          .select(col("part"), col("node"), col("lbl").as("old"),
+            coalesce(least(col("lbl"), col("nlbl")), col("lbl")).as("lbl"))
+        val next = jump(prop).cut()
+        val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
+        labels = next.select(col("part"), col("node"), col("lbl"))
+        converged = changed == 0L
+        iter += 1
+      }
     }
     labels
+  }
+
+  /** Scoped iteration-loop session regime (r10; generalizing the
+    * copurchasePagerank r6 save/restore): under `small = true`, AQE
+    * is off and the session shuffle width is `parts` for the duration
+    * of `body` — inside a small-graph driver loop every exchange is
+    * label/frontier-grain and each round should run as one narrow
+    * job, not AQE's stage-at-a-time job cascade. Callers pick `small`
+    * from a plan-build-time size statistic (materialized edge count
+    * or on-disk store bytes) AND pre-partition/hint the loop frames
+    * so the narrow regime keeps the join strategies AQE would have
+    * elected; corpus-scale graphs keep AQE and the cluster-wide
+    * partition default untouched.
+    */
+  private def withLoopRegime[T](spark: SparkSession, small: Boolean,
+      parts: Int)(body: => T): T = {
+    if (!small) body
+    else {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        body
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+      }
+    }
   }
 
   /** Declared query `dedup_clusters` (full oracle) — near-dup

@@ -690,25 +690,55 @@ object RelationalQueries {
     // and localCheckpointed the result, and at sf10 the 10 scans of
     // 180 M ROW-SERIALIZED checkpoint blocks were the query's
     // dominant cost (row deserialization, not compute).
-    val deg = wp.groupBy(col("x").as("src")).agg(first(col("deg_x")).as("deg"))
-      .cut() // node-grain: tiny, memory is fine (zero-exchange agg)
-    val nDf = deg.agg(count(lit(1)).as("n"))
     val bigGraph = wp.count() > 16000000L
-    // Small graphs additionally pin the frame as memory blocks (10
-    // scans at ~0.15 s each vs ~0.9 s of repeated parquet decode at
-    // sf0.1); big graphs read the parquet directly — vectorized
-    // decode beats row-serialized disk blocks by ~3.5x there and
-    // leaves executor memory to the aggregation.
-    val shares0 = wp
-      .select(col("x").as("src"), col("y").as("dst"), col("deg_x").as("deg"))
+    // r10 small-graph iteration plane: the adjacency PACKED to node
+    // grain — (src, deg, array<dst>) via a zero-exchange groupBy off
+    // the bucketed store. Row-grain alternatives were both measured
+    // slower at sf0.1: scanning 2.4 M individual checkpointed rows
+    // per iteration cost ~6 s of task CPU per iteration (per-row
+    // object iteration, the stage profile's top line), re-decoding
+    // parquet per iteration ~20% more again. The packed frame is
+    // ~2 k rows whose dst lists are primitive long arrays in one
+    // buffer each, so the per-iteration join probes 2 k rows and the
+    // 2.4 M contributions stream out of a codegen'd explode — the
+    // row-object overhead is gone and the checkpoint shrinks to MBs.
+    // Big graphs keep the r9 memory-oblivious row plane: packing
+    // would hold multi-GB node rows through a hub-skewed explode,
+    // and the repartition-before-agg shape below was tuned against
+    // exactly that spill (159 GB at sf10 under an 8 GB heap).
+    val adj =
+      if (bigGraph) null
+      else wp.groupBy(col("x"))
+        .agg(first(col("deg_x")).as("deg"), collect_list(col("y")).as("dsts"))
+        // hash(x, 8), not the scan's 32 buckets: at node grain the
+        // iteration is TASK-floor-bound (~100 tasks/iter × ~50 ms on
+        // a loaded host beat every per-row saving measured), so the
+        // loop's task and job count are the lever. Hash-partitioned
+        // on x with the loop's shuffle width so the per-iteration
+        // rank join is co-partitioned — zero exchange, and no
+        // per-iteration broadcast-build job either (10 of the loop's
+        // 29 scheduler jobs were broadcast builds).
+        .repartition(8, col("x"))
+        .cut() // node-grain packed adjacency: one row per src
+    val deg =
+      if (bigGraph)
+        wp.groupBy(col("x").as("src")).agg(first(col("deg_x")).as("deg"))
+          .cut() // node-grain: tiny, memory is fine (zero-exchange agg)
+      else adj.select(col("x").as("src"), col("deg"))
+    val nDf = deg.agg(count(lit(1)).as("n"))
     val shares =
-      if (bigGraph) shares0
-      else shares0.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (bigGraph)
+        wp.select(col("x").as("src"), col("y").as("dst"), col("deg_x").as("deg"))
+      else null
     // 0.15/n teleport term precomputed ONCE (node-grain) instead of a
-    // crossJoin per iteration
+    // crossJoin per iteration. Pre-partitioned on `node` with the
+    // loop's shuffle width, so the per-iteration update join is
+    // exchange-free on the base side (contrib arrives hash(dst) with
+    // the same width — EnsureRequirements matches them by join key).
+    val loopParts = if (bigGraph) 32 else 8
     val base = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(0.15) / col("n")).as("base"))
+      .repartition(loopParts, col("node"))
       .cut()
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
@@ -730,8 +760,22 @@ object RelationalQueries {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", if (bigGraph) "32" else "8")
       for (i <- 1 to 10) {
-        val scored = shares.join(broadcast(ranks), col("src") === col("node"))
-          .select(col("dst"), (col("rank") / col("deg")).as("share"))
+        // small graphs: probe the PACKED adjacency (2 k node rows),
+        // divide at node grain, and stream the per-edge contributions
+        // out of a codegen'd explode — same (dst, share) multiset as
+        // the row plane, in array order instead of row order (the
+        // bucketed layout makes both the same src-sorted order)
+        val scored =
+          if (bigGraph)
+            shares.join(broadcast(ranks), col("src") === col("node"))
+              .select(col("dst"), (col("rank") / col("deg")).as("share"))
+          else
+            // co-partitioned shuffled-hash join (hash(x,8) ⋈
+            // hash(node,8), both pre-materialized): single stage, no
+            // broadcast build, no exchange
+            adj.join(ranks.hint("shuffle_hash"), col("x") === col("node"))
+              .select((col("rank") / col("deg")).as("share"), col("dsts"))
+              .select(col("share"), explode(col("dsts")).as("dst"))
         // Big graphs: map-side partial aggregation on the dst key
         // builds a |nodes|-sized hash map PER TASK (2 M keys at
         // sf10), which blows past per-task execution memory and

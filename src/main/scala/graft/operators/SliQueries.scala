@@ -325,45 +325,77 @@ object SliQueries {
     // scan — materialize the day rollup (O(types × days) rows, KB)
     // in cache first, and recurse over THAT. Without this the sf0.1
     // query re-aggregated raw events once per day of recursion depth
-    // (measured 9.0 s); with it, 4.0 s. The coalesce(1) then collapses
-    // the cached frame to ONE partition: the loop runs ~30 SEQUENTIAL
-    // jobs (one per day of depth), and at 32 cached partitions each
-    // job paid 32 tasks of pure scheduling floor to move KB of data —
-    // ~single-task jobs cut the loop's fixed cost ~3× (7.6 → ~2 s at
-    // sf0.1). Parallelism is unaffected: coalesce only collapses the
-    // post-shuffle window stage (150 rows); the raw scan + partial agg
-    // keep their partitioning behind the groupBy exchange. Both costs
-    // are O(days × job-overhead) and INDEPENDENT of corpus size. That
-    // is the honest shape of recursion on a distributed engine: fine
-    // when depth is calendar-bounded like here, wrong for deep
-    // recursions — which is why every linear recurrence in this
-    // library uses windows and only this non-linear one recurses.
+    // (measured 9.0 s). The coalesce(1) collapses the cached frame to
+    // ONE partition so each loop job is ~single-task (at 32 cached
+    // partitions each job paid 32 tasks of scheduling floor to move
+    // KB of data). Parallelism is unaffected: the raw scan + partial
+    // agg keep their partitioning behind the groupBy exchange.
+    //
+    // r10 depth reshape (measured: day-grain recursion ran ~30
+    // sequential UnionLoop steps ≈ 157 scheduler jobs ≈ 7.5 s at
+    // sf0.1, all scheduling floor): the recursion now steps one BLOCK
+    // of days at a time. Within a block the recurrence is evaluated
+    // by [[graft.functions.ClampScanFn]] — the composed clamped-shift
+    // function `struct(s, a, b)` with `apply(x) = min(b, max(a,
+    // x + s))`, the SAME function monoid budget_carryover_scan's
+    // ClampScan is built on (CarryoverScanSpec pins scan ≡ recurrence
+    // row-for-row, clamps saturated both ways) — computed in ONE
+    // window pass at plan time, corpus-side parallel. The recursive
+    // CTE then carries the budget ACROSS blocks — the genuinely
+    // sequential dependency — at depth ceil(days/K). Block size K is
+    // derived IN-PLAN per event_type (ceil(maxrn/6)), so the
+    // UnionLoop depth is ~6 at ANY series length: recursion stays the
+    // declared engine surface (genuine WITH RECURSIVE / UNION ALL),
+    // its cost no longer scales with calendar span. The DuckDB oracle
+    // is UNCHANGED (day-grain recursion) — the driver's hash gate is
+    // the equivalence proof, exactly as it is for the scan twin.
     val w = Window.partitionBy("event_type").orderBy("day")
-    val numbered = Tables.events(spark, dir)
+    val wType = Window.partitionBy("event_type")
+    val wBlk = Window.partitionBy("event_type", "blk").orderBy("rn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
       .agg((sum(when(col("value") < 50 || col("value") > 150, 1L).otherwise(0L))
         / count(lit(1)).cast("double")).as("burn"))
       .withColumn("rn", row_number().over(w))
+      .withColumn("krn",
+        greatest(ceil(max(col("rn")).over(wType) / 6.0), lit(1.0)).cast("int"))
+      .withColumn("blk", expr("(rn - 1) DIV krn"))
+      .withColumn("is_end",
+        col("rn") % col("krn") === 0 ||
+          col("rn") === max(col("rn")).over(wType))
+      .withColumn("f",
+        graft.functions.ClampScan.clampScanFn(lit(0.25) - col("burn"), 0.0, 2.0)
+          .over(wBlk))
       .coalesce(1)
-      .cache()
-    numbered.count() // materialize the cache before the loop reads it
-    numbered.createOrReplaceTempView("graft_burn_numbered")
+      // cut(), NOT cache(): localCheckpoint materializes eagerly into
+      // fresh blocks per invocation. A .cache() here left a
+      // CacheManager entry whose RDD a session-hygiene unpersist
+      // (Bench between passes) permanently de-levels — after which
+      // every UnionLoop step silently re-ran the raw scan + windows
+      // (measured: passes 2-3 at 5.4 s of task time vs pass 1's 1.5).
+      .cut()
+    blocks.createOrReplaceTempView("graft_burn_blocks")
     spark.sql(
       """WITH RECURSIVE
-        |numbered AS (SELECT * FROM graft_burn_numbered),
-        |carry(event_type, day, rn, burn, budget) AS (
-        |  SELECT event_type, day, rn, burn,
-        |         greatest(0.0D, least(2.0D, 1.0D + 0.25D - burn))
-        |  FROM numbered WHERE rn = 1
+        |ends AS (SELECT event_type, blk, f FROM graft_burn_blocks
+        |         WHERE is_end),
+        |carry(event_type, blk, budget) AS (
+        |  SELECT event_type, blk,
+        |         least(f.b, greatest(f.a, 1.0D + f.s))
+        |  FROM ends WHERE blk = 0
         |  UNION ALL
-        |  SELECT /*+ BROADCAST(n) */ n.event_type, n.day, n.rn, n.burn,
-        |         greatest(0.0D, least(2.0D, c.budget + 0.25D - n.burn))
-        |  FROM carry c JOIN numbered n
-        |    ON n.event_type = c.event_type AND n.rn = c.rn + 1)
-        |SELECT event_type, day,
-        |       round(burn + 1e-7, 4) AS burn,
-        |       round(budget + 1e-7, 4) AS budget
-        |FROM carry ORDER BY event_type, day""".stripMargin)
+        |  SELECT /*+ BROADCAST(e) */ e.event_type, e.blk,
+        |         least(e.f.b, greatest(e.f.a, c.budget + e.f.s))
+        |  FROM carry c JOIN ends e
+        |    ON e.event_type = c.event_type AND e.blk = c.blk + 1)
+        |SELECT r.event_type, r.day,
+        |       round(r.burn + 1e-7, 4) AS burn,
+        |       round(least(r.f.b, greatest(r.f.a,
+        |             coalesce(c.budget, 1.0D) + r.f.s)) + 1e-7, 4) AS budget
+        |FROM graft_burn_blocks r LEFT JOIN carry c
+        |  ON c.event_type = r.event_type AND c.blk = r.blk - 1
+        |ORDER BY r.event_type, r.day""".stripMargin)
   }
 
   /** `budget_carryover_scan` — budget_carryover's recursion replaced

@@ -960,6 +960,12 @@ class PlanAuditSpec extends SparkTestBase {
     // a SINGLE-ROW aggregate (sum over the model frame), the exact
     // token_drift_movers shape.
     "bigram_pmi" -> Set("[cut-frame]"),
+    // r10: the block-recursion step's `ends` frame builds from the
+    // CUT day-rollup. Bounded by construction — block-END rows only,
+    // ≤ 6 per event_type at ANY series length (block size is derived
+    // in-plan as ceil(days/6)), so the broadcast is types×6 rows,
+    // constant in corpus size.
+    "budget_carryover" -> Set("[cut-frame]"),
     // r7: type-grain totals frames for the histogram order stats
     "median_ci_binomial" -> Set("events"),
     "trimmed_mean" -> Set("events")
