@@ -152,7 +152,7 @@ object IvfIndex {
     * overload.
     */
   def appendVectors(spark: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    val row = spark.read.parquet(s"$path/assign")
+    val row = graft.sources.Tables.cachedParquet(spark, s"$path/assign")
       .agg(max(col("ingest_batch").cast("long"))).head()
     val next = (if (row.isNullAt(0)) 0L else row.getLong(0)) + 1L
     appendVectors(spark, path, newVecs, next)
@@ -160,7 +160,7 @@ object IvfIndex {
 
   def appendVectors(spark: SparkSession, path: String, newVecs: DataFrame,
       batchId: Long): Unit = {
-    val pivotRows = spark.read.parquet(s"$path/pivots")
+    val pivotRows = graft.sources.Tables.cachedParquet(spark, s"$path/pivots")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     assign(newVecs, pivotRows)
       .withColumn("ingest_batch", lit(batchId))
@@ -239,7 +239,7 @@ object IvfIndex {
     */
   def probeTopkBatch(spark: SparkSession, path: String, queries: DataFrame,
       nprobe: Int, k: Int): DataFrame = {
-    val pivots = spark.read.parquet(s"$path/pivots")
+    val pivots = graft.sources.Tables.cachedParquet(spark, s"$path/pivots")
     val q = queries.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
       sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
     val wProbe = org.apache.spark.sql.expressions.Window
@@ -253,7 +253,7 @@ object IvfIndex {
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     // ONE dot per candidate: both norms are precomputed (the corpus
     // side's at index build, the query side's once per query)
-    spark.read.parquet(s"$path/assign")
+    graft.sources.Tables.cachedParquet(spark, s"$path/assign")
       .join(broadcast(probed), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
@@ -292,13 +292,13 @@ object IvfIndex {
       predicate: Column, nprobe: Int, k: Int): DataFrame = {
     val q = query.select(col("emb").as("q_emb"),
       sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
-    val pivots = spark.read.parquet(s"$path/pivots")
+    val pivots = graft.sources.Tables.cachedParquet(spark, s"$path/pivots")
     val probed = pivots.crossJoin(broadcast(q))
       .withColumn("pcos", cosine(col("p_emb"), col("q_emb")))
       .orderBy(col("pcos").desc, col("p_id"))
       .limit(nprobe)
       .select(col("p_id").as("bucket"))
-    spark.read.parquet(s"$path/assign")
+    graft.sources.Tables.cachedParquet(spark, s"$path/assign")
       .filter(predicate)
       .join(broadcast(probed), "bucket")
       .crossJoin(broadcast(q))
@@ -319,13 +319,13 @@ object IvfIndex {
       nprobe: Int, k: Int): DataFrame = {
     val q = query.select(col("emb").as("q_emb"),
       sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
-    val pivots = spark.read.parquet(s"$path/pivots")
+    val pivots = graft.sources.Tables.cachedParquet(spark, s"$path/pivots")
     val probed = pivots.crossJoin(broadcast(q))
       .withColumn("pcos", cosine(col("p_emb"), col("q_emb")))
       .orderBy(col("pcos").desc, col("p_id"))
       .limit(nprobe)
       .select(col("p_id").as("bucket"))
-    spark.read.parquet(s"$path/assign")
+    graft.sources.Tables.cachedParquet(spark, s"$path/assign")
       .join(broadcast(probed), "bucket")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),

@@ -48,14 +48,14 @@ object IvfPq {
     if (fs.exists(hPath)) return Some(path)
     val ivf = IvfIndex.ensure(spark, dir, npivots).getOrElse(return None)
     val pq = PqIndex.ensure(spark, dir).getOrElse(return None)
-    val cb = spark.read.parquet(s"$pq/cbook").collect().head
+    val cb = graft.sources.Tables.cachedParquet(spark, s"$pq/cbook").collect().head
       .getSeq[Any](0).map(_.asInstanceOf[scala.collection.Seq[Any]]
         .map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq).toSeq).toSeq
     // pivots + codebook first; the assignment's _SUCCESS is written
     // LAST and is the completion marker the existence check keys on
-    spark.read.parquet(s"$ivf/pivots").write.mode("overwrite").parquet(s"$path/pivots")
-    spark.read.parquet(s"$pq/cbook").write.mode("overwrite").parquet(s"$path/cbook")
-    spark.read.parquet(s"$ivf/assign")
+    graft.sources.Tables.cachedParquet(spark, s"$ivf/pivots").write.mode("overwrite").parquet(s"$path/pivots")
+    graft.sources.Tables.cachedParquet(spark, s"$pq/cbook").write.mode("overwrite").parquet(s"$path/cbook")
+    graft.sources.Tables.cachedParquet(spark, s"$ivf/assign")
       .select(col("vec_id"), col("label"),
         PqIndex.encode(col("emb"), cb).as("codes"),
         col("norm"), col("bucket"))
@@ -75,14 +75,14 @@ object IvfPq {
       corpus: DataFrame, nprobe: Int, shortlist: Int, k: Int): DataFrame = {
     val q = query.select(col("emb").as("q_emb"),
       sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
-    val pivots = spark.read.parquet(s"$path/pivots")
+    val pivots = graft.sources.Tables.cachedParquet(spark, s"$path/pivots")
     val probed = pivots.crossJoin(broadcast(q))
       .withColumn("pcos", AnnOps.cosine(col("p_emb"), col("q_emb")))
       .orderBy(col("pcos").desc, col("p_id"))
       .limit(nprobe)
       .select(col("p_id").as("bucket"))
-    val cbook = spark.read.parquet(s"$path/cbook")
-    val short = spark.read.parquet(s"$path/assign")
+    val cbook = graft.sources.Tables.cachedParquet(spark, s"$path/cbook")
+    val short = graft.sources.Tables.cachedParquet(spark, s"$path/assign")
       .join(broadcast(probed), "bucket")
       .crossJoin(broadcast(cbook)).crossJoin(broadcast(q))
       .withColumn("approx_cos",

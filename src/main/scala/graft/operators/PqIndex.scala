@@ -185,8 +185,8 @@ object PqIndex {
       corpus: DataFrame, shortlist: Int, k: Int): DataFrame = {
     val q = query.select(col("emb").as("q_emb"),
       sqrt(dot(col("emb"), col("emb"))).as("q_norm"))
-    val cbook = spark.read.parquet(s"$path/cbook")
-    val short = spark.read.parquet(s"$path/codes")
+    val cbook = graft.sources.Tables.cachedParquet(spark, s"$path/cbook")
+    val short = graft.sources.Tables.cachedParquet(spark, s"$path/codes")
       .crossJoin(broadcast(cbook)).crossJoin(broadcast(q))
       .withColumn("approx_cos",
         dot(col("q_emb"), reconstruct(col("codes"), col("cbook")))

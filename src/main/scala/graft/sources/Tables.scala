@@ -85,10 +85,51 @@ object Tables {
     s"$d/$name.parquet"
   }
 
+  /** Inferred-schema cache, keyed by (absolute path, mtime, bytes).
+    *
+    * Why (r10, guide §1/§6): `spark.read.parquet(path)` with no schema
+    * runs parquet footer inference — a one-task Spark JOB — on EVERY
+    * call. Each declared query re-reads its tables per invocation, so
+    * the whole suite paid hundreds of ~40-90 ms inference jobs that a
+    * production deployment never runs (a catalog table — HMS/Iceberg/
+    * Delta — carries its schema as metadata; per-query inference is
+    * the anti-pattern this loader was accidentally modeling). The
+    * cache IS that catalog metadata, nothing more: no data, no plan,
+    * no result is reused — only the StructType. The key folds in
+    * mtime+length (recursive max/sum for directories) so a regenerated
+    * fixture re-infers instead of serving a stale schema, mirroring
+    * StoreProtocol.sourceStamp's regeneration guard.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      org.apache.spark.sql.types.StructType]
+
+  private def stamp(f: java.io.File): (Long, Long) =
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      val sub = kids.map(stamp)
+      (sub.foldLeft(f.lastModified())((a, b) => math.max(a, b._1)),
+        sub.foldLeft(0L)(_ + _._2))
+    } else (f.lastModified(), f.length())
+
+  /** Parquet scan with the schema served from [[schemaCache]] —
+    * the shared probe-path read for fixture tables AND derived-store
+    * artifacts whose schema isn't spelled inline (ANN pivot/codebook/
+    * assign tables). Falls back to plain inference off local FS.
+    */
+  def cachedParquet(spark: SparkSession, p: String): DataFrame = {
+    val f = new java.io.File(p)
+    if (!f.exists()) return spark.read.parquet(p) // non-local FS etc.: plain path
+    val (m, len) = stamp(f)
+    val key = (f.getAbsolutePath, m, len)
+    val st = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(p).schema)
+    spark.read.schema(st).parquet(p)
+  }
+
   /** Raw parquet scan of any table; no post-processing. */
   def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    spark.read.parquet(path(dir, name))
+    cachedParquet(spark, path(dir, name))
   }
 
   /** On-disk bytes of a table — the same file-listing statistic

@@ -55,4 +55,37 @@ class CatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM g_events").head().getLong(0) ==
       spark.sql("SELECT count(*) FROM events").head().getLong(0))
   }
+
+  // r10: Tables serves parquet schemas from a (path, mtime, bytes)-keyed
+  // cache so probe paths stop paying a footer-inference JOB per read —
+  // the cache must be invisible: a regenerated file with a DIFFERENT
+  // schema must be re-inferred, never served stale.
+  test("schema cache re-infers after an in-place regeneration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_cache").toString
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "s").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    val first = graft.sources.Tables.raw(spark, dir, "t")
+    assert(first.schema.fieldNames.toSeq == Seq("id", "s"))
+    Thread.sleep(1100) // distinct mtime granularity on coarse filesystems
+    Seq((1L, "x", 2.0)).toDF("id", "s", "extra").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    val second = graft.sources.Tables.raw(spark, dir, "t")
+    assert(second.schema.fieldNames.toSeq == Seq("id", "s", "extra"),
+      s"stale cached schema served: ${second.schema.fieldNames.toSeq}")
+  }
+
+  // r10: registerTables skips only EXACT repeats — re-pointing the same
+  // prefix at a different dir must rebuild the views, not skip.
+  test("registerTables re-registers when the same prefix moves dirs") {
+    GraftCatalog.registerTables(spark, sf, prefix = "mv_")
+    val n1 = spark.sql("SELECT count(*) FROM mv_events").head().getLong(0)
+    val other = "/root/testdata/sf0.01"
+    GraftCatalog.registerTables(spark, other, prefix = "mv_")
+    val n2 = spark.sql("SELECT count(*) FROM mv_events").head().getLong(0)
+    assert(n1 != n2, "views did not follow the dir switch")
+    // and switching BACK also re-registers (the r10 set-vs-map bug shape)
+    GraftCatalog.registerTables(spark, sf, prefix = "mv_")
+    assert(spark.sql("SELECT count(*) FROM mv_events").head().getLong(0) == n1)
+  }
 }
