@@ -53,6 +53,18 @@ object OptProbe {
         if (m != null) { runMs.addAndGet(m.executorRunTime); gcMs.addAndGet(m.jvmGCTime) }
       }
     })
+    // same untimed store/index DDL as Bench: the probed queries must
+    // measure the probe reads, not a cold store build
+    Seq[() => Unit](
+      () => graft.operators.IvfIndex.ensure(spark, dir, npivots = 8),
+      () => graft.operators.SketchRollup.ensure(spark, dir),
+      () => graft.operators.ReportMaintenance.ensure(spark, dir),
+      () => graft.operators.QuantileRollup.ensure(spark, dir),
+      () => graft.operators.PqIndex.ensure(spark, dir),
+      () => graft.operators.IvfPq.ensure(spark, dir, npivots = 8),
+      () => graft.operators.EdgeStore.ensure(spark, dir),
+      () => graft.operators.SketchStore.ensure(spark, dir)
+    ).foreach(f => try f() catch { case _: Throwable => () })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }

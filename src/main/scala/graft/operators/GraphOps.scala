@@ -47,12 +47,40 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
-    // checkpoint the symmetrized edge list once: it is re-scanned every
-    // round (worth materializing), and the fresh attribute ids keep the
-    // per-round label unions free of cross-child id sharing
-    val sym0 = edges
+    // Materialize the DIRECTED edge list once and count it for the
+    // regime pick (r10, guide §1.2): the old shape cut() the
+    // symmetrized union directly, which evaluated the upstream edge
+    // plan TWICE (once per union branch) — for LSH/nested-loop pair
+    // generators that is the expensive part of the whole query.
+    val e0 = edges.select(col("part"), col("a"), col("b")).cut()
+    val m = e0.count()
+    // Local regime (r10, guide §1.2 "the distributed algorithm"): a
+    // dup-cluster closure over a SMALL edge list is pure scheduler
+    // floor when iterated — 4-5 rounds × (co-partitioned 3-stage job
+    // + convergence job) ≈ 2.4 s of wall for 302 edges, <0.1 s of
+    // compute. If one task's worth of edges fits one task, the right
+    // distributed algorithm is a per-part single-reducer union-find:
+    // ONE shuffle of (part, a, b) — the same bytes every Hash-Min
+    // round re-shuffled — and one executor-side pass. Labels are the
+    // component minimum by construction (roots only decrease), i.e.
+    // byte-identical to the iterative fixpoint; GraphOpsSpec's
+    // property test pins the equivalence against a reference
+    // union-find on random graphs. The threshold is per-session
+    // tunable (spark.graft.graph.localEdgeMax, default 4 M directed
+    // edges ≈ low-hundreds-MB per hot part) and the type gate keeps
+    // exotic callers on the iterative plane; corpus-scale graphs are
+    // untouched.
+    val localMax = localEdgeMax(spark)
+    val typesOk = e0.schema.fields.map(_.dataType) match {
+      case Array(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.LongType) => true
+      case _ => false
+    }
+    if (m <= localMax && typesOk) return localCc(e0)
+    val sym0 = e0
       .select(col("part"), col("a").as("s"), col("b").as("d"))
-      .union(edges.select(col("part"), col("b").as("s"), col("a").as("d")))
+      .union(e0.select(col("part"), col("b").as("s"), col("a").as("d")))
       .cut()
     // r10 loop regime (measured; the copurchasePagerank pattern): on
     // SMALL graphs the rounds are sub-second stages where the cost is
@@ -70,7 +98,7 @@ object GraphOps {
     // explicit co-partitioning. Corpus-scale graphs keep the r5 shape
     // untouched: AQE coalescing/skew handling, unhinted joins, the
     // cluster-wide partition default.
-    val bigGraph = sym0.count() > 16000000L
+    val bigGraph = m * 2 > 16000000L
     val loopParts = 8
     val sym =
       if (bigGraph) sym0
@@ -133,6 +161,59 @@ object GraphOps {
       }
     }
     labels
+  }
+
+  /** Shared local-regime threshold (r10): below this many edge rows a
+    * graph fixpoint (CC closure, k-core peel, BFS relaxation) runs as
+    * one exchange + one executor-side pass instead of iterated jobs.
+    * Per-session tunable; the default bounds one task's working set
+    * at low-hundreds-MB. Set 0 to force every loop distributed.
+    */
+  private[operators] def localEdgeMax(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.localEdgeMax").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** Local-regime closure (r10): per-part single-reducer union-find.
+    * One exchange of (part, a, b) — the same bytes one Hash-Min round
+    * would shuffle — then one executor-side pass per part with path
+    * compression. Union points the LARGER root at the smaller, so a
+    * component's root can only decrease and the final root is the
+    * component minimum — exactly the iterative fixpoint's label.
+    * Closure-based (flatMapGroups) by design: below the edge
+    * threshold the scheduler floor of iterating dwarfs any codegen
+    * effect, and the per-task memory is a LongMap over one part's
+    * node ids, bounded by the caller-visible threshold conf.
+    */
+  private def localCc(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    e0.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (part: String, it: Iterator[(String, Long, Long)]) =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp
+            x = p
+            p = gp
+          }
+          x
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a) // register endpoints: keysIterator
+          parent.getOrElseUpdate(b, b) // below must see every node
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keysIterator.toArray.iterator.map(n => (part, n, find(n)))
+      }
+      .toDF("part", "node", "lbl")
   }
 
   /** Scoped iteration-loop session regime (r10; generalizing the
@@ -243,8 +324,19 @@ object GraphOps {
     * log-diameter.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // cut() the 400-row cast+norm frame BEFORE the pair nested-loop
+    // join (r10, guide §1.2 per-task work): without the cut,
+    // CollapseProject inlines the float→double cast of `emb` into the
+    // join-side projections, and the nested-loop pair generation
+    // re-evaluates it per PAIR — 160 k × 2 interpreted 64-element
+    // array casts with a fresh allocation each, measured as ~9 s of
+    // task time per pass buried in the first checkpoint stage. The
+    // materialized frame holds the cast arrays and norms once; the
+    // pair join then only evaluates the (short-circuited) id bound
+    // and the codegen'd dot per pair. Same pairs, same oracle hash.
     val e = AnnOps.vecs(spark, dir).filter(col("vec_id") < 400)
       .withColumn("norm", sqrt(AnnOps.dot(col("emb"), col("emb"))))
+      .cut()
     val a = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"),
       col("norm").as("a_norm"))
     val b = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
@@ -490,6 +582,48 @@ object GraphOps {
     val k = 3
     var cur = supportEdges(spark, dir)
     var prevCount = cur.count()
+    // Local regime (r10, same rationale as [[connectedComponents]]'s
+    // local union-find): the support graph is dimension-sized (~4 k
+    // edges at every SF), and the distributed peel paid 14 × (degree
+    // agg + two joins + cut + count) of pure scheduler floor for
+    // milliseconds of compute. Below the shared threshold the peel
+    // runs as ONE exchange + one executor-side pass; the fixpoint is
+    // identical (the peel is a deterministic monotone contraction),
+    // certified by the unchanged oracle hash. Iterative plane kept
+    // for corpus-proportional graphs and pinned in GraphOpsSpec by
+    // zeroing the threshold.
+    if (prevCount <= localEdgeMax(spark)) {
+      import spark.implicits._
+      val core = cur.select(col("a"), col("b")).as[(Long, Long)]
+        .groupByKey(_ => true)
+        .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long)]) =>
+          var edges = it.toArray
+          var prev = edges.length
+          var converged = false
+          var rounds = 0
+          while (!converged && rounds < 14) {
+            val deg = new scala.collection.mutable.LongMap[Long]()
+            edges.foreach { case (a, b) =>
+              deg(a) = deg.getOrElse(a, 0L) + 1
+              deg(b) = deg.getOrElse(b, 0L) + 1
+            }
+            val next = edges.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+            converged = next.length == prev
+            prev = next.length
+            edges = next
+            rounds += 1
+          }
+          val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+            .toSet.size.toLong
+          Iterator((nodes, edges.length.toLong, rounds))
+        }.toDF("core_nodes", "core_edges", "rounds").cut()
+      KcoreRounds.last = core.head().getInt(2) // same fixpoint depth law
+      return core
+        .select(col("core_nodes"), col("core_edges"),
+          r4(when(col("core_nodes") === 0, 0.0)
+            .otherwise(lit(2.0) * col("core_edges") / col("core_nodes")))
+            .as("avg_core_degree"))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < 14) {
@@ -647,25 +781,82 @@ object GraphOps {
     */
   def hubDistance(spark: SparkSession, dir: String): DataFrame = {
     val und = undirected(spark, dir)
-    val hub = degrees(spark, dir)
-      .orderBy(col("deg").desc, col("n")).limit(1).select("n")
-    var dist = hub.withColumn("d", lit(0)).cut()
-    var frontier = dist
-    var i = 0
-    var done = false
-    while (!done && i < 14) {
-      i += 1
-      val next = frontier.join(und, frontier("n") === und("x"))
-        .select(col("y").as("n")).distinct()
-        .join(dist, Seq("n"), "left_anti")
-        .withColumn("d", lit(i)).cut()
-      done = next.isEmpty
-      if (!done) {
-        dist = dist.unionAll(next).cut()
-        frontier = next
+    // Local regime (r10, same rationale as the k-core peel): the BFS
+    // relaxation over the dimension-sized support graph ran up to
+    // 14 × (wedge join + anti join + cut + isEmpty) — ~50 jobs whose
+    // broadcast builds alone cost seconds of task time. Below the
+    // shared threshold: ONE exchange of the (x, y) adjacency, hub
+    // pick (max degree, ties to the smaller id — the orderBy's exact
+    // key) and level-order BFS in one executor pass. Levels are
+    // unique per node, so the output is byte-identical; oracle hash
+    // certifies. Iterative plane kept for corpus-scale graphs,
+    // pinned in GraphOpsSpec by zeroing the threshold.
+    var dist: DataFrame = null
+    if (und.count() <= localEdgeMax(spark)) {
+      import spark.implicits._
+      dist = und.select(col("x"), col("y")).as[(Long, Long)]
+        .groupByKey(_ => true)
+        .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long)]) =>
+          val adj = new scala.collection.mutable.LongMap[
+            scala.collection.mutable.ArrayBuffer[Long]]()
+          it.foreach { case (x, y) =>
+            adj.getOrElseUpdate(x,
+              new scala.collection.mutable.ArrayBuffer[Long]()) += y
+          }
+          if (adj.isEmpty) Iterator.empty
+          else {
+            // hub = max degree, ties to the smaller node id
+            var hub = -1L
+            var hubDeg = -1
+            adj.foreach { case (n, ns) =>
+              if (ns.length > hubDeg || (ns.length == hubDeg && n < hub)) {
+                hub = n; hubDeg = ns.length
+              }
+            }
+            val d = new scala.collection.mutable.LongMap[Int]()
+            d(hub) = 0
+            var frontier = Array(hub)
+            var lvl = 0
+            while (frontier.nonEmpty && lvl < 14) {
+              lvl += 1
+              val nxt = scala.collection.mutable.ArrayBuffer[Long]()
+              frontier.foreach { n =>
+                adj.getOrElse(n, Nil).foreach { y =>
+                  if (!d.contains(y)) { d(y) = lvl; nxt += y }
+                }
+              }
+              frontier = nxt.toArray
+            }
+            d.iterator.map { case (n, dd) => (n, dd) }
+          }
+        }.toDF("n", "d").cut()
+      // rounds law: replay the driver-loop count from the materialized
+      // levels — the loop runs `max level + 1` probes (the last one
+      // finds an empty frontier), exactly what the iterative plane's
+      // counter reported.
+      HubRounds.last =
+        dist.agg(max(col("d"))).head().getInt(0) + 1
+    } else {
+      val hub = degrees(spark, dir)
+        .orderBy(col("deg").desc, col("n")).limit(1).select("n")
+      dist = hub.withColumn("d", lit(0)).cut()
+      var frontier = dist
+      var i = 0
+      var done = false
+      while (!done && i < 14) {
+        i += 1
+        val next = frontier.join(und, frontier("n") === und("x"))
+          .select(col("y").as("n")).distinct()
+          .join(dist, Seq("n"), "left_anti")
+          .withColumn("d", lit(i)).cut()
+        done = next.isEmpty
+        if (!done) {
+          dist = dist.unionAll(next).cut()
+          frontier = next
+        }
       }
+      HubRounds.last = i // test hook: rounds actually used
     }
-    HubRounds.last = i // test hook: rounds actually used
     val nodes = und.select(col("x").as("n")).distinct()
     val hist = nodes.join(dist, Seq("n"), "left")
       .select(coalesce(col("d"), lit(-1)).as("hops"))

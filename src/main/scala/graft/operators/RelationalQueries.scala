@@ -690,7 +690,57 @@ object RelationalQueries {
     // and localCheckpointed the result, and at sf10 the 10 scans of
     // 180 M ROW-SERIALIZED checkpoint blocks were the query's
     // dominant cost (row deserialization, not compute).
-    val bigGraph = wp.count() > 16000000L
+    val m = wp.count()
+    // Local regime (r10, the GraphOps.localCc rationale): below the
+    // shared edge threshold even the packed 8-partition loop is pure
+    // scheduler floor — 10 fixed iterations × (co-partitioned join +
+    // explode + agg + cut) ≈ 1.9 s wall for a ~5 k-row adjacency and
+    // <0.1 s of arithmetic. One exchange of (x, y, deg_x), ten
+    // in-memory power iterations per the same update rule
+    // (base 0.15/n + 0.85·Σ rank/deg), same r4 grid on the way out —
+    // summation order differs only within the r4 nudge tolerance and
+    // the oracle hash certifies. Distributed planes unchanged above
+    // the threshold.
+    if (m <= GraphOps.localEdgeMax(spark)) {
+      import spark.implicits._
+      // Ship the PACKED adjacency, not the edge rows: the node-grain
+      // pack (one row per src with a primitive dst array) is built by
+      // the zero-exchange groupBy off the bucketed store — the same
+      // frame the 8-partition plane iterates — and is ~1000× fewer
+      // rows than the raw pair table, so the single-task exchange
+      // moves MBs of array buffers instead of millions of serialized
+      // tuples (measured: tuple-grain shipping cost more than the
+      // distributed loop it replaced).
+      val ranks = wp.groupBy(col("x"))
+        .agg(first(col("deg_x")).as("deg"), collect_list(col("y")).as("dsts"))
+        .as[(Long, Long, Seq[Long])]
+        .groupByKey(_ => true)
+        .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long, Seq[Long])]) =>
+          val adj = it.toArray
+          val n = adj.length
+          val rank = new scala.collection.mutable.LongMap[Double]()
+          adj.foreach { case (x, _, _) => rank(x) = 1.0 / n }
+          val b = 0.15 / n
+          var i = 0
+          while (i < 10) {
+            val contrib = new scala.collection.mutable.LongMap[Double]()
+            adj.foreach { case (x, dx, dsts) =>
+              val share = rank(x) / dx
+              dsts.foreach { y => contrib(y) = contrib.getOrElse(y, 0.0) + share }
+            }
+            adj.foreach { case (x, _, _) =>
+              rank(x) = b + 0.85 * contrib.getOrElse(x, 0.0)
+            }
+            i += 1
+          }
+          adj.iterator.map { case (x, _, _) => (x, rank(x)) }
+        }.toDF("node", "rank")
+      return ranks
+        .select(col("node").as("part"), r4(col("rank") * 1000).as("rank_pm"))
+        .orderBy(col("rank_pm").desc, col("part"))
+        .limit(20)
+    }
+    val bigGraph = m > 16000000L
     // r10 small-graph iteration plane: the adjacency PACKED to node
     // grain — (src, deg, array<dst>) via a zero-exchange groupBy off
     // the bucketed store. Row-grain alternatives were both measured

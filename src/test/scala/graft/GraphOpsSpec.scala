@@ -71,6 +71,18 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  // r10: small graphs now close via the local union-find regime, so
+  // the ITERATIVE Hash-Min plane needs its own pin — force it by
+  // zeroing the local-regime threshold and re-check the worst case.
+  test("cc.iterative plane (local regime disabled) matches on the chain") {
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    spark.conf.set("spark.graft.graph.localEdgeMax", "0")
+    try {
+      val got = ccOf(chain)
+      assert(got.size == 200 && got.values.forall(_ == 0L))
+    } finally spark.conf.unset("spark.graft.graph.localEdgeMax")
+  }
+
   test("cc.two components in one part keep distinct min-id labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
     val got = ccOf(edges)
@@ -157,6 +169,18 @@ class GraphOpsSpec extends SparkTestBase {
     // level 1 is exactly the hub's degree-neighborhood: it can't be
     // empty unless the graph has a single node
     if (rows.values.sum > 1) assert(rows.getOrElse(1, 0L) > 0)
+  }
+
+  // r10: kcore/hub now run a local single-pass regime on small
+  // graphs; the distributed planes stay covered by forcing them.
+  test("kcore/hub iterative planes (local regime disabled) agree with local") {
+    val localK = GraphOps.kcoreParts(spark, sf).collect().toSeq
+    val localH = GraphOps.hubDistance(spark, sf).collect().toSeq
+    spark.conf.set("spark.graft.graph.localEdgeMax", "0")
+    try {
+      assert(GraphOps.kcoreParts(spark, sf).collect().toSeq == localK)
+      assert(GraphOps.hubDistance(spark, sf).collect().toSeq == localH)
+    } finally spark.conf.unset("spark.graft.graph.localEdgeMax")
   }
 
   test("common_neighbor_recs: no recommended pair is an existing edge; scores are consistent") {
