@@ -178,11 +178,20 @@ object AnnOps {
     // single-row probe, the IvfIndex seed-probe pattern
     val dim = vecs.select(size(col("emb")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(64)
+    // cut() the narrow keyed frame (r10, guide §1.2): it feeds BOTH
+    // sides of the banding self-join, and without materialization
+    // each side re-evaluates the whole signature projection — nBits
+    // hyperplane dots per vector, per side (and CollapseProject
+    // inlines `sig` into all `bands` chunk keys, multiplying again).
+    // Materialized it is (vec_id, chunk, ckey) ints — bands rows per
+    // vector, bytes per row at any corpus size — and the signatures
+    // are computed exactly once.
     val keyed = vecs
       .withColumn("sig", srpSignature(col("emb"), dim = dim, nBits = nBits))
       .select(col("vec_id"),
         posexplode(array((0 until bands).map(c =>
           shiftright(col("sig"), r * c).bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
+      .cut()
     keyed.as("l")
       .join(keyed.as("r"),
         col("l.chunk") === col("r.chunk") &&

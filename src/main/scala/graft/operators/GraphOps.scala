@@ -617,11 +617,17 @@ object GraphOps {
             .toSet.size.toLong
           Iterator((nodes, edges.length.toLong, rounds))
         }.toDF("core_nodes", "core_edges", "rounds").cut()
-      KcoreRounds.last = core.head().getInt(2) // same fixpoint depth law
-      return core
-        .select(col("core_nodes"), col("core_edges"),
-          r4(when(col("core_nodes") === 0, 0.0)
-            .otherwise(lit(2.0) * col("core_edges") / col("core_nodes")))
+      // zero edges ⇒ zero groups ⇒ empty frame; the iterative plane's
+      // agg-crossJoin emits ONE (0, 0, 0.0) row there (its loop
+      // converges after round 1) — match it exactly
+      val row = core.head(1).headOption
+      KcoreRounds.last = row.map(_.getInt(2)).getOrElse(1)
+      val (cn, ce) = row.map(r => (r.getLong(0), r.getLong(1)))
+        .getOrElse((0L, 0L))
+      return spark.range(1)
+        .select(lit(cn).as("core_nodes"), lit(ce).as("core_edges"),
+          r4(when(lit(cn) === 0, 0.0)
+            .otherwise(lit(2.0) * lit(ce) / lit(cn)))
             .as("avg_core_degree"))
     }
     var converged = false
@@ -833,9 +839,10 @@ object GraphOps {
       // rounds law: replay the driver-loop count from the materialized
       // levels — the loop runs `max level + 1` probes (the last one
       // finds an empty frontier), exactly what the iterative plane's
-      // counter reported.
-      HubRounds.last =
-        dist.agg(max(col("d"))).head().getInt(0) + 1
+      // counter reported. Empty graph ⇒ null max ⇒ the loop's single
+      // empty-frontier probe.
+      val mx = dist.agg(max(col("d"))).head()
+      HubRounds.last = (if (mx.isNullAt(0)) 0 else mx.getInt(0)) + 1
     } else {
       val hub = degrees(spark, dir)
         .orderBy(col("deg").desc, col("n")).limit(1).select("n")

@@ -58,7 +58,14 @@ object RelationalQueries {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+      // orders through the same regime pick (r10): past broadcast
+      // range Catalyst falls to sort-merge and SORTS the lineitem
+      // side — at sf30 that sort of 540 M narrow rows was 130 s of
+      // the query's 131. Shuffled-hash keeps the fact side sort-free;
+      // the build side is orders-per-partition (projected to 16 B/row
+      // ÷ shuffle width — partition-count-scaled at any SF).
+      .join(dimRegime(spark, dir, "orders",
+          Tables.orders(spark, dir).select("o_orderkey", "o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(dimRegime(spark, dir, "customer",
           Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
@@ -75,13 +82,26 @@ object RelationalQueries {
       .agg(r2(sum("rev")).as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy("r_name")
 
-  /** #12 — top-10 customers by revenue (join + agg + top-k). */
+  /** #12 — top-10 customers by revenue (join + agg + top-k).
+    * r10: fact-first join order with both hops through [[dimRegime]]
+    * and projected build sides (guide §2.3/§3.1) — same inner-join
+    * semantics, but past broadcast range the orders and customer hops
+    * go shuffled-hash instead of sort-merge (the sf30 cell was 74 s,
+    * nearly all of it the fact-side sorts). Bench-SF plans unchanged
+    * (both dims stay inside Catalyst's broadcast election there).
+    */
   def top10Customers(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("o_custkey") === col("c_custkey"))
-      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(dimRegime(spark, dir, "orders",
+          Tables.orders(spark, dir).select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dimRegime(spark, dir, "customer",
+          Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
-      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(r2(sum(col("rev"))).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
 

@@ -346,7 +346,11 @@ object SliQueries {
     // derived IN-PLAN per event_type (ceil(maxrn/6)), so the
     // UnionLoop depth is ~6 at ANY series length: recursion stays the
     // declared engine surface (genuine WITH RECURSIVE / UNION ALL),
-    // its cost no longer scales with calendar span. The DuckDB oracle
+    // its cost no longer scales with calendar span. (Divisor 3, was 6
+    // at first reshape: each UnionLoop step costs ~5 scheduler jobs
+    // whatever the block width, so fewer-but-wider blocks are free —
+    // depth 3 keeps the CTE genuinely recursive while halving the
+    // loop's job count; measured 0.87 -> ~0.6 s.) The DuckDB oracle
     // is UNCHANGED (day-grain recursion) — the driver's hash gate is
     // the equivalence proof, exactly as it is for the scan twin.
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -359,7 +363,7 @@ object SliQueries {
         / count(lit(1)).cast("double")).as("burn"))
       .withColumn("rn", row_number().over(w))
       .withColumn("krn",
-        greatest(ceil(max(col("rn")).over(wType) / 6.0), lit(1.0)).cast("int"))
+        greatest(ceil(max(col("rn")).over(wType) / 3.0), lit(1.0)).cast("int"))
       .withColumn("blk", expr("(rn - 1) DIV krn"))
       .withColumn("is_end",
         col("rn") % col("krn") === 0 ||

@@ -156,10 +156,11 @@ class PlanAuditSpec extends SparkTestBase {
     "token_count" -> 2, "doc_fingerprint" -> 3, "hash_split" -> 2,
     "regex_token_profile" -> 2, "curate_corpus" -> 3,
     "distinct_hll" -> 2, "segment_dedup" -> 4,
-    // dedup_clusters: the driver loop's per-round exchanges run before
-    // the plan is printed; the FINAL plan is the checkpointed label
-    // frame -> groupBy(part,lbl) -> orderBy
-    "dedup_clusters" -> 2, "cluster_keep_best" -> 4,
+    // dedup_clusters: r10 local CC regime — the closure's ONE
+    // groupByKey exchange is now part of the returned plan (the
+    // iterative rounds used to run eagerly before the plan printed),
+    // + groupBy(part,lbl) + orderBy
+    "dedup_clusters" -> 3, "cluster_keep_best" -> 4,
     "semantic_dedup" -> 4, "corpus_mix_sample" -> 2,
     "bloom_prefilter_dedup" -> 5,
     "near_dup_minhash" -> 9,
@@ -232,7 +233,10 @@ class PlanAuditSpec extends SparkTestBase {
     // zero exchanges (iteration shuffles run at construction, each
     // bounded to node/edge grain)
     "time_to_convert" -> 2, "peak_concurrency" -> 3,
-    "ship_latency" -> 3, "copurchase_pagerank" -> 0,
+    // copurchase_pagerank: r10 local regime — the packed-adjacency
+    // single-reducer exchange is in-plan (the distributed loop's
+    // node-grain shuffles used to run eagerly at construction)
+    "ship_latency" -> 3, "copurchase_pagerank" -> 1,
     // growth/engagement wave: cohort = (user,day) two-phase dedup
     // (2) + user-keyed first-seen agg reusing that partitioning +
     // two-phase countDistinct re-agg (2) + broadcast cohort sizes +
@@ -338,7 +342,7 @@ class PlanAuditSpec extends SparkTestBase {
     // r5 LSH closure: CC rounds run at construction (dedup_clusters
     // precedent); the returned summary re-aggs the checkpointed
     // labels (cluster agg + lang rollup + sort)
-    "lsh_dedup_clusters" -> 3,
+    "lsh_dedup_clusters" -> 4, // +1 r10: local CC's in-plan exchange
     // r5 hybrid RRF: the corpus-sized work is the two lanes' audited
     // shapes (bm25's single-row stats agg = the 1 exchange here; the
     // dense lane is broadcast-query + TakeOrdered). Everything above
