@@ -132,9 +132,16 @@ object EdgeStore {
     * published tables are a cache validated by the `PUBLISHED` epoch
     * marker (merge-on-read between append and compaction), and the
     * separate `parts_pub`/`meta_pub` artifacts are gone — [[parts]]/
-    * [[norders]] serve the merged maintenance planes directly.
+    * [[norders]] serve the merged maintenance planes directly; v6
+    * (r11, the r10 verdict's item #1): a published NODE-GRAIN packed
+    * adjacency plane `adj` (x, deg, dsts array) — the frame the
+    * PageRank-class iteration loops consume — so probes read a
+    * bucketed vectorized scan instead of re-packing the pair table
+    * per query, and the `PUBLISHED` marker carries the weighted
+    * table's ROW COUNT so regime picks read store metadata instead of
+    * running a count job per probe.
     */
-  val FormatVersion = 5
+  val FormatVersion = 6
 
   /** Bucket count: matches the bench session's 32 threads so a full
     * probe scan is width-parallel; bucketed joins don't require it to
@@ -173,6 +180,10 @@ object EdgeStore {
   /** Catalog identifier of the published all-pairs weighted adjacency. */
   def weightedTableName(dir: String): String =
     s"graft_wpairs_v${FormatVersion}_${storeKey(dir)}"
+
+  /** Catalog identifier of the published packed node-grain adjacency. */
+  def packedTableName(dir: String): String =
+    s"graft_adj_v${FormatVersion}_${storeKey(dir)}"
 
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -286,19 +297,39 @@ object EdgeStore {
     sym.join(deg, "x")
   }
 
-  /** Epoch the published cache was derived from, if the marker is
-    * intact and parseable.
+  /** The node-grain packed adjacency derived from the symmetric
+    * weighted frame: one row per source with its degree and the
+    * primitive dst array — the exact frame the PageRank-class
+    * iteration planes consume (built per query before v6; a published
+    * bucketed table since).
     */
-  private def publishedEpoch(f: FileSystem, root: String): Option[Long] = {
+  private def packAdjacency(wpairs: DataFrame): DataFrame =
+    wpairs.groupBy(col("x"))
+      .agg(first(col("deg_x")).as("deg"), collect_list(col("y")).as("dsts"))
+
+  /** Published-marker contents: the epoch the cache was derived from
+    * and (v6) the weighted table's row count, if the marker is intact
+    * and parseable. A count of -1 (torn/legacy marker) reads as
+    * "unknown" — probes fall back to counting.
+    */
+  private def publishedMeta(f: FileSystem, root: String): Option[(Long, Long)] = {
     val m = new Path(s"$root/PUBLISHED")
     if (!f.exists(m)) None
     else {
       val in = f.open(m)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      scala.util.Try(txt.toLong).toOption
+      txt.split("\\s+") match {
+        case Array(e, n) =>
+          scala.util.Try((e.toLong, n.toLong)).toOption
+        case Array(e) => scala.util.Try((e.toLong, -1L)).toOption
+        case _ => None
+      }
     }
   }
+
+  private def publishedEpoch(f: FileSystem, root: String): Option[Long] =
+    publishedMeta(f, root).map(_._1)
 
   /** Rewrite the published probe cache (`wpairs`, `und`) from the
     * CURRENT BASE EPOCH — callers guarantee there is nothing unfolded
@@ -320,13 +351,21 @@ object EdgeStore {
       .parquet(s"$root/base/epoch=${p.epoch}/pairs")
     writeBucketed(spark, weightedTableName(dir), s"$root/wpairs",
       symmetrizeWithDegree(pairs))
+    val published = spark.read
+      .schema("x BIGINT, y BIGINT, w BIGINT, wd BIGINT, deg_x BIGINT")
+      .parquet(s"$root/wpairs")
     writeBucketed(spark, tableName(dir), s"$root/und",
-      spark.read
-        .schema("x BIGINT, y BIGINT, w BIGINT, wd BIGINT, deg_x BIGINT")
-        .parquet(s"$root/wpairs")
-        .filter(col("w") >= 2).select("x", "y"))
+      published.filter(col("w") >= 2).select("x", "y"))
+    // v6: the packed node-grain adjacency, derived from the published
+    // files' bucketed layout (the groupBy rides the on-disk x order)
+    writeBucketed(spark, packedTableName(dir), s"$root/adj",
+      packAdjacency(published))
+    // v6: the weighted table's row count rides the marker — store
+    // metadata written once at publish (parquet footer counts, no
+    // data pass), so per-probe regime picks stop paying a count job
+    val nrows = published.count()
     val out = f.create(new Path(s"$root/PUBLISHED"), true)
-    try out.write(s"${p.epoch}".getBytes("UTF-8")) finally out.close()
+    try out.write(s"${p.epoch} $nrows".getBytes("UTF-8")) finally out.close()
     invalidate(spark, dir)
   }
 
@@ -334,7 +373,7 @@ object EdgeStore {
     * catalog file listings and the SharedFrames supportEdges frame.
     */
   private def invalidate(spark: SparkSession, dir: String): Unit = {
-    Seq(tableName(dir), weightedTableName(dir)).foreach { t =>
+    Seq(tableName(dir), weightedTableName(dir), packedTableName(dir)).foreach { t =>
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
     }
     graft.sources.SharedFrames.remove(spark, s"supportEdges:$dir")
@@ -601,6 +640,35 @@ object EdgeStore {
       "x BIGINT, y BIGINT, w BIGINT, wd BIGINT, deg_x BIGINT",
       (s, r, p, ids) => mergedWeighted(s, r, p, ids)
         .select("x", "y", "w", "wd", "deg_x"))
+
+  /** The packed node-grain adjacency (x, deg, dsts) — a bucketed scan
+    * when the published cache is servable, else derived live from the
+    * merged state (same rows; the price of reading between an append
+    * and the next compaction, like every other probe).
+    */
+  def packed(spark: SparkSession, dir: String): DataFrame =
+    probe(spark, dir, packedTableName(dir), "adj",
+      "x BIGINT, deg BIGINT, dsts ARRAY<BIGINT>",
+      (s, r, p, ids) => packAdjacency(mergedWeighted(s, r, p, ids)))
+
+  /** Row count of [[weighted]] served from the publish marker when
+    * the cache is servable for the current pointer state — None while
+    * committed-unfolded deltas are live (or under a torn/legacy
+    * marker), in which case callers count the merged frame
+    * themselves. Store METADATA, not a cached result: it is written
+    * once per publish from the published files and invalidated by the
+    * same epoch/delta discipline as every published plane.
+    */
+  def weightedRows(spark: SparkSession, dir: String): Option[Long] = {
+    val root = ensure(spark, dir)
+    val f = fs(spark, root)
+    readPointer(f, root).flatMap { p =>
+      if (liveIds(f, root, p).isEmpty)
+        publishedMeta(f, root)
+          .collect { case (e, n) if e == p.epoch && n >= 0 => n }
+      else None
+    }
+  }
 
   /** Per-part distinct-order counts (part, c) — part-dimension-sized;
     * served straight from the merged maintenance planes (v5: no

@@ -163,15 +163,39 @@ object GraphOps {
     labels
   }
 
-  /** Shared local-regime threshold (r10): below this many edge rows a
-    * graph fixpoint (CC closure, k-core peel, BFS relaxation) runs as
-    * one exchange + one executor-side pass instead of iterated jobs.
-    * Per-session tunable; the default bounds one task's working set
-    * at low-hundreds-MB. Set 0 to force every loop distributed.
+  /** Shared local-regime threshold (r10): below this many UNDIRECTED
+    * edges a graph fixpoint (CC closure, k-core peel, BFS relaxation)
+    * runs as one exchange + one executor-side pass instead of
+    * iterated jobs. Threshold semantics (r11, ADVICE): every call
+    * site compares a count of undirected edges — CC counts its input
+    * rows (one row per undirected edge), k-core counts the canonical
+    * a<b frame, and hubDistance halves the symmetric adjacency's row
+    * count — so the effective cap no longer differs 2× by call site.
+    *
+    * The default is BYTES-derived, not a bare row count (r11, the
+    * r10 verdict's item #7): the k-core/BFS local paths materialize
+    * edges as boxed tuple arrays in ONE task, ~48 B per edge on a
+    * 64-bit JVM (two boxed longs + tuple header + array slot), so the
+    * cap is `spark.graft.graph.localBytesMax` (default 192 MiB — the
+    * "low-hundreds-MB working set" the r10 scaladoc promised, now
+    * enforced arithmetically) ÷ 48. `spark.graft.graph.localEdgeMax`
+    * still overrides with an explicit row count; 0 forces every loop
+    * distributed (how the specs pin the iterative planes).
+    *
+    * Skew note: [[localCc]] bounds memory PER PART (its union-find
+    * map holds one part's nodes), so a part holding nearly all edges
+    * concentrates the same working set in one task — the threshold is
+    * therefore a per-hot-part bound, which is exactly what the bytes
+    * budget sizes.
     */
-  private[operators] def localEdgeMax(spark: SparkSession): Long =
+  private[graft] def localEdgeMax(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.graph.localEdgeMax").map(_.toLong)
-      .getOrElse(4000000L)
+      .getOrElse {
+        val bytes = spark.conf
+          .getOption("spark.graft.graph.localBytesMax").map(_.toLong)
+          .getOrElse(192L << 20)
+        bytes / 48L
+      }
 
   /** Local-regime closure (r10): per-part single-reducer union-find.
     * One exchange of (part, a, b) — the same bytes one Hash-Min round
@@ -227,6 +251,13 @@ object GraphOps {
     * so the narrow regime keeps the join strategies AQE would have
     * elected; corpus-scale graphs keep AQE and the cluster-wide
     * partition default untouched.
+    *
+    * Concurrency caveat (r11): the regime mutates SESSION confs for
+    * the loop's duration, so other queries planned concurrently on
+    * the same session would see the narrow width. Fine for Bench/
+    * Verify (one query at a time); a host application running
+    * concurrent queries should isolate loops in
+    * `spark.newSession()`-cloned sessions.
     */
   private def withLoopRegime[T](spark: SparkSession, small: Boolean,
       parts: Int)(body: => T): T = {
@@ -798,7 +829,10 @@ object GraphOps {
     // certifies. Iterative plane kept for corpus-scale graphs,
     // pinned in GraphOpsSpec by zeroing the threshold.
     var dist: DataFrame = null
-    if (und.count() <= localEdgeMax(spark)) {
+    // und is the SYMMETRIC adjacency (2 rows per undirected edge) —
+    // halve it so the threshold means the same undirected-edge count
+    // at every call site (r11, ADVICE)
+    if (und.count() / 2 <= localEdgeMax(spark)) {
       import spark.implicits._
       dist = und.select(col("x"), col("y")).as[(Long, Long)]
         .groupByKey(_ => true)
@@ -842,7 +876,11 @@ object GraphOps {
       // counter reported. Empty graph ⇒ null max ⇒ the loop's single
       // empty-frontier probe.
       val mx = dist.agg(max(col("d"))).head()
-      HubRounds.last = (if (mx.isNullAt(0)) 0 else mx.getInt(0)) + 1
+      // clamp to the iterative loop's own bound (i <= 14): the local
+      // BFS can assign level 14, whose +1 replay would claim round 15
+      // while the distributed counter stops at 14 (r11, ADVICE)
+      HubRounds.last =
+        math.min((if (mx.isNullAt(0)) 0 else mx.getInt(0)) + 1, 14)
     } else {
       val hub = degrees(spark, dir)
         .orderBy(col("deg").desc, col("n")).limit(1).select("n")

@@ -131,13 +131,25 @@ object RelationalQueries {
 
   /** #15 — orders left-joined to lineitem, line-count histogram
     * (re-agg of agg; zero-line orders land in bucket 0).
+    *
+    * r11 (guide §2.3 "aggregate before you shuffle"): lineitem
+    * collapses to (orderkey, n_lines) BEFORE the outer join — the
+    * per-order count partial-aggregates map-side (~4:1 at the scan),
+    * so the join meets two ORDERKEY-GRAIN frames instead of sorting/
+    * hashing the full fact, and the old post-join groupBy(o_orderkey)
+    * disappears (orders is orderkey-unique). `coalesce(n, 0)` keeps
+    * the zero-line bucket: `count(l_orderkey)` over an unmatched left
+    * row was 0, and a NULL-join-key lineitem row (none in this
+    * schema, but for completeness) was excluded by count's null
+    * skipping exactly as the null-key group is excluded by the join.
+    * Oracle unchanged; the hash gate certifies.
     */
   def outerJoinLinecount(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir).select("l_orderkey"),
+    Tables.orders(spark, dir).select("o_orderkey")
+      .join(Tables.lineitem(spark, dir).groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n")),
         col("l_orderkey") === col("o_orderkey"), "left")
-      .groupBy("o_orderkey")
-      .agg(count(col("l_orderkey")).as("n_lines"))
+      .select(coalesce(col("n"), lit(0L)).as("n_lines"))
       .groupBy("n_lines")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("n_lines")
@@ -148,7 +160,12 @@ object RelationalQueries {
     */
   def rangeJoinShipwindow(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
+      .select("l_orderkey", "l_shipdate")
+      // r11: orders hop through dimRegime with a projected build side
+      // (the equi key keeps SHJ eligible; the interval predicate stays
+      // a post-probe filter in both regimes)
+      .join(dimRegime(spark, dir, "orders", Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")),
         col("l_orderkey") === col("o_orderkey") &&
           col("l_shipdate") >= col("o_orderdate") &&
           col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
@@ -278,7 +295,8 @@ object RelationalQueries {
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+      .join(dimRegime(spark, dir, "supplier",
+          Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -598,9 +616,13 @@ object RelationalQueries {
     * cells (≤ priorities × day-range rows).
     */
   def shipLatency(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderdate", "o_orderpriority")
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate"),
+    // r11: fact-first with the orders side through dimRegime (guide
+    // §3.1) — same inner join, but past broadcast range the fact
+    // streams sort-free against a per-partition orders hash build
+    val hist = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate")
+      .join(dimRegime(spark, dir, "orders", Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority").as("priority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
@@ -710,7 +732,10 @@ object RelationalQueries {
     // and localCheckpointed the result, and at sf10 the 10 scans of
     // 180 M ROW-SERIALIZED checkpoint blocks were the query's
     // dominant cost (row deserialization, not compute).
-    val m = wp.count()
+    // r11 (store v6): the regime statistic reads the publish marker's
+    // row count — store metadata, no per-query count job; the count
+    // job survives only on the merge-on-read path (live deltas).
+    val m = EdgeStore.weightedRows(spark, dir).getOrElse(wp.count())
     // Local regime (r10, the GraphOps.localCc rationale): below the
     // shared edge threshold even the packed 8-partition loop is pure
     // scheduler floor — 10 fixed iterations × (co-partitioned join +
@@ -724,15 +749,15 @@ object RelationalQueries {
     if (m <= GraphOps.localEdgeMax(spark)) {
       import spark.implicits._
       // Ship the PACKED adjacency, not the edge rows: the node-grain
-      // pack (one row per src with a primitive dst array) is built by
-      // the zero-exchange groupBy off the bucketed store — the same
-      // frame the 8-partition plane iterates — and is ~1000× fewer
-      // rows than the raw pair table, so the single-task exchange
-      // moves MBs of array buffers instead of millions of serialized
-      // tuples (measured: tuple-grain shipping cost more than the
-      // distributed loop it replaced).
-      val ranks = wp.groupBy(col("x"))
-        .agg(first(col("deg_x")).as("deg"), collect_list(col("y")).as("dsts"))
+      // pack (one row per src with a primitive dst array) is ~1000×
+      // fewer rows than the raw pair table, so the single-task
+      // exchange moves MBs of array buffers instead of millions of
+      // serialized tuples (measured: tuple-grain shipping cost more
+      // than the distributed loop it replaced). Since v6 the pack is
+      // a PUBLISHED bucketed plane — the per-query groupBy/
+      // collect_list job is gone; the probe is a vectorized scan
+      // (merge-on-read re-packs live only while deltas are unfolded).
+      val ranks = EdgeStore.packed(spark, dir)
         .as[(Long, Long, Seq[Long])]
         .groupByKey(_ => true)
         .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long, Seq[Long])]) =>
@@ -778,8 +803,7 @@ object RelationalQueries {
     // exactly that spill (159 GB at sf10 under an 8 GB heap).
     val adj =
       if (bigGraph) null
-      else wp.groupBy(col("x"))
-        .agg(first(col("deg_x")).as("deg"), collect_list(col("y")).as("dsts"))
+      else EdgeStore.packed(spark, dir)
         // hash(x, 8), not the scan's 32 buckets: at node grain the
         // iteration is TASK-floor-bound (~100 tasks/iter × ~50 ms on
         // a loaded host beat every per-row saving measured), so the
@@ -787,13 +811,17 @@ object RelationalQueries {
         // on x with the loop's shuffle width so the per-iteration
         // rank join is co-partitioned — zero exchange, and no
         // per-iteration broadcast-build job either (10 of the loop's
-        // 29 scheduler jobs were broadcast builds).
+        // 29 scheduler jobs were broadcast builds). v6: the pack
+        // itself is the published plane — re-keying it here is a
+        // node-grain exchange, no per-query pack agg.
         .repartition(8, col("x"))
         .cut() // node-grain packed adjacency: one row per src
     val deg =
       if (bigGraph)
-        wp.groupBy(col("x").as("src")).agg(first(col("deg_x")).as("deg"))
-          .cut() // node-grain: tiny, memory is fine (zero-exchange agg)
+        // v6: node-grain (x, deg) projection of the packed plane —
+        // parquet column pruning never touches the dst arrays; the
+        // v5 shape re-aggregated the full pair table per query
+        EdgeStore.packed(spark, dir).select(col("x").as("src"), col("deg"))
       else adj.select(col("x").as("src"), col("deg"))
     val nDf = deg.agg(count(lit(1)).as("n"))
     val shares =
@@ -837,7 +865,16 @@ object RelationalQueries {
         // bucketed layout makes both the same src-sorted order)
         val scored =
           if (bigGraph)
-            shares.join(broadcast(ranks), col("src") === col("node"))
+            // r11 (store v6 follow-through): shuffled-hash instead of
+            // broadcast — the edge side is the BUCKETED wpairs scan
+            // (HashPartitioning(x, 32) survives the src alias), so
+            // only the node-grain rank frame exchanges per iteration.
+            // The v5 shape broadcast-BUILT the full rank table every
+            // iteration (|nodes| rows — ~6 M × 10 builds at sf30,
+            // growing with the node dimension and capped at 8 GB/512 M
+            // rows); the per-partition hash build is |nodes|/width and
+            // partition-count-scaled like every other shuffle.
+            shares.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
               .select(col("dst"), (col("rank") / col("deg")).as("share"))
           else
             // co-partitioned shuffled-hash join (hash(x,8) ⋈
@@ -939,8 +976,14 @@ object RelationalQueries {
     * supplier-dimension grain. All divisions are by positive totals.
     */
   def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    // r11 (the r10 verdict's item #3): the part hop through
+    // [[dimRegime]] — unchanged inside broadcast range; past it the
+    // shuffled-hash pick keeps the 100 TB fact side sort-free instead
+    // of Catalyst's sort-merge fallback sorting lineitem.
     val s = Tables.lineitem(spark, dir)
-      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(dimRegime(spark, dir, "part",
+          Tables.part(spark, dir).select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_type", "l_suppkey")
       .agg(sum("l_extendedprice").as("rev"))
@@ -1125,8 +1168,17 @@ object RelationalQueries {
     * fails loudly there instead of silently merging oracle rows.
     */
   def blameSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // r11 (the r10 verdict's items #3/#6): the orders hop goes through
+    // [[dimRegime]] with the build side PROJECTED to (o_orderkey,
+    // o_orderdate) — bench-SF plans unchanged (orders broadcasts
+    // there); past broadcast range the shuffled-hash pick keeps the
+    // fact side sort-free and the exchange narrow. The fact side is
+    // projected to the three columns the dedup agg needs before the
+    // join (guide §2.3).
     val perSupp = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir),
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(dimRegime(spark, dir, "orders",
+          Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") >
@@ -1140,7 +1192,8 @@ object RelationalQueries {
         min(when(col("supp_late"), col("l_suppkey"))).as("l_suppkey"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
     blamed.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
-      .join(Tables.supplier(spark, dir),
+      .join(dimRegime(spark, dir, "supplier",
+          Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -1165,7 +1218,13 @@ object RelationalQueries {
     */
   def revenueGiniBySegment(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select("o_custkey", "o_totalprice")
+      // r11: customer hop through dimRegime with a projected build
+      // side — same bench-SF plan; sort-free fact side past broadcast
+      // range (guide §3.1)
+      .join(dimRegime(spark, dir, "customer",
+          Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
       .agg(sum("o_totalprice").as("x"))
     val w = Window.partitionBy("seg").orderBy(col("x"), col("c_custkey"))
@@ -1286,16 +1345,16 @@ object RelationalQueries {
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      .join(Tables.orders(spark, dir)
+      .join(dimRegime(spark, dir, "orders", Tables.orders(spark, dir)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        .select("o_orderkey", "o_custkey"),
+        .select("o_orderkey", "o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey")
       .agg(r2(sum("rev")).as("revenue"))
     lost
-      .join(Tables.customer(spark, dir)
-        .select("c_custkey", "c_name", "c_nationkey"),
+      .join(dimRegime(spark, dir, "customer", Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -1324,9 +1383,16 @@ object RelationalQueries {
     val perPart = l.groupBy("l_partkey")
       .agg((lit(0.2) * avg("l_quantity")).as("lim"))
       .withColumnRenamed("l_partkey", "pa_partkey")
-    l.join(perPart, col("l_partkey") === col("pa_partkey"))
+    // r11: the per-part threshold frame and the brand attach are both
+    // partkey-DIMENSION-grain — route them through dimRegime (the
+    // part table's bytes as the statistic; perPart is one row per
+    // observed partkey, the same cardinality class) so past broadcast
+    // range neither join sort-merges the fact side
+    l.join(dimRegime(spark, dir, "part", perPart),
+        col("l_partkey") === col("pa_partkey"))
       .filter(col("l_quantity") < col("lim"))
-      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+      .join(dimRegime(spark, dir, "part",
+          Tables.part(spark, dir).select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_small"),
@@ -1353,8 +1419,12 @@ object RelationalQueries {
       .agg(sum("l_quantity").as("total_qty"))
       .filter(col("total_qty") > 300)
     val top = big
-      .join(Tables.orders(spark, dir)
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      // r11: orders hop through dimRegime — past broadcast range the
+      // shuffled-hash pick builds the POST-HAVING tail frame (`big` is
+      // hinted via the orderkey domain's source-table statistic) and
+      // streams orders sort-free
+      .join(dimRegime(spark, dir, "orders", Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")),
         col("l_orderkey") === col("o_orderkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
@@ -1418,7 +1488,8 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
-      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+      .join(dimRegime(spark, dir, "part",
+          Tables.part(spark, dir).select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"))
       .agg(r4(promoRev * 100.0 / totalRev).as("promo_share"),
@@ -1455,19 +1526,26 @@ object RelationalQueries {
         .select("n_nationkey")),
         col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey")
-    val supNat = Tables.supplier(spark, dir)
+    // r11: the fact joins against eurCust (customer-derived) and
+    // supNat (supplier-derived) go through dimRegime with the SOURCE
+    // table's bytes as the decision statistic — conservative (both
+    // frames are filtered/projected slices of their dim), so the
+    // shuffled-hash pick can only engage at or before the scale where
+    // sort-merge would start sorting the fact side.
+    val supNat = dimRegime(spark, dir, "supplier", Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
     val natRev = sum(when(col("supp_nation") === "NATION_3",
       col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
     val totRev = sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(Tables.orders(spark, dir)
-        .select("o_orderkey", "o_custkey", "o_orderdate"),
+      .join(dimRegime(spark, dir, "orders", Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(eurCust, col("o_custkey") === col("c_custkey"))
+      .join(dimRegime(spark, dir, "customer", eurCust),
+        col("o_custkey") === col("c_custkey"))
       .join(supNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(r4(natRev * 100.0 / totRev).as("mkt_share"),
@@ -1507,14 +1585,19 @@ object RelationalQueries {
       .filter(col("p_type") === "PROMO").select("p_partkey")
     val ps = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      // r11: both dim hops through dimRegime (guide §3.1) — the PROMO
+      // key-set prune and the name attach stay broadcast at bench SF,
+      // go shuffled-hash (fact/frame side sort-free) past it
+      .join(dimRegime(spark, dir, "part", promoParts),
+        col("l_partkey") === col("p_partkey"))
       .groupBy("p_partkey", "l_suppkey")
       .agg(r2(avg(col("l_extendedprice") / col("l_quantity")))
         .as("unit_price"))
     val w = Window.partitionBy("p_partkey")
     ps.withColumn("best_price", min("unit_price").over(w))
       .filter(col("unit_price") === col("best_price"))
-      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+      .join(dimRegime(spark, dir, "supplier",
+          Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
         col("best_price"))
@@ -1538,20 +1621,23 @@ object RelationalQueries {
     */
   def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
     val nations = Seq("NATION_3", "NATION_12")
-    val supp = Tables.supplier(spark, dir)
+    // r11: both nation-filtered dim slices and the orders hop through
+    // dimRegime (source-table bytes as the conservative statistic)
+    val supp = dimRegime(spark, dir, "supplier", Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
           .filter(col("n_name").isin(nations: _*))),
         col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val cust = Tables.customer(spark, dir)
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = dimRegime(spark, dir, "customer", Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
           .filter(col("n_name").isin(nations: _*))),
         col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+      .join(dimRegime(spark, dir, "orders",
+          Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
@@ -1583,7 +1669,11 @@ object RelationalQueries {
         .as("part_rev"))
     val thr = pr.agg(r2(avg("part_rev") * 1.5).as("cut"))
     pr.join(broadcast(thr), col("part_rev") > col("cut"))
-      .join(Tables.part(spark, dir).select("p_partkey", "p_name"),
+      // r11: name attach through dimRegime — past broadcast range the
+      // shuffled-hash pick spares both partkey-grain frames the
+      // sort-merge sorts
+      .join(dimRegime(spark, dir, "part",
+          Tables.part(spark, dir).select("p_partkey", "p_name")),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("part_rev"))
       .orderBy(col("part_rev").desc, col("p_partkey"))
@@ -1608,11 +1698,14 @@ object RelationalQueries {
     val excl = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 1000).select("s_suppkey")
     Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
-      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type"),
-          floor(col("p_size") / 10).cast("long").as("band")),
+      // r11: part hop and the anti-join exclusion through dimRegime
+      .join(dimRegime(spark, dir, "part",
+          Tables.part(spark, dir).select(col("p_partkey"), col("p_type"),
+          floor(col("p_size") / 10).cast("long").as("band"))),
         col("l_partkey") === col("p_partkey"))
       .select("p_type", "band", "l_suppkey").distinct()
-      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(dimRegime(spark, dir, "supplier", excl),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_type", "band")
       .agg(count(lit(1)).as("n_supp"))
       .orderBy("p_type", "band")
@@ -1641,13 +1734,18 @@ object RelationalQueries {
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum("l_quantity").as("q"))
     val pt = psq.groupBy("l_partkey").agg(sum("q").as("tq"))
-    psq.join(pt.select(col("l_partkey").as("t_partkey"), col("tq")),
+    // r11: the per-part total frame is partkey-DIMENSION grain — the
+    // small_qty_revenue treatment (dimRegime on the part-domain
+    // statistic) keeps the (partkey, suppkey) frame sort-free past
+    // broadcast range
+    psq.join(dimRegime(spark, dir, "part",
+        pt.select(col("l_partkey").as("t_partkey"), col("tq"))),
         col("l_partkey") === col("t_partkey"))
       .filter(col("q") > col("tq") * 0.5)
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_parts_dominated"))
-      .join(Tables.supplier(spark, dir)
-          .select("s_suppkey", "s_name", "s_nationkey"),
+      .join(dimRegime(spark, dir, "supplier", Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_name", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)
           .select("n_nationkey", "n_name")),

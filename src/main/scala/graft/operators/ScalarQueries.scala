@@ -515,22 +515,68 @@ object ScalarQueries {
     * before trusting a new drop: schema drift, null blowups, and
     * cardinality collapse all surface here first.
     *
-    * Scale: ONE pass over the table. The six exact `count(distinct)`
-    * aggregates plan as a single Expand-based aggregation (rows ×6
-    * through one exchange pair — the standard multi-distinct
-    * lowering); at 100 TB the profile swaps exact distinct for the
-    * HLL sketch plane (`approx_count_distinct` / SketchAgg) with the
-    * same report schema — profiling is diagnostics, where ±2% is the
-    * accepted trade everywhere. The wide→long pivot is `stack` over
-    * ONE aggregated row — no second scan.
+    * Scale: one pass for the null/min/max lanes plus one narrow
+    * single-column two-phase distinct per profiled column (r11 —
+    * replacing the 6× Expand multi-distinct lowering whose wide
+    * partial-agg rows spilled 31.7 GB at sf30; see the body comment);
+    * at 100 TB the profile swaps exact distinct for the HLL sketch
+    * plane (`approx_count_distinct` / SketchAgg) with the same report
+    * schema — profiling is diagnostics, where ±2% is the accepted
+    * trade everywhere. The wide→long pivot is `stack` over ONE
+    * assembled row — no second scan.
     */
-  def dqProfile(spark: SparkSession, dir: String): DataFrame =
-    dqProfileWith(spark, dir, countDistinct(_))
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    // r11 (the r10 verdict's item #5, guide §5): the six exact
+    // `count(distinct)`s used to plan as ONE Expand-based aggregate —
+    // rows ×6 through a partial agg whose per-task hash map keys on
+    // (gid, all six value slots), a wide UnsafeRow per group. On the
+    // near-unique columns (orderkey/custkey/totalprice) partial
+    // aggregation reduces nothing, so at sf30 the map overflowed into
+    // sort-based fallback: 31.7 GB of spill for a profile query.
+    // Replaced with SIX per-column two-phase distincts — each one
+    // scans a single pruned column, partial-dedups 8-byte values
+    // (narrow map entries, and the low-cardinality columns collapse
+    // map-side entirely), exchanges only the distinct values, and
+    // counts — crossJoin-broadcast back onto the one-pass
+    // null/min/max row. Same schema, same values (count of distinct
+    // non-null values per column, exactly what countDistinct
+    // computes); the oracle hash certifies. dq_profile_hll keeps the
+    // one-pass [[dqProfileWith]] plan (a sketch buffer per column —
+    // no Expand, nothing to split).
+    val o = Tables.orders(spark, dir)
+    val epochDay = (c: Column) => datediff(to_date(c), lit("1970-01-01").cast("date"))
+    val profiled: Seq[(String, Column)] = Seq(
+      ("o_orderkey", col("o_orderkey").cast("double")),
+      ("o_custkey", col("o_custkey").cast("double")),
+      ("o_orderstatus", lit(null).cast("double")),
+      ("o_totalprice", col("o_totalprice")),
+      ("o_orderdate", epochDay(col("o_orderdate")).cast("double")),
+      ("o_orderpriority", lit(null).cast("double")))
+    val aggs = profiled.zipWithIndex.flatMap { case ((name, num), i) =>
+      Seq(
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"nn$i"),
+        r4(min(num)).as(s"mn$i"),
+        r4(max(num)).as(s"mx$i"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val withNd = profiled.zipWithIndex.foldLeft(one) { case (acc, ((name, _), i)) =>
+      acc.crossJoin(broadcast(
+        o.select(col(name)).where(col(name).isNotNull).distinct()
+          .agg(count(lit(1)).as(s"nd$i"))))
+    }
+    val stackArgs = profiled.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', nn$i, nd$i, mn$i, mx$i" }
+      .mkString(", ")
+    withNd.selectExpr(s"stack(${profiled.size}, $stackArgs) " +
+        "as (col_name, n_null, n_distinct, min_num, max_num)")
+      .orderBy("col_name")
+  }
 
-  /** Shared body for the exact profile and its HLL variant
-    * ([[ScaleVariants.dqProfileHll]]): `distinctAgg` is the one knob
-    * the 100 TB swap turns — everything else (schema, null/min/max
-    * lanes, the stack pivot) is identical by construction.
+  /** One-pass profile body with a pluggable distinct aggregate —
+    * since r11 used only by the HLL variant
+    * ([[ScaleVariants.dqProfileHll]]), whose sketch buffers aggregate
+    * all six columns in a single pass with no Expand (the exact twin
+    * above splits per column instead — see its body comment).
     */
   private[operators] def dqProfileWith(spark: SparkSession, dir: String,
       distinctAgg: Column => Column): DataFrame = {

@@ -343,8 +343,8 @@ object SliQueries {
     // window pass at plan time, corpus-side parallel. The recursive
     // CTE then carries the budget ACROSS blocks — the genuinely
     // sequential dependency — at depth ceil(days/K). Block size K is
-    // derived IN-PLAN per event_type (ceil(maxrn/6)), so the
-    // UnionLoop depth is ~6 at ANY series length: recursion stays the
+    // derived IN-PLAN per event_type (ceil(maxrn/3)), so the
+    // UnionLoop depth is ~3 at ANY series length: recursion stays the
     // declared engine surface (genuine WITH RECURSIVE / UNION ALL),
     // its cost no longer scales with calendar span. (Divisor 3, was 6
     // at first reshape: each UnionLoop step costs ~5 scheduler jobs

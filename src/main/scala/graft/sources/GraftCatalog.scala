@@ -26,28 +26,53 @@ object GraftCatalog {
     * plans per call, and the SQL-surface queries call this on every
     * invocation, so repeated registration was pure per-query floor.
     * A session that has already registered this (dir, prefix) skips
-    * the rebuild. The skip-key folds in each table's mtime+bytes
-    * stamp (via [[Tables.raw]]'s schema-cache key discipline), so a
-    * regenerated fixture re-registers instead of serving stale views.
+    * the rebuild. The skip-key folds in each table's RECURSIVE
+    * mtime+bytes stamp (the same [[Tables.stamp]] the schema cache
+    * keys on — r11, closing the shallow-stamp gap: a rewritten
+    * part-file inside a directory table now changes the stamp even
+    * when the directory entry itself does not), so a regenerated
+    * fixture re-registers instead of serving stale views.
+    *
+    * r11 hardening (ADVICE): the cache entry is written only AFTER
+    * every view registered successfully — a throw mid-registration
+    * (e.g. a missing table file) leaves the key unset, so the next
+    * call retries instead of silently skipping; and the map is a
+    * WeakHashMap keyed on the SESSION OBJECT instead of
+    * `identityHashCode` strings (reference identity — no cross-session
+    * collision can skip a fresh session's registration, and a dropped
+    * session's entries are collectable instead of leaking). Two racing
+    * first callers may both register; `createOrReplaceTempView` is
+    * idempotent, so that is only duplicate work, never missing views.
     */
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]
 
   def registerTables(spark: SparkSession, dir: String, prefix: String = ""): Unit = {
     val stamp = tableNames.map { n =>
       val f = new java.io.File(
         s"${if (dir.endsWith("/")) dir.dropRight(1) else dir}/$n.parquet")
-      s"${f.lastModified()}:${f.length()}"
+      val (m, len) = Tables.stamp(f)
+      s"$m:$len"
     }.mkString(",")
     // keyed by (session, prefix) with the CURRENT (dir, stamp) as the
     // value: switching the same prefix to a different dir (or a
     // regenerated fixture) re-registers; only an exact repeat skips.
-    val key = s"${System.identityHashCode(spark)}|$prefix"
+    val perSession = registered.synchronized {
+      var m = registered.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]
+        registered.put(spark, m)
+      }
+      m
+    }
     val want = s"$dir|$stamp"
-    if (registered.put(key, want) != want)
+    if (perSession.get(prefix) != want) {
       tableNames.foreach {
         case "events" => Tables.events(spark, dir).createOrReplaceTempView(s"${prefix}events")
         case name => Tables.raw(spark, dir, name).createOrReplaceTempView(s"$prefix$name")
       }
+      perSession.put(prefix, want) // put-after-success: a throw above leaves no entry
+    }
   }
 }

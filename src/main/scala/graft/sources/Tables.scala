@@ -85,7 +85,10 @@ object Tables {
     s"$d/$name.parquet"
   }
 
-  /** Inferred-schema cache, keyed by (absolute path, mtime, bytes).
+  /** Inferred-schema cache: one entry per absolute path, validated by
+    * (mtime, bytes) and replaced on change (bounded by the number of
+    * distinct table paths a session touches, not by how often they
+    * regenerate).
     *
     * Why (r10, guide §1/§6): `spark.read.parquet(path)` with no schema
     * runs parquet footer inference — a one-task Spark JOB — on EVERY
@@ -101,10 +104,10 @@ object Tables {
     * StoreProtocol.sourceStamp's regeneration guard.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
-      org.apache.spark.sql.types.StructType]
+    new java.util.concurrent.ConcurrentHashMap[String,
+      ((Long, Long), org.apache.spark.sql.types.StructType)]
 
-  private def stamp(f: java.io.File): (Long, Long) =
+  private[sources] def stamp(f: java.io.File): (Long, Long) =
     if (f.isDirectory) {
       val kids = Option(f.listFiles()).getOrElse(Array.empty)
       val sub = kids.map(stamp)
@@ -120,9 +123,15 @@ object Tables {
   def cachedParquet(spark: SparkSession, p: String): DataFrame = {
     val f = new java.io.File(p)
     if (!f.exists()) return spark.read.parquet(p) // non-local FS etc.: plain path
-    val (m, len) = stamp(f)
-    val key = (f.getAbsolutePath, m, len)
-    val st = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(p).schema)
+    val s = stamp(f)
+    // one entry per path, REPLACED on stamp change (r11, ADVICE): the
+    // old (path, stamp)-keyed map accumulated an entry per fixture
+    // regeneration and never evicted, so a long-lived session that
+    // rebuilds stores leaked StructTypes. compute() keeps the
+    // atomicity of computeIfAbsent per key.
+    val (_, st) = schemaCache.compute(f.getAbsolutePath, (_, cur) =>
+      if (cur != null && cur._1 == s) cur
+      else (s, spark.read.parquet(p).schema))
     spark.read.schema(st).parquet(p)
   }
 

@@ -355,6 +355,48 @@ class EdgeStoreSpec extends SparkTestBase {
       "open did not republish over the stale marker")
   }
 
+  test("v6 packed plane: bucketed when servable, merge-on-read under " +
+      "deltas, content ≡ the per-query pack; weightedRows is epoch-honest") {
+    // content: the published pack equals the groupBy/collect_list the
+    // consumers used to build per query (same (x, deg, dst-multiset))
+    def packOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Seq[Long])] =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2).sorted)).toMap
+    val inline = packOf(EdgeStore.weighted(spark, sf).groupBy(col("x"))
+      .agg(first(col("deg_x")).as("deg"),
+        sort_array(collect_list(col("y"))).as("dsts")))
+    val published = packOf(EdgeStore.packed(spark, sf))
+    assert(published == inline, "packed plane diverged from the inline pack")
+    // plan: served from the bucketed table when the cache is servable
+    val p = EdgeStore.packed(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_adj"), s"packed probe did not read the store:\n$p")
+    // metadata: weightedRows == the real count while servable
+    assert(EdgeStore.weightedRows(spark, sf)
+      .contains(EdgeStore.weighted(spark, sf).count()))
+    // under live deltas: weightedRows must refuse (stale metadata) and
+    // packed must merge-on-read the delta content
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val half1 = li.filter(col("l_orderkey") % 2 === 0)
+    val half2 = li.filter(col("l_orderkey") % 2 === 1)
+    val dirV = java.nio.file.Files.createTempDirectory("graft_edges_v6").toString
+    half1.write.mode("overwrite").parquet(s"$dirV/lineitem.parquet")
+    EdgeStore.ensure(spark, dirV)
+    EdgeStore.appendOrders(spark, dirV, half2, batchId = 1L)
+    assert(EdgeStore.weightedRows(spark, dirV).isEmpty,
+      "weightedRows served publish-time metadata over live deltas")
+    assert(packOf(EdgeStore.packed(spark, dirV).select(col("x"), col("deg"),
+        sort_array(col("dsts")).as("dsts"))) == inline,
+      "merge-on-read pack diverged from the full-corpus pack")
+    // after compaction the republished plane serves bucketed again,
+    // and the marker count reflects the folded state
+    EdgeStore.compact(spark, dirV)
+    assert(packOf(EdgeStore.packed(spark, dirV).select(col("x"), col("deg"),
+        sort_array(col("dsts")).as("dsts"))) == inline,
+      "post-compaction pack diverged")
+    assert(EdgeStore.weightedRows(spark, dirV)
+      .contains(EdgeStore.weighted(spark, dirV).count()))
+  }
+
   test("graph consumers never scan lineitem (the no-rebuild pin)") {
     val graphPack = Seq("triangle_parts", "clustering_coeff", "kcore_parts",
       "degree_assortativity", "degree_dist", "common_neighbor_recs",

@@ -83,6 +83,29 @@ class GraphOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.graph.localEdgeMax")
   }
 
+  // r11: the default threshold derives from a BYTES budget
+  // (localBytesMax / 48 B-per-boxed-edge) so the one-task local paths
+  // are bounded by working-set size, not a bare row count; the
+  // explicit row conf still overrides.
+  test("cc.local threshold derives from the bytes budget (48 B/edge)") {
+    assert(GraphOps.localEdgeMax(spark) == (192L << 20) / 48L) // default
+    spark.conf.set("spark.graft.graph.localBytesMax", "480")
+    try {
+      assert(GraphOps.localEdgeMax(spark) == 10L)
+      // a 9-edge chain stays local, an 11-edge chain goes iterative —
+      // both must produce the same labels (the regimes are equivalent;
+      // this pins that the BOUND actually routes)
+      assert(ccOf((0L until 9L).map(i => (i, i + 1))).values.forall(_ == 0L))
+      assert(ccOf((0L until 11L).map(i => (i, i + 1))).values.forall(_ == 0L))
+      // explicit row conf takes precedence over the bytes budget
+      spark.conf.set("spark.graft.graph.localEdgeMax", "7")
+      assert(GraphOps.localEdgeMax(spark) == 7L)
+    } finally {
+      spark.conf.unset("spark.graft.graph.localBytesMax")
+      spark.conf.unset("spark.graft.graph.localEdgeMax")
+    }
+  }
+
   test("cc.two components in one part keep distinct min-id labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
     val got = ccOf(edges)

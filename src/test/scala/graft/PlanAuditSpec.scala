@@ -84,12 +84,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), "token explode missing")
   }
 
-  test("outer_join_linecount reuses the join's partitioning for the first re-agg (SMJ mode)") {
-    // with broadcast off, the left join shuffles both sides on
-    // orderkey; the first groupBy(o_orderkey) must NOT add a third
-    // hash exchange — it aggregates directly on the join's
-    // partitioning. Expected hash exchanges: join-left, join-right,
-    // and the n_lines re-agg = exactly 3.
+  test("outer_join_linecount aggregates lineitem BELOW the join (SMJ mode)") {
+    // r11 shape (guide §2.3): the per-order line count collapses the
+    // fact BEFORE the outer join, so with broadcast off the SMJ meets
+    // two orderkey-grain inputs. Expected hash exchanges: the
+    // lineitem count agg (which doubles as the join-right input — the
+    // agg's hash(l_orderkey) partitioning satisfies the join),
+    // join-left (orders), and the n_lines re-agg = exactly 3, with
+    // the count aggregate UNDER the join, not above it.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -102,7 +104,13 @@ class PlanAuditSpec extends SparkTestBase {
       assert(p.contains("SortMergeJoin"), s"expected SMJ with broadcast off:\n$p")
       val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
       assert(hashExchanges == 3,
-        s"expected exactly 3 hash exchanges (2 join inputs + 1 re-agg), got $hashExchanges:\n$p")
+        s"expected exactly 3 hash exchanges (count agg = join-right, join-left, n_lines re-agg), got $hashExchanges:\n$p")
+      val joinAt = p.indexOf("SortMergeJoin")
+      // toString prints children BELOW their parent, so the lineitem
+      // pre-agg must appear AFTER the join line (the n_lines rollup's
+      // own partial_count sits above it)
+      assert(p.indexOf("partial_count", joinAt) > joinAt,
+        s"expected the lineitem count agg below the join:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -265,7 +273,14 @@ class PlanAuditSpec extends SparkTestBase {
     // dq = the multi-distinct Expand aggregation pair (stack adds
     // nothing — runs on one row)
     "fuzzy_name_pairs" -> 3, "rfm_segments" -> 3,
-    "interarrival_stats" -> 5, "dq_profile" -> 2,
+    // dq_profile (r11 per-column rewrite, guide §5): the 6× Expand
+    // multi-distinct became six single-column two-phase distincts —
+    // per column one distinct-values exchange + one single-row count
+    // collapse (6×2), plus the null/min/max pass's single-row
+    // collapse. Every exchange carries one column's distinct values
+    // or one row; none carries the ×6 Expand blow-up that spilled
+    // 31.7 GB at sf30.
+    "interarrival_stats" -> 5, "dq_profile" -> 13,
     // SLO lifecycle wave: forecast = minute rollup (2-phase counts as
     // the one corpus pair) + day re-agg + broadcast min-day anchor +
     // moment agg + sort; flap = the same rollup + day lag window +
@@ -884,6 +899,10 @@ class PlanAuditSpec extends SparkTestBase {
     "heavy_hitters" -> Set("documents"), // <=128 Misra-Gries candidates + 1-row n
     "hybrid_rrf" -> Set("documents", "embeddings"), // two k=50 candidate lists
     "top_supplier_window" -> Set("lineitem"), // 1-row max + max-filtered winners (ties only)
+    // r11 per-column dq_profile: each broadcast is a SINGLE-ROW
+    // count of one column's distinct values (six of them), assembled
+    // by crossJoin onto the null/min/max row — bounded by construction
+    "dq_profile" -> Set("orders"),
     // ---- bounded-dimension-grain stats frames (|event_type| ~5,
     // |lang| ~4, |source|, |l_returnflag| — true enums, not SF-scaled) ----
     "cusum_changepoint" -> Set("events"), // type-grain mean/sigma
@@ -966,8 +985,9 @@ class PlanAuditSpec extends SparkTestBase {
     "bigram_pmi" -> Set("[cut-frame]"),
     // r10: the block-recursion step's `ends` frame builds from the
     // CUT day-rollup. Bounded by construction — block-END rows only,
-    // ≤ 6 per event_type at ANY series length (block size is derived
-    // in-plan as ceil(days/6)), so the broadcast is types×6 rows,
+    // ≤ 4 per event_type at ANY series length (block size is derived
+    // in-plan as ceil(days/3), so there are at most 3 full blocks
+    // plus a rounding remainder), so the broadcast is types×4 rows,
     // constant in corpus size.
     "budget_carryover" -> Set("[cut-frame]"),
     // r7: type-grain totals frames for the histogram order stats
