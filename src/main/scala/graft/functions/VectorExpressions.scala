@@ -150,6 +150,83 @@ case class SqL2Dist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection signature over an array<double> column:
+  * bit j = (Σ_i emb(i) · planes(j)(i)) > 0, packed little-endian into
+  * one long — ALL nBits computed in a single pass per row.
+  *
+  * Why it exists (r11, guide §4 — the srp_near_dup sf30 knee): the
+  * per-bit column form `Σ_j when(dot(emb, lit(h_j)) > 0, 1<<j)` built
+  * a 60-dot expression tree whose evaluation measured ~190 µs/row at
+  * sf30 (112 s for 600 k rows — the whole candidate-plane cost),
+  * ~100× the arithmetic: sixty separate expression dispatches per row
+  * against sixty GenericArrayData literals (boxed getDouble per
+  * element). This expression holds the planes as a primitive
+  * double[][] and runs the same multiply-accumulate loops.
+  *
+  * Bit-for-bit identical to the column form by construction: per
+  * plane, sequential left-to-right `s += emb(i) * h(i)` over
+  * min(len, dim) elements — the exact [[DotProduct]] fold — and the
+  * same `> 0` threshold and `1L << j` packing. SrpProps pins the
+  * equivalence against the retained reference form on random input.
+  */
+case class SrpSignatureExpr(child: Expression, planes: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_signature requires array<double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "srp_signature"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val h = planes(j)
+      val n = math.min(x.numElements(), h.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * h(i); i += 1 }
+      if (s > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $p.length; $j++) {
+         |  final double[] $h = $p[$j];
+         |  final int $n = java.lang.Math.min($a.numElements(), $h.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $h[$i];
+         |  }
+         |  if ($s > 0) $sig |= 1L << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
@@ -159,4 +236,10 @@ object VectorFunctions {
   /** Codegen'd squared L2 distance — bit-identical to the HOF fold. */
   def sqL2Native(a: Column, b: Column): Column =
     GraftBridge.column(SqL2Dist(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** One-pass SRP signature — bit-identical to the per-bit
+    * `when(dot(emb, lit(plane)) > 0, 1 << j)` column form.
+    */
+  def srpSignatureNative(emb: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(SrpSignatureExpr(GraftBridge.expression(emb), planes))
 }

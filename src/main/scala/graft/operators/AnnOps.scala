@@ -121,10 +121,25 @@ object AnnOps {
 
   /** Signed-random-projection (SRP) signature: bit j = sign of the
     * dot with hyperplane j. P(bit match) = 1 − θ/π, so near-parallel
-    * vectors share almost all bits. Uses the native dot expression —
-    * nBits codegen'd dots per row, no shuffle.
+    * vectors share almost all bits. One native expression computes
+    * all nBits in a single pass per row (r11, guide §4): the per-bit
+    * column form — nBits separate dot expressions against nBits
+    * array LITERALS — measured ~190 µs/row at sf30 (112 s for 600 k
+    * vectors, the whole srp_near_dup candidate-plane cost) for ~4 k
+    * flops of arithmetic; the fused expression is the same
+    * multiply-accumulate fold bit-for-bit ([[srpSignatureRef]] is the
+    * retained reference form; SrpProps pins equality on random data).
     */
   def srpSignature(emb: Column, dim: Int = 64, nBits: Int = 16): Column =
+    graft.functions.VectorFunctions.srpSignatureNative(emb,
+      hyperplanes(dim, nBits).map(_.toArray).toArray)
+
+  /** The original per-bit column form — reference implementation the
+    * native expression is property-tested against (the dotHof
+    * pattern).
+    */
+  private[graft] def srpSignatureRef(emb: Column, dim: Int = 64,
+      nBits: Int = 16): Column =
     hyperplanes(dim, nBits).zipWithIndex.map { case (h, j) =>
       when(dot(emb, typedlit(h)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -757,50 +757,77 @@ object RelationalQueries {
       // a PUBLISHED bucketed plane — the per-query groupBy/
       // collect_list job is gone; the probe is a vectorized scan
       // (merge-on-read re-packs live only while deltas are unfolded).
+      // Array[Long] dst payload (r11): the Seq[Long] decoder boxed
+      // every neighbor id per iteration touch; the primitive-array
+      // decoder is one UnsafeArrayData.toLongArray per row, and the
+      // loop below indexes flat arrays (node ids dictionary-encoded
+      // once) instead of hashing a LongMap 2·|edges| times per
+      // iteration.
       val ranks = EdgeStore.packed(spark, dir)
-        .as[(Long, Long, Seq[Long])]
+        .as[(Long, Long, Array[Long])]
         .groupByKey(_ => true)
-        .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long, Seq[Long])]) =>
+        .flatMapGroups { (_: Boolean, it: Iterator[(Long, Long, Array[Long])]) =>
           val adj = it.toArray
           val n = adj.length
-          val rank = new scala.collection.mutable.LongMap[Double]()
-          adj.foreach { case (x, _, _) => rank(x) = 1.0 / n }
-          val b = 0.15 / n
+          // dictionary: node id -> dense index (nodes = the src set;
+          // every dst also appears as a src in the symmetric store)
+          val idx = new scala.collection.mutable.LongMap[Int](n * 2)
           var i = 0
-          while (i < 10) {
-            val contrib = new scala.collection.mutable.LongMap[Double]()
-            adj.foreach { case (x, dx, dsts) =>
-              val share = rank(x) / dx
-              dsts.foreach { y => contrib(y) = contrib.getOrElse(y, 0.0) + share }
-            }
-            adj.foreach { case (x, _, _) =>
-              rank(x) = b + 0.85 * contrib.getOrElse(x, 0.0)
-            }
+          while (i < n) { idx(adj(i)._1) = i; i += 1 }
+          // re-encode dst arrays to dense indices ONCE
+          val deg = new Array[Double](n)
+          val dsts = new Array[Array[Int]](n)
+          i = 0
+          while (i < n) {
+            val (_, dx, ds) = adj(i)
+            deg(i) = dx.toDouble
+            val enc = new Array[Int](ds.length)
+            var j = 0
+            while (j < ds.length) { enc(j) = idx(ds(j)); j += 1 }
+            dsts(i) = enc
             i += 1
           }
-          adj.iterator.map { case (x, _, _) => (x, rank(x)) }
+          val rank = Array.fill(n)(1.0 / n)
+          val contrib = new Array[Double](n)
+          val b = 0.15 / n
+          var it10 = 0
+          while (it10 < 10) {
+            java.util.Arrays.fill(contrib, 0.0)
+            i = 0
+            while (i < n) {
+              val share = rank(i) / deg(i)
+              val enc = dsts(i)
+              var j = 0
+              while (j < enc.length) { contrib(enc(j)) += share; j += 1 }
+              i += 1
+            }
+            i = 0
+            while (i < n) { rank(i) = b + 0.85 * contrib(i); i += 1 }
+            it10 += 1
+          }
+          adj.iterator.zipWithIndex.map { case ((x, _, _), k) => (x, rank(k)) }
         }.toDF("node", "rank")
       return ranks
         .select(col("node").as("part"), r4(col("rank") * 1000).as("rank_pm"))
         .orderBy(col("rank_pm").desc, col("part"))
         .limit(20)
     }
-    val bigGraph = m > 16000000L
+    // Mid plane above this bound gives way to the big-graph planes;
+    // conf-overridable so specs can force every plane on one fixture
+    // (r11 — the hardcoded 16 M bound made the big planes untestable
+    // at oracle SF).
+    val bigGraph = m > spark.conf
+      .getOption("spark.graft.graph.pagerankMidMax").map(_.toLong)
+      .getOrElse(16000000L)
     // r10 small-graph iteration plane: the adjacency PACKED to node
-    // grain — (src, deg, array<dst>) via a zero-exchange groupBy off
-    // the bucketed store. Row-grain alternatives were both measured
-    // slower at sf0.1: scanning 2.4 M individual checkpointed rows
-    // per iteration cost ~6 s of task CPU per iteration (per-row
-    // object iteration, the stage profile's top line), re-decoding
-    // parquet per iteration ~20% more again. The packed frame is
-    // ~2 k rows whose dst lists are primitive long arrays in one
-    // buffer each, so the per-iteration join probes 2 k rows and the
-    // 2.4 M contributions stream out of a codegen'd explode — the
-    // row-object overhead is gone and the checkpoint shrinks to MBs.
-    // Big graphs keep the r9 memory-oblivious row plane: packing
-    // would hold multi-GB node rows through a hub-skewed explode,
-    // and the repartition-before-agg shape below was tuned against
-    // exactly that spill (159 GB at sf10 under an 8 GB heap).
+    // grain — (src, deg, array<dst>); since v6 a published bucketed
+    // plane, not a per-query groupBy. Row-grain alternatives were both
+    // measured slower at sf0.1 (r10 notes): per-row checkpoint
+    // scanning ~6 s of task CPU per iteration, parquet re-decode ~20%
+    // more. The packed frame is ~2 k rows whose dst lists are
+    // primitive long arrays, so the per-iteration join probes 2 k
+    // rows and the 2.4 M contributions stream out of a codegen'd
+    // explode.
     val adj =
       if (bigGraph) null
       else EdgeStore.packed(spark, dir)
@@ -816,93 +843,124 @@ object RelationalQueries {
         // node-grain exchange, no per-query pack agg.
         .repartition(8, col("x"))
         .cut() // node-grain packed adjacency: one row per src
-    val deg =
-      if (bigGraph)
-        // v6: node-grain (x, deg) projection of the packed plane —
-        // parquet column pruning never touches the dst arrays; the
-        // v5 shape re-aggregated the full pair table per query
-        EdgeStore.packed(spark, dir).select(col("x").as("src"), col("deg"))
-      else adj.select(col("x").as("src"), col("deg"))
-    val nDf = deg.agg(count(lit(1)).as("n"))
-    val shares =
-      if (bigGraph)
-        wp.select(col("x").as("src"), col("y").as("dst"), col("deg_x").as("deg"))
-      else null
-    // 0.15/n teleport term precomputed ONCE (node-grain) instead of a
-    // crossJoin per iteration. Pre-partitioned on `node` with the
-    // loop's shuffle width, so the per-iteration update join is
-    // exchange-free on the base side (contrib arrives hash(dst) with
-    // the same width — EnsureRequirements matches them by join key).
-    val loopParts = if (bigGraph) 32 else 8
-    val base = deg.crossJoin(broadcast(nDf))
-      .select(col("src").as("node"), (lit(0.15) / col("n")).as("base"))
-      .repartition(loopParts, col("node"))
-      .cut()
-    var ranks = deg.crossJoin(broadcast(nDf))
-      .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
-    // Checkpoint cadence: every iteration. (Every-2nd was tried per
-    // the r4 verdict and measured EQUAL — the two contrib aggs per
-    // materialization cost the same as one-per-action twice — so the
-    // simpler lineage wins.)
-    // r6 loop tuning, scoped with save/restore: every exchange inside
-    // the loop is NODE-grain (the contrib agg output and the 20 k-row
-    // rank checkpoints) — at 32 shuffle partitions the 10 iterations
-    // are dominated by task-launch rounds, and AQE's per-stage
-    // re-planning costs more than it saves on sub-second stages
-    // (measured: 3.2 → 2.1 s for the loop at sf0.1). The edge-scale
-    // work (scan + map-side partial agg) has no exchange, so the
-    // narrow setting never touches corpus-sized data.
+    // Checkpoint cadence (both planes): every iteration. (Every-2nd
+    // was tried per the r4 verdict and measured EQUAL, so the simpler
+    // lineage wins.) AQE is off and the session shuffle width narrow
+    // for the loop's duration — every exchange inside is node-grain
+    // (r6 tuning, measured 3.2 → 2.1 s at sf0.1); the edge-scale work
+    // rides the bucketed scan partitioning with no exchange at all.
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    var ranks: DataFrame = null
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", if (bigGraph) "32" else "8")
-      for (i <- 1 to 10) {
-        // small graphs: probe the PACKED adjacency (2 k node rows),
-        // divide at node grain, and stream the per-edge contributions
-        // out of a codegen'd explode — same (dst, share) multiset as
-        // the row plane, in array order instead of row order (the
-        // bucketed layout makes both the same src-sorted order)
-        val scored =
-          if (bigGraph)
-            // r11 (store v6 follow-through): shuffled-hash instead of
-            // broadcast — the edge side is the BUCKETED wpairs scan
-            // (HashPartitioning(x, 32) survives the src alias), so
-            // only the node-grain rank frame exchanges per iteration.
-            // The v5 shape broadcast-BUILT the full rank table every
-            // iteration (|nodes| rows — ~6 M × 10 builds at sf30,
-            // growing with the node dimension and capped at 8 GB/512 M
-            // rows); the per-partition hash build is |nodes|/width and
-            // partition-count-scaled like every other shuffle.
-            shares.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+      if (!bigGraph) {
+        // mid plane: co-partitioned shuffled-hash join (hash(x,8) ⋈
+        // hash(node,8), both pre-materialized): single stage per
+        // round, no broadcast build, no exchange on the packed side
+        val deg = adj.select(col("x").as("src"), col("deg"))
+        val nDf = deg.agg(count(lit(1)).as("n"))
+        val base = deg.crossJoin(broadcast(nDf))
+          .select(col("src").as("node"), (lit(0.15) / col("n")).as("base"))
+          .repartition(8, col("node"))
+          .cut()
+        ranks = deg.crossJoin(broadcast(nDf))
+          .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+        for (i <- 1 to 10) {
+          val scored = adj.join(ranks.hint("shuffle_hash"), col("x") === col("node"))
+            .select((col("rank") / col("deg")).as("share"), col("dsts"))
+            .select(col("share"), explode(col("dsts")).as("dst"))
+          val contrib = scored.groupBy("dst").agg(sum(col("share")).as("contrib"))
+          ranks = base
+            .join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (col("base") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
+                .as("rank"))
+            .cut()
+        }
+      } else {
+        // r11 big-graph rework (the r10 verdict's #1 "Done" bar — the
+        // 206 s sf30 cell): the v5/r9 row plane paid TEN edge-grain
+        // shuffles (repartition every (dst, share) contribution —
+        // ~11 GB × 10 at sf30) plus ten |nodes|-row broadcast builds.
+        // The published store is SYMMETRIC, so incoming(x) ≡
+        // outgoing(x): each node's contribution sum can be grouped by
+        // the node's OWN packed row — `groupBy(x)` rides the bucketed
+        // scan's HashPartitioning(x), and the edge stream never
+        // crosses the wire. Per iteration: one node-grain share
+        // broadcast + one zero-exchange explode/probe/agg.
+        val packedB = EdgeStore.packed(spark, dir)
+        // node count: one node-grain count job (the EDGE count came
+        // from the publish marker; nodes ≈ m/avg-degree, only needed
+        // on the big planes where the query runs minutes)
+        val nNodes = packedB.count()
+        val b = 0.15 / nNodes
+        // A |nodes|-grain broadcast is bounded by Spark's 8 GB /
+        // 512 M-row broadcast cap, not by the corpus: past the
+        // conf'd node bound the memory-oblivious r9 row plane takes
+        // over (no broadcasts at all, contributions re-keyed by an
+        // explicit exchange) — slower, but never builds node-grain
+        // state in one place.
+        val bcastMax = spark.conf
+          .getOption("spark.graft.graph.pagerankBroadcastNodeMax")
+          .map(_.toLong).getOrElse(32000000L)
+        if (nNodes <= bcastMax) {
+          // edge side = the bucketed wpairs ROW scan, not the packed
+          // arrays: same bytes, same per-x row order (the pack was
+          // built from this scan), but no per-row array materialization
+          // — a hub's neighbor list never has to exist as ONE object
+          // (the r9 memory objection to packing big graphs), and the
+          // deg_x column rides the scan so the rank rebuild needs no
+          // join. Measured equal to the packed/explode form at sf30
+          // (13.3 vs 13.6 s/iteration); kept for the memory shape.
+          ranks = packedB.select(col("x").as("node"),
+            (lit(1.0) / nNodes).as("rank"), col("deg"))
+          for (i <- 1 to 10) {
+            val share = ranks.select(col("node").as("sy"),
+              (col("rank") / col("deg")).as("share"))
+            val contrib = wp
+              .select(col("x"), col("deg_x"), col("y"))
+              .join(broadcast(share), col("y") === col("sy"))
+              .groupBy(col("x"), col("deg_x"))
+              .agg(sum(col("share")).as("contrib"))
+            ranks = contrib.select(col("x").as("node"),
+              (lit(b) + lit(0.85) * col("contrib")).as("rank"),
+              col("deg_x").as("deg"))
+              .cut()
+          }
+          ranks = ranks.select(col("node"), col("rank"))
+        } else {
+          // huge-node fallback: the r9 memory-oblivious row plane.
+          // Raw contributions repartition on dst BEFORE aggregating
+          // (map-side combine on the dst key measured 159 GB of
+          // sort-fallback spill at sf10 under an 8 GB heap — the agg
+          // hash map must hold only its partition's keys); the rank
+          // side joins shuffled-hash riding the bucketed scan (r11:
+          // the v5 per-iteration |nodes|-row broadcast build is gone
+          // from this plane too).
+          val deg = packedB.select(col("x").as("src"), col("deg"))
+          val shares = wp.select(col("x").as("src"), col("y").as("dst"),
+            col("deg_x").as("deg"))
+          val base = deg
+            .select(col("src").as("node"), lit(b).as("base"))
+            .repartition(32, col("node"))
+            .cut()
+          ranks = deg.select(col("src").as("node"), (lit(1.0) / nNodes).as("rank"))
+          for (i <- 1 to 10) {
+            val scored = shares
+              .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
               .select(col("dst"), (col("rank") / col("deg")).as("share"))
-          else
-            // co-partitioned shuffled-hash join (hash(x,8) ⋈
-            // hash(node,8), both pre-materialized): single stage, no
-            // broadcast build, no exchange
-            adj.join(ranks.hint("shuffle_hash"), col("x") === col("node"))
-              .select((col("rank") / col("deg")).as("share"), col("dsts"))
-              .select(col("share"), explode(col("dsts")).as("dst"))
-        // Big graphs: map-side partial aggregation on the dst key
-        // builds a |nodes|-sized hash map PER TASK (2 M keys at
-        // sf10), which blows past per-task execution memory and
-        // falls back to sort-based aggregation — measured 159 GB of
-        // sorted-run spill across the 10 iterations at sf10 under an
-        // 8 GB heap. Repartitioning the RAW contributions on dst
-        // first moves the agg AFTER the exchange, so every hash map
-        // holds only its partition's ~|nodes|/parts keys (the
-        // memory-oblivious shape a 100 TB cluster needs); the
-        // exchange carries narrow (dst, share) rows once per
-        // iteration. Small graphs keep map-side combine — it
-        // collapses the edge stream to node grain before the wire.
-        val contrib = (if (bigGraph) scored.repartition(col("dst")) else scored)
-          .groupBy("dst").agg(sum(col("share")).as("contrib"))
-        val updated = base
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (col("base") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
-              .as("rank"))
-        ranks = updated.cut()
+            val contrib = scored.repartition(col("dst"))
+              .groupBy("dst").agg(sum(col("share")).as("contrib"))
+            ranks = base
+              .join(contrib, col("node") === col("dst"), "left")
+              .select(col("node"),
+                (col("base") + lit(0.85) * coalesce(col("contrib"), lit(0.0)))
+                  .as("rank"))
+              .cut()
+          }
+        }
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

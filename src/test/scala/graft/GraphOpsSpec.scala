@@ -206,6 +206,32 @@ class GraphOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.graph.localEdgeMax")
   }
 
+  // r11: every pagerank plane must produce the same report on one
+  // fixture — local (the default at this SF), mid (co-partitioned
+  // SHJ loop), big-broadcast (zero-edge-shuffle symmetric-contrib
+  // plane), and the huge-node row fallback. The planes differ only
+  // in distribution strategy; the r4 output grid absorbs their
+  // summation-order ulps.
+  test("copurchase_pagerank: all four planes agree on the fixture") {
+    def run(): Seq[(Long, Double)] =
+      SparkEntry.queries("copurchase_pagerank")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val local = run()
+    assert(local.nonEmpty)
+    try {
+      spark.conf.set("spark.graft.graph.localEdgeMax", "0")
+      assert(run() == local, "mid plane diverged from local")
+      spark.conf.set("spark.graft.graph.pagerankMidMax", "0")
+      assert(run() == local, "big broadcast plane diverged from local")
+      spark.conf.set("spark.graft.graph.pagerankBroadcastNodeMax", "0")
+      assert(run() == local, "huge-node row plane diverged from local")
+    } finally {
+      spark.conf.unset("spark.graft.graph.localEdgeMax")
+      spark.conf.unset("spark.graft.graph.pagerankMidMax")
+      spark.conf.unset("spark.graft.graph.pagerankBroadcastNodeMax")
+    }
+  }
+
   test("common_neighbor_recs: no recommended pair is an existing edge; scores are consistent") {
     val recs = GraphOps.commonNeighborRecs(spark, sf).collect()
     assert(recs.length == 10)

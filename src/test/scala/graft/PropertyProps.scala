@@ -170,6 +170,23 @@ object SrpProps extends SparkProps("srp_lsh") {
       truePairs.subsetOf(found) &&
         (found -- truePairs).isEmpty // random 64-dim cos ~ N(0, 1/8) never hits 0.9
     }
+
+  // r11: the fused native signature expression must equal the per-bit
+  // when(dot > 0) reference form bit-for-bit on arbitrary vectors —
+  // the candidate SET (and srp_near_dup's reported candidate count)
+  // depends on every bit.
+  property("native srp signature == per-bit reference form, all widths") =
+    forAll(genVecs) { case (rows, _) =>
+      val df = spark.createDataFrame(rows).toDF("vec_id", "emb")
+      Seq(16, 32, 60).forall { nBits =>
+        df.select(
+            AnnOps.srpSignature(org.apache.spark.sql.functions.col("emb"),
+              dim = 64, nBits = nBits).as("a"),
+            AnnOps.srpSignatureRef(org.apache.spark.sql.functions.col("emb"),
+              dim = 64, nBits = nBits).as("b"))
+          .collect().forall(r => r.getLong(0) == r.getLong(1))
+      }
+    }
 }
 
 object WeightedAvgProps extends SparkProps("weighted_avg") {
